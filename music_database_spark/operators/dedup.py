@@ -1,0 +1,304 @@
+"""Deduplication operators (SURVEY.md §2.10 X1/X2): exact, hash-keyed,
+MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
+
+Scale notes (the whole point of these designs):
+* Exact dedup shuffles a 16-byte digest, never the document body, until
+  the final keep-one step.
+* All near-dup paths are candidate-generation joins (band buckets /
+  shared rare shingles), never an all-pairs crossJoin — at 100 TB the
+  candidate set is ~linear in corpus size while all-pairs is quadratic.
+* Frequent-shingle filtering caps the inverted-list blowup a hot shingle
+  would cause (a shingle shared by k docs contributes k^2 pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..plans.relational import _t
+
+N_MINHASH = 32  # minhash permutations
+N_BANDS = 8  # LSH bands (4 rows/band) -> catches Jaccard >~ 0.6
+SHINGLE_LEN = 5  # words per shingle
+MAX_SHINGLE_FREQ = 20  # drop shingles hotter than this (stop-shingles)
+
+
+@register(
+    "x_dedup_exact",
+    tags=("EXT", "X1"),
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) t WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep lowest doc_id per identical text. Partitioning key
+    is the md5 digest, not the text, so the shuffle moves 16 bytes per row."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_dedup_hash_groups",
+    tags=("EXT", "X1"),
+    oracle="""
+        SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        FROM documents GROUP BY content_hash
+        HAVING COUNT(*) > 1 ORDER BY content_hash
+    """,
+)
+def x_dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group report: sha256 content key -> copy count + keeper id.
+    Empty when the corpus has no exact dups (still a valid oracle match)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def shingles(text_col, n: int = SHINGLE_LEN):
+    """Distinct word n-grams as strings, via JVM higher-order functions:
+    tokens[i..i+n-1] joined with 0x1f for each valid start index. Texts
+    shorter than n tokens yield an empty set."""
+    toks = F.split(text_col, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_id, band_hash) — MinHash over shingle sets, banded for LSH.
+
+    minhash_s(doc) = min over shingles of xxhash64(shingle, seed s); the
+    signature is folded into N_BANDS band hashes. Everything is arrays +
+    higher-order functions: no UDF, no shuffle until the band join.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    seeds = list(range(N_MINHASH))
+    sig = sh.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+                for i in seeds
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    return bands
+
+
+@register("x_dedup_minhash", tags=("EXT", "X2"), oracle=None, bench=True)
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> 32-way minhash -> 8 bands ->
+    self-join on (band_id, band_hash) -> verify exact shingle-Jaccard >= 0.6.
+    The join is on band buckets (candidates ~ linear), and verification
+    re-joins only candidate ids back to their shingle sets."""
+    docs = _t(spark, sf_dir, "documents")
+    bands = minhash_signature(docs, "doc_id", "text")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(F.col("doc_id").alias("id"), shingles(F.col("text")).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+    return verified
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    tags=("EXT", "X2"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                [array_to_string(string_split(text, ' ')[i:i+{SHINGLE_LEN - 1}], chr(31))
+                 FOR i IN range(1, len(string_split(text, ' ')) - {SHINGLE_LEN - 1})]
+            )) AS shingle
+            FROM documents
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+        ),
+        filtered AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM filtered a JOIN filtered b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join: inverted index on rare word-5-grams ->
+    per-pair intersection counts -> exact Jaccard >= 0.5. Stop-shingles
+    (freq > MAX_SHINGLE_FREQ) are dropped on both engines, bounding the
+    quadratic term. Fully SQL-expressible, so this one HAS a DuckDB oracle
+    (unlike the hash-based sketches)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= MAX_SHINGLE_FREQ
+    )
+    filtered = sh.join(rare.select("shingle"), "shingle")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_batches(batches):
+    """64-bit SimHash per doc over Arrow batches: deterministic token
+    hashes (md5 low 64 bits), per-bit majority vote vectorized in numpy."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def token_hash(tok: str) -> int:
+        return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+
+    for pdf in batches:
+        sigs = []
+        for text in pdf["text"]:
+            toks = set(text.split(" ")) if isinstance(text, str) else set()
+            if not toks:
+                sigs.append(0)
+                continue
+            hs = np.fromiter((token_hash(t) for t in toks), dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+            votes = bits * 2 > len(hs)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            sigs.append(int(sig.astype(np.int64)))  # reinterpret as signed for Spark LongType
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
+
+@register("x_dedup_simhash", tags=("EXT", "X2", "D1"), oracle=None)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit majority-vote signature (Arrow-batched
+    numpy via mapInPandas — the sanctioned Python slow path), candidates
+    from equality on any of four 16-bit chunks (a doc pair within Hamming
+    distance 3 must agree on >= 1 chunk), verified by Hamming <= 3 using
+    JVM-side bit_count(xor)."""
+    docs = _t(spark, sf_dir, "documents")
+    signed = docs.select("doc_id", "text").mapInPandas(
+        _simhash_batches, "doc_id bigint, simhash bigint"
+    )
+    chunks = signed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

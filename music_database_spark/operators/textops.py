@@ -1,0 +1,193 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.10 X4):
+stats, token counting, quality scoring, fingerprinting, language ID.
+
+Everything except language-ID is pure Catalyst expressions (split /
+regexp / length / higher-order array functions) — JVM-side, vectorized.
+Language-ID is the one genuinely procedural step and uses mapInPandas
+(Arrow-batched), the sanctioned slow path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..plans.relational import _t
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Public knowledge (most frequent function words per language).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+
+@register(
+    "x_text_stats",
+    tags=("EXT", "X4", "F3"),
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS total_len,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(MIN(length(text)) AS BIGINT) AS min_len,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc/char/token totals, length range."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("total_len"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+            F.min(F.length("text")).cast("bigint").alias("min_len"),
+            F.max(F.length("text")).cast("bigint").alias("max_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x_token_count",
+    tags=("EXT", "X4", "D3"),
+    oracle="""
+        SELECT token, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) t WHERE token <> ''
+        GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50
+    """,
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-count (the UDTF row-expansion shape, D3): global top-50
+    token frequencies via explode(split(...)). At 100 TB this is the
+    classic partial-agg-friendly wordcount — no Python in the loop."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "x_quality_score",
+    tags=("EXT", "X4"),
+    oracle="""
+        WITH scored AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+                        AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                             / length(text) END AS alpha_ratio
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(round(
+                    0.5 * least(1.0, n_tokens / 200.0)
+                  + 0.25 * stop_ratio
+                  + 0.25 * alpha_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_quality
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length component + stopword ratio +
+    alphabetic ratio), averaged per language. The same arithmetic expression
+    tree is written on both engines; per-doc scores are rounded then
+    decimal-averaged for hash stability."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stop_list = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]])
+    stop_ratio = F.size(F.filter(tokens, lambda t: F.array_contains(stop_list, t))).cast(
+        "double"
+    ) / n_tokens
+    alpha_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text")
+    )
+    score = F.round(
+        0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0)) + 0.25 * stop_ratio + 0.25 * alpha_ratio,
+        6,
+    )
+    return (
+        docs.select("lang", score.alias("score"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x_fingerprint",
+    tags=("EXT", "X4", "X1"),
+    oracle="""
+        SELECT substr(md5(text), 1, 2) AS fp_prefix, COUNT(*) AS n,
+               MIN(md5(text)) AS min_fp
+        FROM documents GROUP BY fp_prefix ORDER BY fp_prefix
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 digest per document (the exact-dedup
+    key at scale — 16 bytes instead of the full text through the shuffle),
+    summarized by prefix bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    return (
+        docs.select(fp.alias("fp"))
+        .groupBy(F.substring("fp", 1, 2).alias("fp_prefix"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("fp").alias("min_fp"))
+        .orderBy("fp_prefix")
+    )
+
+
+def _lang_id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stopword-hit language ID over Arrow batches. Deterministic: ties
+    break by language code order."""
+    langs = sorted(LANG_STOPWORDS)
+    vocab = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
+    for pdf in batches:
+        preds = []
+        for text in pdf["text"]:
+            toks = text.split(" ") if isinstance(text, str) else []
+            hits = {lang: sum(t in vocab[lang] for t in toks) for lang in langs}
+            best = max(langs, key=lambda lg: (hits[lg], lg))
+            preds.append(best if hits[best] > 0 else "unknown")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "pred_lang": preds})
+
+
+@register("x_lang_id", tags=("EXT", "X4", "D1"), oracle=None)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via mapInPandas (Arrow-batched heuristic),
+    reported as a (true lang, predicted lang) confusion summary. Rows-only
+    check: the heuristic is procedural, not SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = docs.mapInPandas(_lang_id_batches, "doc_id bigint, lang string, pred_lang string")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

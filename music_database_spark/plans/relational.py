@@ -1,0 +1,410 @@
+"""REF-query analogs over the driver's TPC-H-ish tables (SURVEY.md §7.1).
+
+Role mapping (fixed in SURVEY.md §2 "Driver instantiation"): artist/user ->
+customer, song/rating -> orders/lineitem, genre -> nation, the reference's
+single-vs-album-track partition (album_id NULL, music_db.sql:67-68) ->
+o_orderstatus partition, rating-date year window (Queries:8,46,55) ->
+o_orderdate/l_shipdate year window.
+
+Every query here is REF or REF-impl — the shape is cited to the reference
+query that exercises it. All are authored sargable (§4.3): date windows as
+half-open range predicates that push into the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def ts_range(col: str, y1: int, y2: int):
+    """Sargable equivalent of YEAR(col) BETWEEN y1 AND y2 over a timestamp."""
+    return (F.col(col) >= F.lit(f"{y1}-01-01").cast("timestamp")) & (
+        F.col(col) < F.lit(f"{y2 + 1}-01-01").cast("timestamp")
+    )
+
+
+def dsum(col, precision: int = 18, scale: int = 4):
+    """Deterministic double sum: exact decimal arithmetic, then back to
+    double — immune to partitioning-dependent float addition order."""
+    return F.sum(F.col(col).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+@register(
+    "q1_singles_by_artist",
+    tags=("REF", "P2", "P3", "P5", "J1", "A1", "A2", "O1"),
+    oracle="""
+        SELECT c_name AS name, COUNT(o_orderkey) AS num_singles
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY c_custkey, c_name
+        ORDER BY num_singles DESC, name ASC
+    """,
+)
+def q1_singles_by_artist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 analog (Queries:3-10): boolean-flag filter + NULL-partition filter +
+    year range + dim⋈fact join + grouped count + 2-key ordered output.
+    is_group=0 -> c_mktsegment='BUILDING'; album_id IS NULL -> status 'O'."""
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & ts_range("o_orderdate", 1996, 1998)
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("num_singles"))
+        .select(F.col("c_name").alias("name"), "num_singles")
+        .orderBy(F.desc("num_singles"), F.asc("name"))
+    )
+
+
+@register(
+    "q2_last_in_year",
+    tags=("REF", "A3", "A4", "F1"),
+    oracle="""
+        SELECT name FROM (
+            SELECT c_custkey, c_name AS name, MAX(year(o_orderdate)) AS last_year
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY c_custkey, c_name
+        ) t WHERE last_year = 1998
+    """,
+)
+def q2_last_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog (Queries:14-19): HAVING MAX(YEAR(d)) = y — customers whose
+    latest open order was placed in 1998."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.max(F.year("o_orderdate")).alias("last_year"))
+        .filter(F.col("last_year") == 1998)
+        .select(F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "q3_genre_counts",
+    tags=("REF", "J1", "A1", "A2", "O1"),
+    oracle="""
+        SELECT n_name AS nation, COUNT(c_custkey) AS num_customers
+        FROM nation JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_nationkey, n_name
+        ORDER BY num_customers DESC, nation ASC
+    """,
+)
+def q3_genre_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analog (Queries:23-27): bridge-table counting — customers per
+    nation, count desc with name tie-break. nation is tiny -> broadcast."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(nation)
+        .join(customer, nation.n_nationkey == customer.c_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("num_customers"))
+        .select(F.col("n_name").alias("nation"), "num_customers")
+        .orderBy(F.desc("num_customers"), F.asc("nation"))
+    )
+
+
+@register(
+    "q4_both_kinds",
+    tags=("REF", "J3", "P6", "U1"),
+    oracle="""
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          AND c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def q4_both_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog (Queries:31-38): intersection of two key sets via two
+    left-semi joins — customers with both finished and open orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        customer.join(f_keys, customer.c_custkey == f_keys.o_custkey, "left_semi")
+        .join(o_keys, customer.c_custkey == o_keys.o_custkey, "left_semi")
+        .select(F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "q4_intersect",
+    tags=("REF", "U1"),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q4_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 re-expressed with set-op INTERSECT (SURVEY.md §2.6 U1)."""
+    orders = _t(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_keys.intersect(o_keys)
+
+
+@register(
+    "q4b_only_albums",
+    tags=("REF-impl", "J4"),
+    oracle="""
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q4b_only_albums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complement of Q4 (anti-join, SURVEY.md J4): customers with open orders
+    and no finished orders. o_custkey is non-null so NOT IN == left_anti."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(o_keys, customer.c_custkey == o_keys.o_custkey, "left_semi")
+        .join(f_keys, customer.c_custkey == f_keys.o_custkey, "left_anti")
+        .select(F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "q5_top_rated",
+    tags=("REF", "J2", "A1", "A2", "O1"),
+    oracle="""
+        SELECT o_orderkey AS orderkey, c_name AS customer, COUNT(l_quantity) AS num_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, c_name
+        ORDER BY num_items DESC, orderkey ASC
+    """,
+)
+def q5_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 analog (Queries:42-48): 3-way join chain fact⋈dim⋈dim with year
+    window + grouped count. Catalyst broadcast-joins the customer dim."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(ts_range("l_shipdate", 1996, 1997))
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(F.count("l_quantity").alias("num_items"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("customer"),
+            "num_items",
+        )
+        .orderBy(F.desc("num_items"), F.asc("orderkey"))
+    )
+
+
+@register(
+    "q6_active_users",
+    tags=("REF", "J1", "A1", "O1", "P5"),
+    oracle="""
+        SELECT c_name AS username, COUNT(o_orderkey) AS num_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY c_custkey, c_name
+        ORDER BY num_orders DESC, username ASC
+    """,
+)
+def q6_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 analog (Queries:52-57) — the flagship: customers who placed the
+    most orders in 1996-1998, count desc then name asc."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(ts_range("o_orderdate", 1996, 1998))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("num_orders"))
+        .select(F.col("c_name").alias("username"), "num_orders")
+        .orderBy(F.desc("num_orders"), F.asc("username"))
+    )
+
+
+@register(
+    "q7_users_with_counts",
+    tags=("REF-impl", "J7", "A1"),
+    oracle="""
+        SELECT c_name AS name, COUNT(o_orderkey) AS num_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY num_orders DESC, name ASC
+    """,
+)
+def q7_users_with_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (music_db.pdf p.5: users can exist without ratings):
+    COUNT(col) ignores the NULLs the outer join introduces -> true zeros."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("num_orders"))
+        .select(F.col("c_name").alias("name"), "num_orders")
+        .orderBy(F.desc("num_orders"), F.asc("name"))
+    )
+
+
+@register(
+    "q8_avg_rating",
+    tags=("REF-impl", "A5", "A7"),
+    oracle="""
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= 5
+        ORDER BY avg_qty DESC, partkey ASC
+    """,
+)
+def q8_avg_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG with support filter (README.md:8 'highest-rated songs' analog):
+    mean quantity per part among parts with >= 5 lineitems. AVG computed as
+    exact decimal SUM / COUNT for cross-engine determinism."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(dsum("l_quantity").alias("_sum"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("_sum") / F.col("n")).alias("avg_qty"),
+            "n",
+        )
+        .orderBy(F.desc("avg_qty"), F.asc("partkey"))
+    )
+
+
+@register(
+    "q9_distinct_counts",
+    tags=("REF-impl", "A6"),
+    oracle="""
+        SELECT o_custkey AS custkey, COUNT(DISTINCT o_orderpriority) AS num_priorities
+        FROM orders GROUP BY o_custkey ORDER BY custkey
+    """,
+)
+def q9_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) (README.md:8 'most active listeners' analog)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct("o_orderpriority").alias("num_priorities"))
+        .orderBy("custkey")
+    )
+
+
+@register("q9b_approx_distinct", tags=("EXT", "A6"), oracle=None)
+def q9b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog) — the 100 TB-scale form of A6;
+    sketch values are engine-specific so this is a rows-only check."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+            F.countDistinct("o_custkey").alias("exact_custkeys"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q10_topk",
+    tags=("REF-impl", "O2"),
+    oracle="""
+        SELECT c_name AS name, COUNT(o_orderkey) AS num_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY num_orders DESC, name ASC
+        LIMIT 10
+    """,
+)
+def q10_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (README.md:8 'most active'): orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort. The name
+    tie-break makes the cut deterministic (SURVEY.md §7.4.2)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("num_orders"))
+        .select(F.col("c_name").alias("name"), "num_orders")
+        .orderBy(F.desc("num_orders"), F.asc("name"))
+        .limit(10)
+    )
+
+
+@register(
+    "q11_effective_date",
+    tags=("REF-impl", "F7", "F1"),
+    oracle="""
+        SELECT year(COALESCE(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderdate END,
+                             TIMESTAMP '1999-06-30')) AS eff_year,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY eff_year
+    """,
+)
+def q11_effective_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE derived column — the release-date inheritance rule
+    (music_db.pdf p.4: a track's effective date falls back to its album's):
+    open orders have no 'effective' date and fall back to a fixed one."""
+    orders = _t(spark, sf_dir, "orders")
+    eff = F.coalesce(
+        F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(F.col("o_orderdate")),
+        F.lit("1999-06-30").cast("timestamp"),
+    )
+    return (
+        orders.select(F.year(eff).alias("eff_year"))
+        .groupBy("eff_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("eff_year")
+    )
+
+
+@register(
+    "j_large_large",
+    tags=("EXT", "J6"),
+    oracle="""
+        SELECT l_returnflag AS returnflag, o_orderstatus AS orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def j_large_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large fact join with no broadcastable side — exercises the
+    sort-merge/shuffled-hash path that dominates at 100 TB. At cluster scale
+    both sides would be bucketed by orderkey to skip the shuffle entirely."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("o_orderstatus").alias("orderstatus"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("returnflag", "orderstatus")
+    )

@@ -1,0 +1,103 @@
+"""Scalar-function surface (SURVEY.md §2.7 F3-F6): string, math, array and
+JSON functions over the driver's documents/embeddings/events tables. All
+expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen; no Python UDFs on these paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_array
+from ..registry import register
+from .relational import _t
+
+
+@register(
+    "x_vec_norm",
+    tags=("EXT", "F4", "F5"),
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(sqrt(list_aggregate(
+                        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        'sum')), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def x_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math (F.transform/aggregate): mean L2 norm of embeddings per
+    label. Norms are rounded to 6dp then decimal-summed so the per-group
+    mean is bit-identical across engines and partitionings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(as_double_array("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    norm = F.round(F.sqrt(sumsq), 6)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("norm").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_norm"
+            ),
+        )
+        .select("label", "n", "avg_norm")
+        .orderBy("label")
+    )
+
+
+@register(
+    "x_json_props",
+    tags=("EXT", "F6"),
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               COUNT(*) AS n
+        FROM events WHERE props IS NOT NULL
+        GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def x_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (F6): events bucketed by props.k % 10. Oracle kept
+    to single-key string extraction where Spark and DuckDB agree
+    (SURVEY.md §7.4.6)."""
+    events = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "x_string_funcs",
+    tags=("EXT", "F3"),
+    oracle="""
+        SELECT upper(substr(source, 1, 3)) AS src_prefix,
+               lang,
+               COUNT(*) AS n,
+               CAST(SUM(length(text)) AS BIGINT) AS total_len,
+               MIN(concat(lang, ':', source)) AS min_tag
+        FROM documents
+        WHERE source LIKE 'src%' AND regexp_matches(lang, '^(en|de|fr)$')
+        GROUP BY src_prefix, lang ORDER BY src_prefix, lang
+    """,
+)
+def x_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (upper/substr/length/concat/LIKE/regexp) over
+    documents — all codegen'd, the LIKE prefix pushes down to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").like("src%") & F.col("lang").rlike("^(en|de|fr)$"))
+        .groupBy(
+            F.upper(F.substring("source", 1, 3)).alias("src_prefix"),
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).cast("bigint").alias("total_len"),
+            F.min(F.concat_ws(":", "lang", "source")).alias("min_tag"),
+        )
+        .orderBy("src_prefix", "lang")
+    )

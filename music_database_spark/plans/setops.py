@@ -1,0 +1,122 @@
+"""Set operations (SURVEY.md §2.6). U1 INTERSECT lives with Q4 in
+relational.py; here are UNION (the reference's implicit 'all releases'
+timeline over its two date columns, music_db.sql:37,68) and EXCEPT."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import _t
+
+
+@register(
+    "x_union_releases",
+    tags=("EXT", "U2", "F1"),
+    oracle="""
+        SELECT yr, kind, COUNT(*) AS n FROM (
+            SELECT year(o_orderdate) AS yr, 'finished' AS kind
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT year(o_orderdate) AS yr, 'open' AS kind
+            FROM orders WHERE o_orderstatus = 'O'
+        ) t GROUP BY yr, kind ORDER BY yr, kind
+    """,
+)
+def x_union_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections then re-aggregate — the
+    'albums ∪ singles release timeline' shape."""
+    orders = _t(spark, sf_dir, "orders")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.year("o_orderdate").alias("yr"), F.lit("finished").alias("kind")
+    )
+    opn = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.year("o_orderdate").alias("yr"), F.lit("open").alias("kind")
+    )
+    return (
+        fin.unionByName(opn)
+        .groupBy("yr", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("yr", "kind")
+    )
+
+
+@register(
+    "x_except",
+    tags=("EXT", "U3"),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey
+    """,
+)
+def x_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers who ordered but never finished
+    an order. DataFrame subtract == EXCEPT DISTINCT."""
+    orders = _t(spark, sf_dir, "orders")
+    all_keys = orders.select(F.col("o_custkey").alias("custkey"))
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return all_keys.subtract(f_keys).orderBy("custkey")
+
+
+@register(
+    "x_rollup",
+    tags=("EXT", "A8"),
+    oracle="""
+        SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+        ORDER BY yr NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, priority) — the multi-level 'genre/artist/year report'
+    shape: detail rows + per-year subtotals + grand total in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .rollup("yr", "priority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("yr").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+@register(
+    "x_cube",
+    tags=("EXT", "A8"),
+    oracle="""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST
+    """,
+)
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "l_quantity",
+        )
+        .cube("returnflag", "linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("returnflag").asc_nulls_first(), F.col("linestatus").asc_nulls_first())
+    )

@@ -1,0 +1,140 @@
+"""Window-function operators (SURVEY.md §2.5 O3-O5, all EXT).
+
+The reference's "top songs per genre / rating trend over time" analyses
+(README.md:8) need ranking and analytic windows; these are their
+driver-table forms. Window partitions here are per-entity (customer,
+brand) — at 100 TB the partition key is high-cardinality so the single
+shuffle per window is well-distributed; no window is unpartitioned
+(an ORDER BY over the whole table would serialize on one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import _t, dsum
+
+
+@register(
+    "x_rank_per_group",
+    tags=("EXT", "O3"),
+    oracle="""
+        WITH rev AS (
+            SELECT p_brand, p_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            GROUP BY p_brand, p_partkey
+        )
+        SELECT p_brand AS brand, p_partkey AS partkey, revenue, rnk
+        FROM (SELECT p_brand, p_partkey, revenue,
+                     rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS rnk
+              FROM rev) t
+        WHERE rnk <= 3
+        ORDER BY brand, rnk, partkey
+    """,
+)
+def x_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-aware top-3 parts by revenue within each brand ('top songs per
+    genre'). rank() over a deterministic (revenue, partkey) order."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.broadcast(part)
+        .join(lineitem, part.p_partkey == lineitem.l_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            "revenue",
+            "rnk",
+        )
+        .orderBy("brand", "rnk", "partkey")
+    )
+
+
+@register(
+    "x_running_sum",
+    tags=("EXT", "O4"),
+    oracle="""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total
+        FROM orders ORDER BY custkey, orderkey
+    """,
+)
+def x_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend in order-date order ('rating trend
+    over time per user'). Exact decimal accumulation keeps the running
+    values engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    ).orderBy("custkey", "orderkey")
+
+
+@register(
+    "x_lag_delta",
+    tags=("EXT", "O4"),
+    oracle="""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice - lag(o_totalprice)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        FROM orders ORDER BY custkey, orderkey
+    """,
+)
+def x_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): change in order value vs the customer's previous order.
+    A single double subtraction of identical inputs is bit-deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta"),
+    ).orderBy("custkey", "orderkey")
+
+
+@register(
+    "x_moving_avg",
+    tags=("EXT", "O5"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS mavg
+        FROM events ORDER BY user_id, event_id
+    """,
+)
+def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW): 7-event moving
+    average of event value per user, time-ordered."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, W.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mavg"),
+    ).orderBy("user_id", "event_id")
