@@ -23,6 +23,8 @@ N_MINHASH = 32  # minhash permutations
 N_BANDS = 8  # LSH bands (4 rows/band) -> catches Jaccard >~ 0.6
 SHINGLE_LEN = 5  # words per shingle
 MAX_SHINGLE_FREQ = 20  # drop shingles hotter than this (stop-shingles)
+MAX_BAND_FREQ = 50  # drop LSH band buckets holding more ids than this
+MAX_CHUNK_FREQ = 64  # drop simhash chunk buckets hotter than this
 
 
 @register(
@@ -138,6 +140,16 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joins only candidate ids back to their shingle sets."""
     docs = _t(spark, sf_dir, "documents")
     bands = minhash_signature(docs, "doc_id", "text")
+    # Hot-bucket cap: a band bucket holding k ids contributes k^2/2 candidate
+    # pairs on one shuffle key — at 100 TB a cluster of near-identical docs
+    # (or a degenerate band hash) would serialize one task. Buckets past
+    # MAX_BAND_FREQ are dominated by exact/near-exact dup clusters that the
+    # cheaper exact-dedup pass (x_dedup_exact) already catches.
+    bucket_sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    bands = bands.join(
+        bucket_sizes.filter(F.col("bsz") <= MAX_BAND_FREQ).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -172,7 +184,7 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH sh AS (
             SELECT doc_id, unnest(list_distinct(
                 [array_to_string(string_split(text, ' ')[i:i+{SHINGLE_LEN - 1}], chr(31))
-                 FOR i IN range(1, len(string_split(text, ' ')) - {SHINGLE_LEN - 1})]
+                 FOR i IN range(1, len(string_split(text, ' ')) - {SHINGLE_LEN - 2})]
             )) AS shingle
             FROM documents
         ),
@@ -280,6 +292,16 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    # Hot-chunk cap (same k^2 skew argument as the minhash band cap): a
+    # 16-bit chunk value shared by k docs puts k^2/2 pairs through one task.
+    # Chunks hotter than MAX_CHUNK_FREQ are dropped from candidate
+    # generation; dense duplicate clusters are exact-dedup's job, and each
+    # remaining true near-dup pair still has 3 other chunks to match on.
+    chunk_sizes = chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("csz"))
+    chunks = chunks.join(
+        chunk_sizes.filter(F.col("csz") <= MAX_CHUNK_FREQ).select("chunk_id", "chunk"),
+        ["chunk_id", "chunk"],
+    )
     cand = (
         chunks.alias("a")
         .join(

@@ -1,0 +1,173 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.10 X3).
+
+Two paths, per the survey's two-stage design:
+
+* ``x_knn`` — brute-force top-k: probe set × corpus crossJoin (J9) with
+  cosine similarity computed by JVM higher-order functions, then a
+  ranking window per probe. Exact; the baseline. The crossJoin is
+  bounded because the probe side is a fixed small set (broadcast), so
+  the work is O(|probes| * |corpus|) scanned once — this is exactly how
+  a brute-force ANN baseline shards at 100 TB: broadcast the probes,
+  scan the corpus partition-parallel, per-partition top-k, merge.
+* ``x_knn_lsh`` — scale path: random-hyperplane LSH (sign of dot with
+  K fixed projection vectors -> K-bit bucket key), equi-join probes to
+  corpus on the bucket, rerank within buckets only. Candidates are a
+  small fraction of the corpus; recall < 1 by design (rows-only check).
+
+Cosine determinism for the DuckDB oracle: both engines fold the arrays
+sequentially in index order in double precision (Spark ``aggregate``,
+DuckDB ``list_aggregate 'sum'``), so the doubles match bitwise and the
+6-dp rounding + (sim DESC, id ASC) rank agree exactly.
+
+Reference parity: the reference has no vector surface at all (verified
+absence, SURVEY.md §2 — music_db.sql defines only scalar columns); X3
+exists for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_array, cosine_similarity
+from ..plans.relational import _t
+from ..registry import register
+
+N_PROBES = 10  # fixed probe set: the N lowest vec_ids
+TOP_K = 3
+N_PLANES = 12  # LSH hyperplanes -> 4096 buckets
+LSH_SEED = 42
+EMB_DIM = 64
+
+
+def _probes(emb: DataFrame) -> DataFrame:
+    """Deterministic probe set: the N_PROBES lowest vec_ids."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+        )
+    )
+
+
+@register(
+    "x_knn",
+    tags=("EXT", "X3", "J9", "F4", "F5", "O3"),
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS probe_emb
+            FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}
+        ),
+        dbl AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        pdbl AS (
+            SELECT probe_id, list_transform(probe_emb, x -> CAST(x AS DOUBLE)) AS pemb
+            FROM probes
+        ),
+        scored AS (
+            SELECT p.probe_id, d.vec_id AS neighbor_id,
+                   round(
+                     list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+                                                   i -> p.pemb[i] * d.emb[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(p.pemb, x -> x * x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(d.emb, x -> x * x), 'sum'))),
+                     6) AS cosine
+            FROM pdbl p CROSS JOIN dbl d
+            WHERE p.probe_id <> d.vec_id
+        )
+        SELECT probe_id, neighbor_id, cosine, rnk FROM (
+            SELECT probe_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """,
+)
+def x_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: 10 probe vectors against the whole corpus.
+    Probe side is broadcast, so the crossJoin is a single corpus scan with
+    per-partition top-k (the window) — the distributed brute-force shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb"))
+    cos = F.round(
+        cosine_similarity(as_double_array("probe_emb"), as_double_array("emb")), 6
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def _projection_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed -> same planes on every
+    run/executor). Gaussian entries give uniformly distributed normals."""
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(emb_col, planes: list[list[float]]):
+    """K-bit random-hyperplane signature as a bigint bucket key, computed
+    entirely with JVM higher-order functions: bit b = (emb . plane_b) >= 0."""
+    dbl = as_double_array(emb_col)
+    bucket = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(dbl, plane_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+@register("x_knn_lsh", tags=("EXT", "X3"), oracle=None)
+def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (the 100 TB path): 12-bit
+    random-hyperplane bucket key on both sides, equi-join probes->corpus on
+    the bucket (hash join, no crossJoin), exact cosine rerank within the
+    candidate set. Reports probe_id, neighbor, cosine, rank over candidates.
+    Rows-only: recall is approximate by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _projection_planes(N_PLANES, EMB_DIM, LSH_SEED)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb"),
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    probes = _probes(emb).select(
+        "probe_id", "probe_emb", lsh_bucket(F.col("probe_emb"), planes).alias("bucket")
+    )
+    cos = F.round(
+        cosine_similarity(as_double_array("probe_emb"), as_double_array("emb")), 6
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )

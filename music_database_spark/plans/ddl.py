@@ -1,0 +1,44 @@
+"""DDL/fixture-load surface (SURVEY.md §2.1 S1-S3) as a driver-checkable
+query: declare explicit StructType schemas, load the reference's 13
+literal fixture rows (music_db.sql:14-110), register idempotent temp
+views (drop/re-create semantics of music_db.sql:5,19,...), and read the
+catalog back through spark.sql. The oracle is the constant row-count
+table any correct load must produce — checked by value like everything
+else."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.fixtures import load_reference_fixture
+
+
+@register(
+    "ddl_roundtrip",
+    tags=("REF", "S1", "S2", "S3"),
+    oracle="""
+        SELECT table_name, n_rows FROM (
+            VALUES ('album', 1), ('artist', 2), ('genre', 2), ('rating', 2),
+                   ('song', 2), ('song_genre', 2), ('user', 2)
+        ) AS t(table_name, n_rows)
+        ORDER BY table_name
+    """,
+)
+def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE (explicit schema) -> INSERT literal rows -> re-CREATE
+    (idempotency) -> scan via SQL. Row counts must equal the reference's
+    checked-in fixture exactly (music_db.sql:14-16,27-29,46-47,57-59,
+    76-78,91-93,108-110 -> 1+2+2+2+2+2+2 rows)."""
+    # Load twice: createOrReplaceTempView must be idempotent (S2).
+    load_reference_fixture(spark, register=True)
+    tables = load_reference_fixture(spark, register=True)
+    out: DataFrame | None = None
+    for name in sorted(tables):
+        row = spark.sql(f"SELECT COUNT(*) AS n FROM `{name}`").select(
+            F.lit(name).alias("table_name"), F.col("n").cast("int").alias("n_rows")
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("table_name")

@@ -408,3 +408,83 @@ def j_large_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
         .orderBy("returnflag", "orderstatus")
     )
+
+
+@register(
+    "j_event_window",
+    tags=("EXT", "J8", "T1"),
+    oracle="""
+        WITH wins AS (
+            SELECT DISTINCT date_trunc('day', ts) AS bucket_day,
+                   date_trunc('day', ts) + INTERVAL 6 HOUR AS w_start,
+                   date_trunc('day', ts) + INTERVAL 18 HOUR AS w_end
+            FROM events
+        )
+        SELECT strftime(w.bucket_day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_in_window
+        FROM events e
+        JOIN wins w ON date_trunc('day', e.ts) = w.bucket_day
+                   AND e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.bucket_day ORDER BY day
+    """,
+)
+def j_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (J8): events matched to per-day [06:00, 18:00)
+    windows. Authored as equi-join on the day bucket + residual range
+    predicate — the scale-correct interval-join shape (a bare ts-range
+    theta join would be a nested-loop; bucketing turns it into a hash
+    join whose residual runs per bucket)."""
+    events = _t(spark, sf_dir, "events")
+    wins = (
+        events.select(F.date_trunc("day", "ts").alias("bucket_day"))
+        .distinct()
+        .select(
+            "bucket_day",
+            (F.col("bucket_day") + F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+            (F.col("bucket_day") + F.expr("INTERVAL 18 HOURS")).alias("w_end"),
+        )
+    )
+    e = events.select("ts", F.date_trunc("day", "ts").alias("e_day"))
+    return (
+        e.join(
+            F.broadcast(wins),
+            (e.e_day == wins.bucket_day) & (e.ts >= wins.w_start) & (e.ts < wins.w_end),
+        )
+        .groupBy("bucket_day")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+        .select(F.date_format("bucket_day", "yyyy-MM-dd").alias("day"), "n_in_window")
+        .orderBy("day")
+    )
+
+
+@register(
+    "x_null_partition",
+    tags=("REF", "P4", "F7"),
+    oracle="""
+        SELECT l_linestatus AS linestatus,
+               COUNT(*) AS n_total,
+               COUNT(CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END)
+                   AS n_returned,
+               SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
+                   AS n_null
+        FROM lineitem
+        GROUP BY l_linestatus ORDER BY linestatus
+    """,
+)
+def x_null_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL predicate over a derived nullable column (P4 — the
+    reference's album_id IS NULL partition, Queries:7,17,37): NULLIF turns
+    the 'not returned' flag into NULL, COUNT(col) skips those NULLs
+    (the COUNT(col)-vs-COUNT(*) semantics SURVEY §7.4.4 pins)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nullable_flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return (
+        lineitem.select(F.col("l_linestatus").alias("linestatus"), nullable_flag.alias("flag"))
+        .groupBy("linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("flag").alias("n_returned"),
+            F.sum(F.when(F.col("flag").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        .orderBy("linestatus")
+    )

@@ -56,9 +56,8 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
-    from .plans import relational, windows, setops, scalar  # noqa: F401
-    from .operators import dedup, knn, textops, multimodal, constraints  # noqa: F401
-    from .plans import udf_surface  # noqa: F401
+    from .plans import ddl, relational, scalar, setops, udf_surface, windows  # noqa: F401
+    from .operators import constraints, dedup, knn, multimodal, textops  # noqa: F401
     from .streaming import batch_windows  # noqa: F401
 
     return REGISTRY

@@ -96,12 +96,17 @@ def generate_music_dataset(
         artist = rng.randrange(1, n_artists + 1)
         if rng.random() < 0.4:  # single: album NULL, date set (music_db.sql:67-68 rule)
             year = rng.choice([2010, 2012, 2015, 2016, 2017, 2018, 2019, 2020, 2020, 2021, 2023])
+            if artist == 2:
+                # artist 2's singles are pinned below (its LAST single year
+                # must stay 2020 for the Q2 edge) — divert random singles.
+                artist = 3
             songs.append((s, artist, f"song_{s:04d}", None, D(year, rng.randrange(1, 13), rng.randrange(1, 29))))
         else:  # album track: date NULL
             songs.append((s, artist, f"song_{s:04d}", rng.randrange(1, n_albums + 1), None))
-    # guarantee Q4 non-empty: artist 1 owns one album and one single
+    # guarantee Q4 non-empty: album 1's artist also gets a single -> owns both kinds
     songs[0] = (1, albums[0][1], "song_0001", None, D(2017, 3, 3))
-    # guarantee Q2 non-empty: artist 2's only single's last year is 2020
+    # guarantee Q2 non-empty: artist 2's latest single year is 2020
+    # (the loop above never gives artist 2 another single)
     songs[1] = (2, 2, "song_0002", None, D(2020, 4, 4))
 
     song_genres = set()

@@ -9,6 +9,7 @@ scan with predicate pushdown and column pruning for free.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,44 @@ DRIVER_TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# SparkContexts that already ship the package to their workers.
+_PYFILES_ADDED: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile.
+
+    Arrow-batched closures (mapInPandas / applyInPandas / pandas_udf)
+    unpickle on the workers by importing ``music_database_spark`` — which
+    only resolves by accident when the driver's cwd is the repo root.
+    Zipping the package and registering it with the SparkContext makes the
+    import work from any cwd, any session, and (on a real cluster) any
+    executor host — the same mechanism as ``spark-submit --py-files``.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_ADDED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_dir)
+    tmp_dir = os.path.join(repo_root, ".tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    zip_path = os.path.join(tmp_dir, "music_database_spark.zip")
+    stage = zip_path + ".stage"
+    with zipfile.ZipFile(stage, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, repo_root))
+    os.replace(stage, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # same archive already registered with this context
+    _PYFILES_ADDED.add(id(sc))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Filters/projections applied downstream
@@ -42,6 +81,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sub-microsecond part is zero at every sf) and identical to what DuckDB
     surfaces for the same file, so oracle comparisons line up.
     """
+    # Timestamp semantics (year(), window(), date_format) follow the session
+    # time zone; DuckDB treats the same parquet values as naive wall-clock.
+    # Pinning UTC here makes both engines read identical wall-clock values
+    # regardless of which session the driver hands us.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Right-size shuffles for the local core count when the driver's
+        # session still carries the 200-partition default (runtime conf;
+        # AQE coalesces further). A real cluster would use ~2-3x total cores.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32"
+            )
+    except Exception:
+        pass
+    ensure_worker_imports(spark)
     if name == "events":
         # Runtime SQL conf; only affects NANOS-annotated INT64 columns, so
         # the millisecond timestamps in orders/lineitem are untouched.

@@ -1,0 +1,222 @@
+"""Time-window operators over the events table (SURVEY.md §2.8 T1-T3)
+plus true Structured-Streaming execution of the same plans (T4-T6).
+
+T1-T3 run in batch mode for the driver's differential check —
+``F.window`` / ``F.session_window`` produce identical results on batch
+and streaming DataFrames, so correctness is pinned against DuckDB here
+and the streaming smoke (``stream_*`` functions + tests) proves the
+same plans execute under ``readStream`` with watermarks and the
+``availableNow`` trigger.
+
+Scale notes: windowed aggregation shuffles on (window, keys) — at
+100 TB the hour buckets are high-cardinality in combination with the
+grouping key, and partial aggregation happens map-side before the
+exchange. Session windows shuffle on user_id (high-cardinality) — the
+state per key is one open session, the Structured-Streaming state-store
+shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.relational import _t
+from ..registry import register
+
+SESSION_GAP = "30 minutes"
+
+
+@register(
+    "x_tumbling",
+    tags=("EXT", "T1"),
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY hour_start
+    """,
+)
+def x_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts (T1). Epoch-aligned windows ==
+    date_trunc('hour'), so DuckDB oracles it exactly."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"),
+            "n",
+            "n_users",
+        )
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "x_sliding",
+    tags=("EXT", "T2"),
+    oracle="""
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start, COUNT(*) AS n
+        FROM (
+            SELECT ts, date_trunc('minute', ts)
+                       - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE
+                       - INTERVAL (k * 15) MINUTE AS win_start
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        ) t
+        GROUP BY 1 ORDER BY win_start
+    """,
+)
+def x_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (T2): 1-hour windows every 15 minutes — each event
+    lands in exactly 4 epoch-aligned windows, which is how the oracle
+    enumerates them (truncate to the 15-minute grid, step back 0..3)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:00").alias("win_start"), "n")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "x_session",
+    tags=("EXT", "T3"),
+    oracle="""
+        WITH flags AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def x_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (T3): per-user sessions closed by a 30-minute gap.
+    Spark merges strictly-overlapping [ts, ts+gap) intervals, so a gap of
+    exactly 30 minutes starts a new session — the oracle's lag-based
+    segmentation uses >= to match. Second-level timestamps avoid
+    sub-second formatting differences (event ts are whole microseconds;
+    session starts are actual event times)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --- true Structured Streaming (T4-T6): smoke-level, exercised by tests ---
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same nanos handling as
+    the batch loader: read raw nanos as long, derive micro timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # File-source streams need a directory; select just the events file
+    # from the sf dir via glob (the real-deployment shape is a directory
+    # of arriving part files anyway).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming plan to completion with the availableNow trigger
+    into a memory sink; returns the materialized result table."""
+    tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=tmp_root)
+    table = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T4: watermarked tumbling-window count executed as a real stream.
+    With availableNow over a static file the watermark drops nothing, so
+    the result equals the batch x_tumbling plan — asserted in tests."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour_start"), "n")
+    )
+    return _run_available_now(agg, "tumbling")
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: stateful streaming dedup — dropDuplicatesWithinWatermark on
+    event_id, then count per event_type."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_available_now(agg, "dedup")
+
+
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: stream-static join — the event stream enriched against the
+    static customer dimension (user_id -> c_custkey), counted per nation.
+    The static side is a broadcastable dim exactly as in batch."""
+    stream = _events_stream(spark, sf_dir)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = stream.join(customer, stream.user_id == customer.c_custkey)
+    agg = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    return _run_available_now(agg, "stream_static")
+
+
+@register("x_stream_tumbling", tags=("EXT", "T1", "T4"), oracle=None, bench=False)
+def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof that the windowed plan runs as a true stream
+    (readStream -> watermark -> window agg -> availableNow). Rows-only:
+    content equality with the batch plan is asserted in tests."""
+    return stream_tumbling_counts(spark, sf_dir).orderBy("hour_start")
