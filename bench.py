@@ -1,0 +1,80 @@
+"""Benchmark runner — times every registered bench query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "total_median_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md §2): per query, 1 warm-up execution then
+BENCH_RUNS timed executions (default 3), median recorded. Execution is
+measured with the noop sink so the number is plan execution, not
+driver-transfer of result rows."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from music_database_spark.registry import load_all  # noqa: E402
+from music_database_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def time_query(build, spark, sf_dir: str) -> float:
+    times = []
+    for i in range(RUNS + 1):
+        t0 = time.time()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if i > 0:  # first run is warm-up
+            times.append(dt)
+    return statistics.median(times)
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    registry = load_all()
+    todo = {
+        n: s for n, s in registry.items() if (n in names if names else s.bench)
+    }
+    spark = get_spark("bench")
+    results: dict[str, float] = {}
+    for name, spec in sorted(todo.items()):
+        try:
+            results[name] = round(time_query(spec.build, spark, SF_DIR), 3)
+        except Exception as e:  # a broken query must not kill the whole bench
+            print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            results[name] = -1.0
+        print(f"# {name}: {results[name]}s", file=sys.stderr)
+    total = round(sum(v for v in results.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

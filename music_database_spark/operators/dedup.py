@@ -86,16 +86,20 @@ def shingles(text_col, n: int = SHINGLE_LEN):
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh: array<string>) — each doc's distinct shingle set."""
+    return df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
     """(id, band_id, band_hash) — MinHash over shingle sets, banded for LSH.
 
     minhash_s(doc) = min over shingles of xxhash64(shingle, seed s); the
     signature is folded into N_BANDS band hashes. Everything is arrays +
     higher-order functions: no UDF, no shuffle until the band join.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh")).filter(
-        F.size("sh") > 0
-    )
     seeds = list(range(N_MINHASH))
     sig = sh.select(
         "id",
@@ -137,9 +141,15 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> 32-way minhash -> 8 bands ->
     self-join on (band_id, band_hash) -> verify exact shingle-Jaccard >= 0.6.
     The join is on band buckets (candidates ~ linear), and verification
-    re-joins only candidate ids back to their shingle sets."""
+    re-joins only candidate ids back to their shingle sets.
+
+    The shingle frame is persisted so signature generation and the
+    verification re-join share one tokenization pass (it feeds three plan
+    branches). At cluster scale the equivalent move is materializing the
+    signature/shingle table to parquet once per corpus snapshot."""
     docs = _t(spark, sf_dir, "documents")
-    bands = minhash_signature(docs, "doc_id", "text")
+    sh_cached = shingle_frame(docs, "doc_id", "text").persist()
+    bands = minhash_signature(sh_cached)
     # Hot-bucket cap: a band bucket holding k ids contributes k^2/2 candidate
     # pairs on one shuffle key — at 100 TB a cluster of near-identical docs
     # (or a degenerate band hash) would serialize one task. Buckets past
@@ -161,7 +171,7 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = docs.select(F.col("doc_id").alias("id"), shingles(F.col("text")).alias("sh"))
+    sh = sh_cached
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

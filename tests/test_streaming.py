@@ -1,0 +1,55 @@
+"""SURVEY.md §5.2.5 — streaming smoke: the Structured-Streaming
+execution of the windowed plans (readStream + watermark + availableNow)
+must be batch-equivalent, stream dedup must keep one row per event_id,
+and the stream-static join must match its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_database_spark.sources.loader import load_table
+from music_database_spark.streaming.batch_windows import (
+    stream_dedup_counts,
+    stream_static_join_counts,
+    stream_tumbling_counts,
+    x_tumbling,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_equals_batch(spark):
+    streamed = sorted(
+        (r["hour_start"], r["n"]) for r in stream_tumbling_counts(spark, SF).collect()
+    )
+    batch = sorted(
+        (r["hour_start"], r["n"]) for r in x_tumbling(spark, SF).select("hour_start", "n").collect()
+    )
+    assert streamed == batch
+
+
+def test_stream_dedup_keeps_distinct_event_ids(spark):
+    # event_id is unique in the fixture, so dedup-by-id must be lossless.
+    streamed = {r["event_type"]: r["n"] for r in stream_dedup_counts(spark, SF).collect()}
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_static_join_equals_batch(spark):
+    streamed = {r["c_nationkey"]: r["n"] for r in stream_static_join_counts(spark, SF).collect()}
+    events = load_table(spark, SF, "events")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    batch = {
+        r["c_nationkey"]: r["n"]
+        for r in events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
