@@ -32,3 +32,21 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hashed_bow(text_col: Column | str, dim: int = 64) -> Column:
+    """Deterministic hashed bag-of-words vector (feature hashing): dim
+    buckets, bucket d = count of tokens with xxhash64(token) mod dim == d.
+
+    Pure Catalyst higher-order functions — a single narrow pass per row
+    (no shuffle at all), which beats the explode->groupBy->re-assemble
+    formulation at scale: compute is embarrassingly parallel, and near-dup
+    verification wants the vector colocated with the row anyway.
+    """
+    toks = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(F.filter(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)) == d)).cast(
+            "double"
+        ),
+    )

@@ -248,6 +248,57 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_dedup_embedding", tags=("EXT", "X2", "X3", "F4", "F5"), oracle=None)
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: documents vectorized as hashed
+    bag-of-words (functions/vector.hashed_bow — the driver's embeddings
+    table is isotropic random noise with max pairwise cosine ~0.5, so
+    text-derived vectors are the semantically meaningful instantiation),
+    candidates from two independent random-hyperplane LSH tables
+    (union -> higher recall), verified by exact cosine >= 0.9.
+
+    Same scale shape as the other near-dup paths: bucketed candidate
+    join with a hot-bucket cap, never all-pairs."""
+    from ..functions.vector import cosine_similarity, hashed_bow
+    from .knn import _projection_planes, lsh_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = docs.select("doc_id", hashed_bow(F.col("text"), 64).alias("vec")).persist()
+    tables = []
+    for seed in (7, 19):  # two independent LSH tables
+        planes = _projection_planes(10, 64, seed)
+        tables.append(
+            vecs.select(
+                "doc_id",
+                (F.lit(seed) * 10_000_000 + lsh_bucket(F.col("vec"), planes)).alias("bucket"),
+            )
+        )
+    buckets = tables[0].unionByName(tables[1])
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    buckets = buckets.join(
+        sizes.filter(F.col("bsz") <= MAX_BAND_FREQ).select("bucket"), "bucket"
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= 0.9)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _simhash_batches(batches):
     """64-bit SimHash per doc over Arrow batches: deterministic token
     hashes (md5 low 64 bits), per-bit majority vote vectorized in numpy."""

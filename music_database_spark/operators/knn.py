@@ -40,6 +40,8 @@ TOP_K = 3
 N_PLANES = 12  # LSH hyperplanes -> 4096 buckets
 LSH_SEED = 42
 EMB_DIM = 64
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE_CELLS = 4  # IVF cells searched per probe
 
 
 def _probes(emb: DataFrame) -> DataFrame:
@@ -161,6 +163,62 @@ def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         F.broadcast(probes)
         .join(corpus, "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+@register("x_knn_ivf", tags=("EXT", "X3"), oracle=None)
+def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN — the other standard ANN scale path:
+
+    1. coarse quantizer: N_CELLS deterministic seed centroids (lowest
+       vec_ids stand in for trained k-means centroids);
+    2. assignment: every corpus vector joins its argmax-cosine centroid
+       (a broadcast join against the tiny centroid set — one scan);
+    3. search: each probe visits only its N_PROBE_CELLS nearest cells,
+       exact cosine rerank inside those cells.
+
+    At 100 TB the corpus would be written bucketed/partitioned BY cell so
+    a probe's search is a partition-pruned scan of nprobe/ncells of the
+    data. Rows-only: recall < 1 by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb"))
+    cent_cos = cosine_similarity(as_double_array("emb"), as_double_array("cent_emb"))
+    # argmax-cosine assignment: max over (cos, cent_id) structs
+    assign = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("neighbor_id", "emb", F.struct(cent_cos.alias("c"), F.col("cent_id").alias("id")).alias("sc"))
+        .groupBy("neighbor_id")
+        .agg(F.max("sc").getField("id").alias("cell"), F.first("emb").alias("emb"))
+    )
+    probes = _probes(emb)
+    probe_cent_cos = cosine_similarity(as_double_array("probe_emb"), as_double_array("cent_emb"))
+    wp = W.partitionBy("probe_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    probe_cells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(centroids))
+        .select("probe_id", "probe_emb", "cent_id", probe_cent_cos.alias("cent_cos"))
+        .withColumn("crnk", F.row_number().over(wp))
+        .filter(F.col("crnk") <= N_PROBE_CELLS)
+        .select("probe_id", "probe_emb", F.col("cent_id").alias("cell"))
+    )
+    cos = F.round(cosine_similarity(as_double_array("probe_emb"), as_double_array("emb")), 6)
+    cand = (
+        F.broadcast(probe_cells)
+        .join(assign, "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "neighbor_id", cos.alias("cosine"))
     )
