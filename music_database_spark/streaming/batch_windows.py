@@ -161,7 +161,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def _run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan to completion with the availableNow trigger
     into a memory sink; returns the materialized result table."""
     tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
@@ -171,7 +171,7 @@ def _run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -41,6 +41,28 @@ def test_stream_dedup_keeps_distinct_event_ids(spark):
     assert streamed == batch
 
 
+def test_stateful_operator_equals_batch(spark):
+    """applyInPandasWithState running (count, value-sum) per user must
+    equal the batch aggregate once the stream drains."""
+    from music_database_spark.streaming.stateful import stream_stateful_user_stats
+
+    out = stream_stateful_user_stats(spark, SF)
+    # keep each user's final update (largest n)
+    final = {
+        r["user_id"]: (r["n"], round(r["value_sum"], 6))
+        for r in out.orderBy("user_id", "n").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["value_sum"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    assert all(final[u][0] == batch[u][0] for u in batch)
+
+
 def test_stream_static_join_equals_batch(spark):
     streamed = {r["c_nationkey"]: r["n"] for r in stream_static_join_counts(spark, SF).collect()}
     events = load_table(spark, SF, "events")
