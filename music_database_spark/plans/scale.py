@@ -1,0 +1,101 @@
+"""Scale-path join strategies (SURVEY.md §4.4, J5/J6 physical notes):
+bucketed co-located joins and manual skew salting. Both produce results
+identical to the plain join (full DuckDB oracles); what differs is the
+physical plan, which is the point:
+
+* ``x_bucketed_join`` — writes both fact tables bucketed+sorted by the
+  join key, then joins the bucketed tables. The executed plan has NO
+  shuffle Exchange before the join: each bucket pair joins in place.
+  This is the 100 TB answer to the repeated lineitem⋈orders join — pay
+  the partitioned write once, skip the shuffle on every subsequent join.
+* ``x_salted_join`` — the manual skew treatment (AQE's skew-join split
+  is the automatic one): the large side appends a salt in [0, S), the
+  small side is replicated S times, the join key becomes (key, salt) so
+  one hot key fans out across S tasks instead of serializing on one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import _t, dsum
+
+N_BUCKETS = 8
+N_SALT = 8
+
+_AGG_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+def _agg(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("priority")
+    )
+
+
+@register("x_bucketed_join", tags=("EXT", "J6", "S1"), oracle=_AGG_ORACLE)
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed tables: both sides written
+    bucketBy(N_BUCKETS, orderkey) + sortBy, then joined through the
+    catalog. Verify with .explain: no Exchange feeds the SortMergeJoin.
+    The result is checked against the plain-join oracle — bucketing must
+    never change semantics."""
+    return _agg(bucketed_join_frame(spark, sf_dir))
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both sides bucketed and return the catalog-table join frame
+    (pre-aggregation) — tests assert its plan carries no Exchange."""
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "bucketed",
+    )
+    os.makedirs(wh, exist_ok=True)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in [("li_bucketed", li, "l_orderkey"), ("od_bucketed", od, "o_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    li_b = spark.table("li_bucketed")
+    od_b = spark.table("od_bucketed")
+    return li_b.join(od_b, li_b.l_orderkey == od_b.o_orderkey)
+
+
+@register("x_salted_join", tags=("EXT", "J6"), oracle=_AGG_ORACLE)
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, semantically identical to the plain join:
+    lineitem rows get salt = pmod(xxhash64(row id), N_SALT); orders rows
+    are exploded across all N_SALT salt values; the join key is
+    (orderkey, salt). A key with k rows lands on N_SALT tasks with ~k/S
+    rows each instead of one task with k."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+        .withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALT)))
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>")))
+    )
+    joined = li.join(od, (li.l_orderkey == od.o_orderkey) & (li.salt == od.salt))
+    return _agg(joined)

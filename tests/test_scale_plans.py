@@ -1,0 +1,43 @@
+"""Physical-plan guarantees for the scale-path joins (PLANS.md):
+bucketed joins must not shuffle; salted joins must equal the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_database_spark.plans.scale import bucketed_join_frame, x_salted_join
+from music_database_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join_frame(spark, SF)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_equals_plain_join(spark):
+    salted = {
+        (r["priority"]): (r["n"], round(r["sum_qty"], 4))
+        for r in x_salted_join(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    od = load_table(spark, SF, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n"], round(r["s"], 4))
+        for r in li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert salted == plain
