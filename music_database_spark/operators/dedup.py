@@ -223,11 +223,14 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term. Fully SQL-expressible, so this one HAS a DuckDB oracle
     (unlike the hash-based sketches)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    # Persist the exploded inverted index: it feeds the frequency pass and
+    # three join branches (a-side, b-side, sizes) — one tokenization pass
+    # instead of four. Cluster-scale equivalent: materialize the index.
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).persist()
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
         F.col("freq") <= MAX_SHINGLE_FREQ
     )
-    filtered = sh.join(rare.select("shingle"), "shingle")
+    filtered = sh.join(rare.select("shingle"), "shingle").persist()
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")
