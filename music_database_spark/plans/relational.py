@@ -465,8 +465,8 @@ def j_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_total,
                COUNT(CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END)
                    AS n_returned,
-               SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
-                   AS n_null
+               CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null
         FROM lineitem
         GROUP BY l_linestatus ORDER BY linestatus
     """,
