@@ -1,0 +1,109 @@
+"""Source/sink format surface (SURVEY.md §2.1 S5/S6 widened): the
+reference's only storage is InnoDB through MySQL; a Spark-first engine
+speaks the columnar/file ecosystem. Two driver-checkable demos:
+
+* ``x_format_roundtrip`` — documents written to and re-read from JSON,
+  CSV and ORC; per-format row counts and a content checksum must agree
+  with the parquet original (oracle computes the same from parquet).
+* ``x_partitioned_scan`` — events re-written partitioned BY day, then
+  one day read back through a partition-pruned scan (`PartitionFilters`
+  in .explain; at 100 TB this is the difference between scanning one
+  partition and the whole table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .loader import load_table
+
+
+def _tmp_dir(sub: str) -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".tmp", sub)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register(
+    "x_format_roundtrip",
+    tags=("EXT", "S5", "S6"),
+    oracle="""
+        SELECT fmt, n, checksum FROM (
+            SELECT 'csv' AS fmt, COUNT(*) AS n,
+                   CAST(SUM(CAST(length(text) AS BIGINT) * doc_id) AS BIGINT) AS checksum
+            FROM documents
+            UNION ALL
+            SELECT 'json', COUNT(*),
+                   CAST(SUM(CAST(length(text) AS BIGINT) * doc_id) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'orc', COUNT(*),
+                   CAST(SUM(CAST(length(text) AS BIGINT) * doc_id) AS BIGINT)
+            FROM documents
+        ) t ORDER BY fmt
+    """,
+)
+def x_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents to json/csv/orc, read each back, report
+    (row count, content checksum) per format. The oracle computes the
+    same pair straight from the parquet source — a lossy round-trip
+    (dropped rows, mangled text) breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out: DataFrame | None = None
+    base = _tmp_dir("formats")
+    for fmt in ["csv", "json", "orc"]:
+        path = os.path.join(base, fmt)
+        writer = docs.write.mode("overwrite")
+        reader = spark.read
+        if fmt == "csv":
+            # escape/quote so embedded quotes+commas survive the round-trip
+            writer = writer.option("header", "true").option("escape", '"')
+            reader = reader.option("header", "true").option("escape", '"').schema(
+                "doc_id bigint, text string"
+            )
+        getattr(writer, fmt)(path)
+        back = getattr(reader, fmt)(path)
+        row = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text").cast("bigint") * F.col("doc_id")).cast("bigint").alias("checksum"),
+        ).select(F.lit(fmt).alias("fmt"), "n", "checksum")
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("fmt")
+
+
+@register(
+    "x_partitioned_scan",
+    tags=("EXT", "S5", "P5"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read: events written `partitionBy(day)`, then one
+    day queried through the partition column. The scan touches exactly one
+    directory (PartitionFilters in .explain) — the layout that turns a
+    100 TB time-range query into a single-partition read."""
+    events = load_table(spark, sf_dir, "events")
+    base = _tmp_dir("events_partitioned")
+    (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return (
+        back.filter(F.col("day") == "2024-01-15")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -76,10 +76,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects outright. We read it under the
     ``nanosAsLong`` legacy conf (ts arrives as raw nanos since epoch) and
-    derive a proper TimestampType column via integer-division to micros —
-    lossless here (the generator emits whole microseconds; verified the
-    sub-microsecond part is zero at every sf) and identical to what DuckDB
-    surfaces for the same file, so oracle comparisons line up.
+    derive a proper TimestampType column via integer-division to micros.
+    The generator emits sub-microsecond components, so this truncates —
+    every oracle-checked output therefore derives second-or-coarser
+    values from ts (date_trunc / strftime / windows), where truncation
+    is invisible, and window orderings tie-break on event_id.
     """
     # Timestamp semantics (year(), window(), date_format) follow the session
     # time zone; DuckDB treats the same parquet values as naive wall-clock.
