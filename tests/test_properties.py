@@ -1,0 +1,90 @@
+"""Property-based checks (SURVEY.md §5.2.3) over the text-operator
+primitives with hypothesis-generated corpora: dedup keeps exactly one
+row per distinct text, shingling agrees with a reference implementation,
+Jaccard pairs are symmetric-free and bounded."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+def _ref_shingles(text: str, n: int = 5) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return set()
+    return {"\x1f".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_exact_dedup_keeps_one_per_distinct_text(spark, docs):
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert kept.count() == len(set(docs))
+    # keep-lowest-id rule
+    expected_ids = {min(i for i, t in enumerate(docs) if t == u) for u in set(docs)}
+    assert {r["doc_id"] for r in kept.collect()} == expected_ids
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_shingles_match_reference_implementation(spark, docs):
+    from music_database_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _ref_shingles(t), f"doc {i}: {t!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(texts, min_size=2, max_size=12))
+def test_minhash_pairs_are_canonical_and_bounded(spark, docs):
+    """Every reported near-dup pair has id_a < id_b and jaccard in (0, 1]."""
+    from music_database_spark.operators.dedup import (
+        minhash_signature,
+        shingle_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    sh = shingle_frame(df, "doc_id", "text")
+    bands = minhash_signature(sh)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    )
+    for r in cand:
+        assert r["id_a"] < r["id_b"]
+    # identical texts must always band-collide (same signature)
+    dup_pairs = {
+        (i, j)
+        for i in range(len(docs))
+        for j in range(i + 1, len(docs))
+        if docs[i] == docs[j] and len(docs[i].split(" ")) >= 5
+    }
+    got_pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    assert dup_pairs <= got_pairs
