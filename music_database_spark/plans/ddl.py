@@ -13,6 +13,31 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.fixtures import load_reference_fixture
+from ..sources.loader import register_views
+
+# One ANSI text, two engines: this exact string is both the Spark SQL
+# submitted through the engine's SQL front door and the DuckDB oracle.
+# (Dialect-portable subset: TIMESTAMP literals, year(), COUNT(col).)
+_FRONTDOOR_SQL = """
+    SELECT c_mktsegment AS segment,
+           year(o_orderdate) AS yr,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_mktsegment, year(o_orderdate)
+    ORDER BY segment, yr
+"""
+
+
+@register("x_sql_frontdoor", tags=("REF", "S5", "P1", "J1", "A1"), oracle=_FRONTDOOR_SQL)
+def x_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (reference entry point 2, SURVEY §3.2):
+    tables registered as views, the query submitted as SQL text and parsed/
+    optimized by Catalyst. The oracle is the VERBATIM same string — the
+    strongest possible dialect-parity statement for this query class."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_FRONTDOOR_SQL)
 
 
 @register(

@@ -88,6 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of which session the driver hands us.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         # Right-size shuffles for the local core count when the driver's
         # session still carries the 200-partition default (runtime conf;
         # AQE coalesces further). A real cluster would use ~2-3x total cores.

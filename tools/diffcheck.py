@@ -39,7 +39,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
-            out[c] = col.astype("float64").map(lambda v: f"{v:.9g}" if pd.notna(v) else "NULL")
+            # 17 significant digits = full float64 round-trip precision:
+            # any last-ulp divergence between engines fails the check, so
+            # a pass proves the bit-identical-floats engineering.
+            out[c] = col.astype("float64").map(lambda v: f"{v:.17g}" if pd.notna(v) else "NULL")
         else:
             out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     return out.sort_values(list(out.columns)).reset_index(drop=True)
