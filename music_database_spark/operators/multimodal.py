@@ -112,6 +112,72 @@ def with_media_column(docs: DataFrame) -> DataFrame:
     ).withColumn("media_type", F.col("media_meta.mime"))
 
 
+def resize_media(payload: bytes, target: int = 64) -> bytes:
+    """Stand-in media resize: deterministic stride subsampling of the byte
+    stream to <= target bytes (a real deployment would decode and resize
+    pixels/samples here — codec libs absent in this container). Stub per
+    the build contract; the distributed plumbing is real."""
+    if payload is None or len(payload) <= target:
+        return payload or b""
+    stride = len(payload) // target
+    return payload[::stride][:target]
+
+
+def sample_frames(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """Stand-in frame sampling: split the payload into n_frames equal
+    chunks and keep each chunk's head — the shape of video keyframe
+    extraction, deterministic on bytes."""
+    if payload is None or len(payload) == 0:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : i * step + min(16, step)] for i in range(n_frames)]
+
+
+def _media_transform_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize + frame-sample over the binary column."""
+    for pdf in batches:
+        resized = [resize_media(p) for p in pdf["media"]]
+        frames = [sample_frames(p) for p in pdf["media"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "resized_bytes": [len(r) for r in resized],
+                "n_frames": [len(f) for f in frames],
+                "frame_bytes": [sum(len(x) for x in f) for f in frames],
+            }
+        )
+
+
+@register(
+    "x_multimodal_transform",
+    tags=("EXT", "X5", "D1"),
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(octet_length(encode(text)), 64)) AS BIGINT) AS total_resized,
+               CAST(SUM(CASE WHEN octet_length(encode(text)) > 0 THEN 4 ELSE 0 END) AS BIGINT)
+                   AS total_frames
+        FROM documents
+    """,
+)
+def x_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample over the binary modality (north-star ops):
+    Arrow-batched mapInPandas, aggregated to corpus totals. The oracle
+    pins the invariants the stand-in transforms guarantee (resized size =
+    min(len, 64); 4 frames per non-empty payload); per-frame byte counts
+    ride along unchecked."""
+    docs = _t(spark, sf_dir, "documents")
+    media = with_media_column(docs)
+    out = media.select("doc_id", "media").mapInPandas(
+        _media_transform_batches,
+        "doc_id bigint, resized_bytes bigint, n_frames int, frame_bytes bigint",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("resized_bytes").cast("bigint").alias("total_resized"),
+        F.sum(F.col("n_frames").cast("bigint")).cast("bigint").alias("total_frames"),
+    )
+
+
 @register(
     "x_multimodal_features",
     tags=("EXT", "X5", "D1"),

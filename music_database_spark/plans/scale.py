@@ -56,25 +56,42 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write both sides bucketed and return the catalog-table join frame
-    (pre-aggregation) — tests assert its plan carries no Exchange."""
+    (pre-aggregation) — tests assert its plan carries no Exchange.
+
+    The bucketed layout is written once per sf directory and reused on
+    later calls (guarded by Spark's _SUCCESS marker) — which is the whole
+    economics of bucketing at 100 TB: pay the partitioned write once,
+    then every subsequent join on the bucket key skips its shuffle."""
     wh = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
         "bucketed",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     os.makedirs(wh, exist_ok=True)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     for name, df, key in [("li_bucketed", li, "l_orderkey"), ("od_bucketed", od, "o_orderkey")]:
+        path = os.path.join(wh, name)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.format("parquet")
-            .mode("overwrite")
-            .option("path", os.path.join(wh, name))
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .option("path", path)
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        else:
+            # layout already on disk: re-register the external bucketed
+            # table in this session's catalog without rewriting data
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
+            )
     li_b = spark.table("li_bucketed")
     od_b = spark.table("od_bucketed")
     return li_b.join(od_b, li_b.l_orderkey == od_b.o_orderkey)

@@ -1,0 +1,26 @@
+"""The switch-path facade: a reference user's workflows through
+MusicDatabase must reproduce the fixture-pinned answers."""
+
+from __future__ import annotations
+
+from music_database_spark.api import MusicDatabase
+
+
+def test_sample_data_reproduces_reference_answers(spark):
+    db = MusicDatabase.with_sample_data(spark)
+    assert db.top_single_artists().collect() == []
+    assert [r["name"] for r in db.artists_with_last_single_in(2020).collect()] == ["Band1"]
+    assert [r["name"] for r in db.artists_with_albums_and_singles().collect()] == ["Band1"]
+    assert db.validate() == {k: 0 for k in db.validate()}
+
+
+def test_synthetic_corpus_analyses(spark):
+    db = MusicDatabase.with_synthetic_corpus(spark)
+    top = db.highest_rated_songs(min_ratings=2).collect()
+    assert len(top) > 0
+    assert all(1.0 <= r["avg_rating"] <= 5.0 for r in top)
+    listeners = db.most_active_listeners().collect()
+    assert listeners[0]["distinct_songs"] >= listeners[-1]["distinct_songs"]
+    # ad-hoc SQL front door over the registered views
+    n_songs = db.sql("SELECT COUNT(*) AS n FROM song").collect()[0]["n"]
+    assert n_songs == 500
