@@ -1,0 +1,177 @@
+"""Heavier analytical shapes (A-family completions beyond the
+reference): multi-aggregate pricing summary and selective-join top-k in
+the style of the public TPC-H Q1/Q3 patterns, percentile aggregates,
+and moment-based statistics.
+
+Float determinism: every mean/variance/covariance is computed from
+exact decimal power sums (Sx, Sxx, Sxy) and the count, then combined
+with identical double arithmetic on both engines — the same
+E[x^2]-E[x]^2 identity everywhere, so results match bitwise no matter
+how partitions fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import _t, dsum, ts_range
+
+
+@register(
+    "q12_pricing_summary",
+    tags=("EXT", "A1", "A5", "A7", "P5"),
+    oracle="""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY returnflag, linestatus
+    """,
+)
+def q12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary report (the public TPC-H Q1 pattern): six
+    aggregates per (returnflag, linestatus) over almost-all of lineitem.
+    The map-side partial aggregation carries eight accumulators per
+    group — one shuffle of a few rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp")
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "q13_shipping_priority",
+    tags=("EXT", "J2", "A1", "O2", "P5"),
+    oracle="""
+        SELECT l_orderkey AS orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+                   AS revenue,
+               o_orderpriority AS priority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+    """,
+)
+def q13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective 3-way join + grouped revenue + top-k (the public TPC-H
+    Q3 pattern): both date filters and the segment filter push into the
+    scans; the final top-10 is TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)")
+    ).cast("double")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderpriority").alias("priority"))
+        .agg(revenue.alias("revenue"))
+        .select("orderkey", "revenue", "priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "x_percentiles",
+    tags=("EXT", "A5", "A7"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90). Spark's
+    percentile() and DuckDB's quantile_cont use the same linear
+    interpolation on the sorted values; 4-dp rounding absorbs the one
+    multiply-order difference in the interpolation formula."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "x_stats_agg",
+    tags=("EXT", "A5", "F4"),
+    oracle="""
+        SELECT l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               round(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,8))) AS DOUBLE) / COUNT(*)
+                     - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2),
+                     6) AS var_qty,
+               round(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*)
+                     - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)),
+                     6) AS cov_qty_price
+        FROM lineitem GROUP BY l_linestatus ORDER BY linestatus
+    """,
+)
+def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based statistics (population variance, covariance) from
+    exact decimal power sums — the cross-engine-deterministic way to do
+    stddev/corr-class aggregates (built-in stddev would fold doubles in
+    partition order and flake the hash)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(26,8)")).cast(
+        "double"
+    )
+    return (
+        li.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            n.alias("n"),
+            F.round(sxx / n - F.pow(sx / n, 2), 6).alias("var_qty"),
+            F.round(sxy / n - (sx / n) * (sy / n), 6).alias("cov_qty_price"),
+        )
+        .orderBy("linestatus")
+    )
