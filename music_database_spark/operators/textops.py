@@ -164,6 +164,32 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_posexplode",
+    tags=("EXT", "D3", "X4"),
+    oracle="""
+        SELECT (i - 1) // 10 AS pos_bucket, COUNT(*) AS n
+        FROM (
+            SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+            FROM documents
+        ) t
+        GROUP BY pos_bucket ORDER BY pos_bucket
+    """,
+)
+def x_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional row expansion (posexplode — the UDTF shape with
+    ordinality): token-position histogram in 10-token buckets across the
+    corpus. DuckDB enumerates positions with a per-row generate_series."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select((F.col("pos") / 10).cast("bigint").alias("pos_bucket"))
+        .groupBy("pos_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pos_bucket")
+    )
+
+
 def _lang_id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stopword-hit language ID over Arrow batches. Deterministic: ties
     break by language code order."""

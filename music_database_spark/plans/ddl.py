@@ -30,6 +30,28 @@ _FRONTDOOR_SQL = """
 """
 
 
+# EXISTS / NOT EXISTS (the correlated-subquery spelling of Q4's
+# semi/anti semantics, Queries:33-38) — again one verbatim ANSI text for
+# both engines; Catalyst rewrites to left-semi + left-anti joins.
+_EXISTS_SQL = """
+    SELECT c_name AS name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY name
+"""
+
+
+@register("x_exists_frontdoor", tags=("REF", "J3", "J4", "S5"), oracle=_EXISTS_SQL)
+def x_exists_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS/NOT EXISTS through the SQL front door: customers
+    with finished orders and no open ones. Same string on both engines;
+    .explain shows the decorrelation into semi/anti hash joins."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
 @register("x_sql_frontdoor", tags=("REF", "S5", "P1", "J1", "A1"), oracle=_FRONTDOOR_SQL)
 def x_sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL entry point (reference entry point 2, SURVEY §3.2):

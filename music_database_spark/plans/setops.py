@@ -93,6 +93,37 @@ def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_pivot",
+    tags=("EXT", "A8"),
+    oracle="""
+        SELECT year(o_orderdate) AS yr,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM orders GROUP BY yr ORDER BY yr
+    """,
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per year with one column per
+    status. The value list is given explicitly so Spark skips the extra
+    distinct-values pass — mandatory at scale, where the implicit pass is
+    a full extra job over the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.select(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .orderBy("yr")
+    )
+    # pivot-count yields NULL for empty cells; the wide report wants 0
+    return out.select(
+        "yr",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ["F", "O", "P"]],
+    )
+
+
+@register(
     "x_cube",
     tags=("EXT", "A8"),
     oracle="""
