@@ -110,6 +110,58 @@ def q13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_local_volume",
+    tags=("EXT", "J2", "J5", "A1", "P5"),
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+                   AS revenue
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, nation ASC
+    """,
+)
+def q14_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join (the public TPC-H Q5 pattern): revenue from orders
+    where the supplier sits in the customer's nation, per nation of one
+    region. The three dims (region, nation, supplier) broadcast; the
+    year filter prunes orders before the fact join; the co-nation
+    condition rides the supplier join as a residual predicate."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(ts_range("o_orderdate", 1996, 1996))
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)")
+    ).cast("double")
+    return (
+        F.broadcast(region)
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(customer, nation.n_nationkey == customer.c_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@register(
     "x_percentiles",
     tags=("EXT", "A5", "A7"),
     oracle="""

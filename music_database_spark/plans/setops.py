@@ -124,6 +124,45 @@ def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_unpivot",
+    tags=("EXT", "A8"),
+    oracle="""
+        SELECT yr, status, n FROM (
+            SELECT year(o_orderdate) AS yr, 'F' AS status,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT year(o_orderdate), 'O',
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT year(o_orderdate), 'P',
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders GROUP BY 1
+        ) t ORDER BY yr, status
+    """,
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the melt/stack shape): the pivoted
+    year-by-status counts back to (yr, status, n) rows via DataFrame
+    unpivot — the inverse of x_pivot, one narrow pass over the wide frame."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.select(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    wide = wide.select(
+        "yr", *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ["F", "O", "P"]]
+    )
+    return (
+        wide.unpivot("yr", ["F", "O", "P"], "status", "n")
+        .orderBy("yr", "status")
+    )
+
+
+@register(
     "x_cube",
     tags=("EXT", "A8"),
     oracle="""

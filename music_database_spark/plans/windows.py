@@ -112,6 +112,43 @@ def x_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_window_family",
+    tags=("EXT", "O3", "O4", "O5"),
+    oracle="""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, orderkey
+    """,
+)
+def x_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one pass: first/last
+    value, ntile quartiles, percent_rank, cume_dist per customer order
+    history. last_value needs the full-frame spec (the default frame
+    stops at CURRENT ROW on both engines). All outputs are exact
+    rationals of row counts -> bit-identical doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("custkey", "orderkey")
+
+
+@register(
     "x_moving_avg",
     tags=("EXT", "O5"),
     oracle="""
