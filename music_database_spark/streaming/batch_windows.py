@@ -194,6 +194,24 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "tumbling")
 
 
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 as a true stream: watermarked per-user session windows. With
+    availableNow over a static file nothing is late, so session counts
+    equal the batch x_session plan — asserted in tests."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_available_now(agg, "session")
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: stateful streaming dedup — dropDuplicatesWithinWatermark on
     event_id, then count per event_type."""

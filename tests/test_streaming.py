@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 from music_database_spark.sources.loader import load_table
 from music_database_spark.streaming.batch_windows import (
     stream_dedup_counts,
+    stream_session_counts,
     stream_static_join_counts,
     stream_tumbling_counts,
+    x_session,
     x_tumbling,
 )
 
@@ -24,6 +26,17 @@ def test_stream_tumbling_equals_batch(spark):
     )
     batch = sorted(
         (r["hour_start"], r["n"]) for r in x_tumbling(spark, SF).select("hour_start", "n").collect()
+    )
+    assert streamed == batch
+
+
+def test_stream_session_equals_batch(spark):
+    streamed = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in stream_session_counts(spark, SF).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in x_session(spark, SF).collect()
     )
     assert streamed == batch
 
