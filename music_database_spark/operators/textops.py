@@ -164,6 +164,104 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 50  # tokens per training chunk
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "x_chunking",
+    tags=("EXT", "X4", "D3"),
+    oracle=f"""
+        SELECT doc_id, chunk_idx,
+               len(string_split(chunk_text, ' ')) AS n_tokens,
+               md5(chunk_text) AS chunk_hash
+        FROM (
+            SELECT doc_id, i - 1 AS chunk_idx,
+                   array_to_string(
+                       string_split(text, ' ')[(i - 1) * {CHUNK_STRIDE} + 1 :
+                                               (i - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+                       ' ') AS chunk_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, GREATEST(1, CAST(ceil((len(string_split(text, ' ')) - {CHUNK_SIZE})
+                                                    / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+                       )) AS i
+                FROM documents
+            ) t
+        ) c
+        WHERE chunk_text <> ''
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def x_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the training-sample prep op: each doc
+    split into 50-token chunks with 10-token overlap (stride 40), emitted
+    as (doc_id, chunk_idx, n_tokens, md5). One narrow pass: the token
+    array is sliced by higher-order functions and exploded; no shuffle
+    until the (optional) downstream dedup of chunk hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast("int") + 1,
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE)).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text")
+        .filter(F.col("chunk_text") != "")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "x_bpe_tokens",
+    tags=("EXT", "X4", "F3"),
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+                   AS total_bpe_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace: a BPE-ish regex (letter runs,
+    digit runs, single punctuation — the GPT-2 pre-tokenizer shape)
+    counted per language next to the whitespace count. regexp_count is
+    codegen'd; the ratio of the two columns is the 'tokens per word'
+    signal quality pipelines cut on."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))))
+            .cast("bigint")
+            .alias("total_bpe_tokens"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "x_posexplode",
     tags=("EXT", "D3", "X4"),
