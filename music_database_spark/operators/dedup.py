@@ -251,6 +251,105 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_pair_sql(select: str) -> str:
+    """The x_dedup_ngram_jaccard oracle reduced to its pair list — shared
+    by the connected-components oracle below."""
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                [array_to_string(string_split(text, ' ')[i:i+{SHINGLE_LEN - 1}], chr(31))
+                 FOR i IN range(1, len(string_split(text, ' ')) - {SHINGLE_LEN - 2})]
+            )) AS shingle
+            FROM documents
+        ),
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+        ),
+        filtered AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM filtered a JOIN filtered b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        dup_pairs AS (
+            SELECT id_a, id_b
+            FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        )
+        {select}
+    """
+
+
+@register(
+    "x_dedup_clusters",
+    tags=("EXT", "X1", "X2"),
+    oracle=_ngram_pair_sql("""
+        , edges AS (
+            SELECT id_a AS a, id_b AS b FROM dup_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach
+        GROUP BY node ORDER BY doc_id
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS"),
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS (the ngram-Jaccard
+    operator's output) resolved into connected components, each doc
+    labeled with its cluster representative (the component's min id) —
+    the decision step that turns pairwise similarity into keep-one
+    dedup. Iterative min-label propagation: each round every node takes
+    the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are tiny, so a
+    handful of joins). The DuckDB oracle computes the same components
+    with a recursive CTE."""
+    pairs = x_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    # Convergence check: min-label propagation only ever decreases labels,
+    # so the label sum is strictly decreasing until fixpoint — one cheap
+    # aggregate per round instead of a change-counting join.
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    for _ in range(20):  # diameter bound; tiny near-dup clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
 @register("x_dedup_embedding", tags=("EXT", "X2", "X3", "F4", "F5"), oracle=None)
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: documents vectorized as hashed
