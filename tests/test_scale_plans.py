@@ -23,6 +23,43 @@ def test_bucketed_join_plan_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_salted_join_on_genuinely_skewed_data(spark):
+    """The driver tables aren't skewed, so manufacture real skew: one key
+    holding 50k of 60k rows. The salted join must agree with the plain
+    join, and the salted key space must spread the hot key across salts."""
+    from music_database_spark.plans.scale import N_SALT
+
+    big = spark.range(60_000).select(
+        F.when(F.col("id") < 50_000, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dim = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in big.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted_big = big.withColumn("salt", F.pmod(F.xxhash64("v", "k"), F.lit(N_SALT)))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)).cast("array<bigint>"))
+    )
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_big.join(salted_dim, ["k", "salt"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+    # the hot key really is spread across all salt values
+    spread = (
+        salted_big.filter(F.col("k") == 7).select("salt").distinct().count()
+    )
+    assert spread == N_SALT
+
+
 def test_salted_join_equals_plain_join(spark):
     salted = {
         (r["priority"]): (r["n"], round(r["sum_qty"], 4))
