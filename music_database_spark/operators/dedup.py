@@ -350,6 +350,45 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "x_dedup_corpus",
+    tags=("EXT", "X1", "X2"),
+    oracle=_ngram_pair_sql("""
+        , edges AS (
+            SELECT id_a AS a, id_b AS b FROM dup_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        drop_ids AS (
+            SELECT node FROM reach GROUP BY node HAVING node <> MIN(label)
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.node
+        WHERE x.node IS NULL
+        ORDER BY d.doc_id
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS"),
+)
+def x_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup pipeline, end to end: corpus ->
+    candidate pairs (inverted index) -> connected components -> keep only
+    each cluster's representative (min id) -> deduplicated corpus. The
+    final step is one anti-join of the corpus against the non-
+    representative member set — the only full-corpus shuffle-free pass."""
+    labels = x_dedup_clusters(spark, sf_dir)
+    drop_ids = labels.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(drop_ids, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @register("x_dedup_embedding", tags=("EXT", "X2", "X3", "F4", "F5"), oracle=None)
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: documents vectorized as hashed
