@@ -189,6 +189,26 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_approx_percentiles", tags=("EXT", "A6"), oracle=None)
+def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile / KLL-style) next to
+    the exact values — the 100 TB form, one pass, bounded memory, no
+    global sort. Rows-only: sketch outputs are engine-specific; the
+    exact twin x_percentiles carries the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias(
+                "approx_median"
+            ),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("exact_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("priority")
+    )
+
+
 @register(
     "x_stats_agg",
     tags=("EXT", "A5", "F4"),
