@@ -39,7 +39,7 @@ def dsum(col, precision: int = 18, scale: int = 4):
 
 @register(
     "q1_singles_by_artist",
-    tags=("REF", "P2", "P3", "P5", "J1", "A1", "A2", "O1"),
+    tags=("REF", "P2", "P3", "P5", "J1", "A1", "A2", "O1", "F2"),
     oracle="""
         SELECT c_name AS name, COUNT(o_orderkey) AS num_singles
         FROM customer JOIN orders ON c_custkey = o_custkey

@@ -232,6 +232,14 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "stream_static")
 
 
+@register("x_stream_static_join", tags=("EXT", "T6", "J1"), oracle=None, bench=False)
+def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (T6) run as a true stream: the event stream
+    enriched against the static customer dim, counted per nation.
+    Rows-only; equality with the batch join is asserted in tests."""
+    return stream_static_join_counts(spark, sf_dir).orderBy("c_nationkey")
+
+
 @register("x_stream_tumbling", tags=("EXT", "T1", "T4"), oracle=None, bench=False)
 def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible proof that the windowed plan runs as a true stream
