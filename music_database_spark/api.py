@@ -28,7 +28,14 @@ class MusicDatabase:
     """The reference's application layer ("required Python functions",
     music_db.pdf p.8), realized as a Spark-backed API."""
 
+    REQUIRED_TABLES = ("artist", "genre", "album", "user", "song", "song_genre", "rating")
+
     def __init__(self, spark: SparkSession, tables: dict[str, DataFrame]):
+        missing = [t for t in self.REQUIRED_TABLES if t not in tables]
+        if missing:
+            raise ValueError(
+                f"MusicDatabase needs tables {list(self.REQUIRED_TABLES)}; missing: {missing}"
+            )
         self.spark = spark
         self.tables = tables
         for name, df in tables.items():

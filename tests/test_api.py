@@ -14,6 +14,44 @@ def test_sample_data_reproduces_reference_answers(spark):
     assert db.validate() == {k: 0 for k in db.validate()}
 
 
+def test_missing_tables_raise_clear_error(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="missing: \\['rating'\\]"):
+        db = MusicDatabase.with_sample_data(spark)
+        tables = {k: v for k, v in db.tables.items() if k != "rating"}
+        MusicDatabase.from_tables(spark, tables)
+
+
+def test_music_schema_at_scale(spark):
+    """The music workload at 40x the reference's claimed corpus: 20k
+    songs, 2k users, 120k ratings. Every reference query must run,
+    return deterministic non-empty results, and keep its invariants."""
+    from music_database_spark.sources.fixtures import generate_music_dataset
+
+    db = MusicDatabase.from_tables(
+        spark,
+        generate_music_dataset(
+            spark,
+            n_artists=400,
+            n_albums=2000,
+            n_songs=20_000,
+            n_users=2000,
+            n_ratings=120_000,
+            register=False,
+        ),
+    )
+    top = db.top_single_artists().collect()
+    assert len(top) > 0
+    counts = [r["num_singles"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    rated = db.most_rated_songs().collect()
+    assert len(rated) > 0
+    active = db.most_active_users().collect()
+    assert len(active) > 0
+    assert db.validate() == {k: 0 for k in db.validate()}
+
+
 def test_synthetic_corpus_analyses(spark):
     db = MusicDatabase.with_synthetic_corpus(spark)
     top = db.highest_rated_songs(min_ratings=2).collect()
