@@ -62,11 +62,13 @@ def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     later calls (guarded by Spark's _SUCCESS marker) — which is the whole
     economics of bucketing at 100 TB: pay the partitioned write once,
     then every subsequent join on the bucket key skips its shuffle."""
+    # Path is keyed by (sf, bucket count): a cached layout written with a
+    # different N_BUCKETS must never be re-registered under the new count.
     wh = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
         "bucketed",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_b{N_BUCKETS}",
     )
     os.makedirs(wh, exist_ok=True)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
