@@ -175,3 +175,50 @@ def x_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("mavg"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "x_asof_join",
+    tags=("EXT", "J8", "O4"),
+    oracle="""
+        SELECT p.event_id,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts,
+               (epoch_us(p.ts) - epoch_us(b.ts)) // 1000000 AS gap_s
+        FROM events p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') b
+          ON p.user_id = b.user_id AND b.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J8 family): each event matched to the most recent 'error'
+    event at-or-before it for the same user ("time since last error").
+
+    Spark has no ASOF JOIN operator, so this is authored as the
+    scale-correct union-free form: a RANGE frame window over the event
+    stream itself (max error-ts <= current ts per user). One shuffle on
+    the high-cardinality user key, no join — the naive formulation
+    (theta self-join on ts <= ts, then argmax) is a per-user cross
+    product that dies at 100 TB. The RANGE frame (not ROWS) makes the
+    semantics exactly "max build ts <= probe ts" under timestamp ties,
+    matching DuckDB's native ASOF LEFT JOIN used as the oracle.
+    """
+    events = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.unix_micros("ts")).alias("err_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(W.unboundedPreceding, 0)
+    return (
+        e.withColumn("last_err_us", F.max("err_us").over(w))
+        .select(
+            "event_id",
+            F.date_format(
+                F.timestamp_micros(F.col("last_err_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("last_error_ts"),
+            F.expr("(ts_us - last_err_us) div 1000000").alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
