@@ -1,0 +1,169 @@
+"""Training-data pipeline operators over the documents table: deterministic
+dataset splitting, repetition-based quality filtering, PII redaction.
+
+These are the corpus-preparation steps a 100 TB pretraining pipeline runs
+after dedup (operators/dedup.py) and text analysis (operators/textops.py).
+All three are pure Catalyst expression pipelines — narrow per-row work plus
+one partial-agg-friendly groupBy — so they scale linearly with no Python
+in the loop and no shuffle beyond the final small aggregation.
+
+Reference parity: the reference (shreyasb27/Music-Database) has no
+pipeline surface; these extend SURVEY.md §2.10 (X-rows) per the build
+brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..plans.relational import _t
+
+
+@register(
+    "x_hash_split",
+    tags=("EXT", "X4", "F3"),
+    oracle="""
+        SELECT split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM (
+            SELECT doc_id, n_chars,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, n_chars,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+                             AS bucket
+                  FROM documents) b
+        ) s
+        GROUP BY split ORDER BY split
+    """,
+)
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (80/10/10) by hashing
+    the stable document id: bucket = int(md5(id)[:4], 16) % 100.
+
+    Content- and order-independent, so the split is reproducible across
+    runs, engines, and repartitionings — the property a training pipeline
+    needs so later incremental ingests never move a document between
+    splits. Pure narrow work (no shuffle until the tiny 3-row agg);
+    md5 is evaluated JVM-side in whole-stage codegen.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "x_repetition_filter",
+    tags=("EXT", "X4", "F5"),
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lang, len(toks) AS n_tok,
+                   list_max([len(list_filter(toks, t -> t = u))
+                             for u in list_distinct(toks)]) AS max_cnt,
+                   [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bigrams
+            FROM d
+        ), f AS (
+            SELECT lang, n_tok, max_cnt,
+                   len(bigrams) AS n_bi,
+                   len(bigrams) - len(list_distinct(bigrams)) AS n_dup,
+                   (max_cnt * 10 > n_tok * 3
+                    OR (len(bigrams) - len(list_distinct(bigrams))) * 5 > len(bigrams))
+                       AS dropped
+            FROM m
+        )
+        SELECT lang,
+               CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(max_cnt) AS BIGINT) AS sum_top_token,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_dup) AS BIGINT) AS sum_dup_bigrams,
+               CAST(SUM(n_bi) AS BIGINT) AS sum_bigrams
+        FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: drop documents whose top
+    token exceeds 30% of all tokens or whose duplicate-bigram fraction
+    exceeds 20% (Rae et al. 2021, "Scaling Language Models", table A1 —
+    public repetition heuristics).
+
+    Both signals are row-local, so they are computed entirely with
+    higher-order array functions (transform/filter/array_distinct) inside
+    whole-stage codegen — no explode, no shuffle until the tiny per-lang
+    summary agg. The alternative wordcount shape (explode + groupBy
+    (doc_id, token)) would shuffle every token in the corpus; per-doc
+    distinct counting is bounded by document length, so O(n_distinct *
+    n_tok) per row is cheaper at any scale. Thresholds are integer
+    cross-multiplications — no float compares to drift between engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
+    ).select(
+        "lang",
+        F.size("toks").alias("n_tok"),
+        F.expr(
+            "array_max(transform(array_distinct(toks),"
+            " u -> size(filter(toks, t -> t = u))))"
+        ).alias("max_cnt"),
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("bigrams"),
+    )
+    f = m.select(
+        "lang",
+        "n_tok",
+        "max_cnt",
+        F.size("bigrams").alias("n_bi"),
+        (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).alias("n_dup"),
+    ).withColumn(
+        "dropped",
+        (F.col("max_cnt") * 10 > F.col("n_tok") * 3)
+        | (F.col("n_dup") * 5 > F.col("n_bi")),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("dropped"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum("max_cnt").cast("bigint").alias("sum_top_token"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.sum("n_dup").cast("bigint").alias("sum_dup_bigrams"),
+            F.sum("n_bi").cast("bigint").alias("sum_bigrams"),
+        )
+        .orderBy("lang")
+    )

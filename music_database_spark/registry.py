@@ -57,7 +57,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     from .plans import analytics, ddl, relational, scalar, scale, setops, udf_surface, windows  # noqa: F401
-    from .operators import constraints, dedup, knn, multimodal, textops  # noqa: F401
+    from .operators import constraints, dedup, knn, multimodal, pipeline, textops  # noqa: F401
     from .sources import formats  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401
 
