@@ -167,3 +167,78 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x_redact",
+    tags=("EXT", "X4", "F3"),
+    oracle="""
+        WITH aug AS (
+            SELECT lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+                       AS text_aug
+            FROM documents
+        ), red AS (
+            SELECT lang, text_aug,
+                   regexp_replace(
+                       regexp_replace(text_aug, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS text_red,
+                   len(regexp_extract_all(text_aug, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS n_emails,
+                   len(regexp_extract_all(text_aug, '[0-9]{3}-[0-9]+')) AS n_phones
+            FROM aug
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+               CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+               CAST(SUM(length(text_aug)) AS BIGINT) AS sum_len_before,
+               CAST(SUM(length(text_red)) AS BIGINT) AS sum_len_after
+        FROM red GROUP BY lang ORDER BY lang
+    """,
+)
+def x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: find-and-replace email and phone patterns with
+    typed placeholder tokens, reporting per-language match and length
+    deltas. The test corpus is synthetic clean text, so PII is first
+    injected deterministically from doc_id — the redaction expressions
+    themselves are exactly what a real pipeline runs.
+
+    regexp_replace/regexp_extract_all evaluate JVM-side per row (narrow,
+    codegen) — at 100 TB this is a map-only stage with no shuffle before
+    the per-lang summary. Patterns use explicit [0-9]/[a-z0-9] classes,
+    which mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"[0-9]{3}-[0-9]+"
+    aug = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text_aug"),
+    )
+    red = aug.select(
+        "lang",
+        "text_aug",
+        F.regexp_replace(
+            F.regexp_replace("text_aug", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("text_red"),
+        F.size(F.regexp_extract_all("text_aug", F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text_aug", F.lit(phone_re), F.lit(0))).alias("n_phones"),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("bigint").alias("total_emails"),
+            F.sum("n_phones").cast("bigint").alias("total_phones"),
+            F.sum(F.length("text_aug")).cast("bigint").alias("sum_len_before"),
+            F.sum(F.length("text_red")).cast("bigint").alias("sum_len_after"),
+        )
+        .orderBy("lang")
+    )
