@@ -315,3 +315,71 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+def _lang_score_sql(lang: str, engine: str) -> str:
+    """Stopword-hit count expression for one language, rendered for either
+    engine from the same LANG_STOPWORDS table."""
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    if engine == "spark":
+        return f"size(filter(toks, t -> array_contains(array({words}), t)))"
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+def _lang_pred_case(score: dict[str, str]) -> str:
+    """Nested CASE argmax over per-language scores: highest score wins,
+    ties break toward the largest language code — exactly the
+    deterministic rule of the mapInPandas heuristic (_lang_id_batches).
+    Plain comparisons, so the same text works on Spark SQL and DuckDB."""
+    langs = sorted(LANG_STOPWORDS)  # e.g. de < en < es < fr
+    arms = []
+    for i in range(len(langs) - 1, 0, -1):  # fr, es, en; de is the ELSE
+        lg = langs[i]
+        conds = " AND ".join(f"{score[lg]} >= {score[o]}" for o in langs if o != lg)
+        arms.append(f"WHEN {conds} THEN '{lg}'")
+    any_hit = " + ".join(score[lg] for lg in langs)
+    return (
+        f"CASE WHEN ({any_hit}) = 0 THEN 'unknown' "
+        + " ".join(arms)
+        + f" ELSE '{langs[0]}' END"
+    )
+
+
+_SQL_LANG_SCORES = {lg: _lang_score_sql(lg, "duckdb") for lg in LANG_STOPWORDS}
+_SPARK_LANG_SCORES = {lg: _lang_score_sql(lg, "spark") for lg in LANG_STOPWORDS}
+
+
+@register(
+    "x_lang_id_sql",
+    tags=("EXT", "X4", "F5"),
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), p AS (
+            SELECT lang, {_lang_pred_case(_SQL_LANG_SCORES)} AS pred_lang FROM t
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n
+        FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def x_lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID as a pure Catalyst expression pipeline — the
+    relational re-expression of x_lang_id's mapInPandas heuristic, with
+    identical semantics (stopword-hit argmax, ties to the largest code,
+    'unknown' on zero hits). Per-row lambda filters inside whole-stage
+    codegen; no Python, no shuffle before the confusion-matrix agg —
+    at 100 TB this form beats the Arrow round-trip, which is why a real
+    pipeline keeps the UDF path only for genuinely procedural models.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.expr("filter(split(text, ' '), t -> t != '')").alias("toks")
+    )
+    p = t.select("lang", F.expr(_lang_pred_case(_SPARK_LANG_SCORES)).alias("pred_lang"))
+    return (
+        p.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

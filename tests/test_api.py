@@ -62,3 +62,16 @@ def test_synthetic_corpus_analyses(spark):
     # ad-hoc SQL front door over the registered views
     n_songs = db.sql("SELECT COUNT(*) AS n FROM song").collect()[0]["n"]
     assert n_songs == 500
+
+
+def test_lang_id_sql_matches_mapinpandas(spark):
+    """The pure-Catalyst language ID must agree row-for-row with the
+    mapInPandas heuristic it re-expresses — this is the oracle for the
+    rows-only x_lang_id driver query."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    sql_rows = {tuple(r) for r in reg["x_lang_id_sql"].build(spark, sf).collect()}
+    udf_rows = {tuple(r) for r in reg["x_lang_id"].build(spark, sf).collect()}
+    assert sql_rows == udf_rows
