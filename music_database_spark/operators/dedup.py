@@ -526,3 +526,139 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+N_MINHASH_MD5 = 8  # portable-minhash permutations (md5-based, oracle-checkable)
+N_BANDS_MD5 = 4  # 2 rows/band -> catches Jaccard >~ 0.6 at this k
+
+
+@register(
+    "x_dedup_minhash_md5",
+    tags=("EXT", "X2"),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+        shset AS (
+            SELECT id,
+                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
+                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
+            FROM toks WHERE len(t) >= {SHINGLE_LEN}
+        ),
+        sh AS (SELECT id, unnest(sh) AS g FROM shset),
+        mh AS (
+            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
+            GROUP BY id, s.s
+        ),
+        bands AS (
+            SELECT id, seed // 2 AS band_id,
+                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY id, seed // 2
+        ),
+        bands_f AS (
+            SELECT id, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+                FROM bands
+            ) WHERE bsz <= {MAX_BAND_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands_f a
+            JOIN bands_f b ON a.band_id = b.band_id
+                          AND a.band_hash = b.band_hash AND a.id < b.id
+        ),
+        ver AS (
+            SELECT id_a, id_b,
+                   len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS n_inter,
+                   len(x.sh) + len(y.sh)
+                       - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS n_union
+            FROM cand JOIN shset x ON x.id = cand.id_a
+                      JOIN shset y ON y.id = cand.id_b
+        )
+        SELECT id_a, id_b, n_inter, n_union
+        FROM ver WHERE n_inter * 5 >= n_union * 3
+        ORDER BY id_a, id_b
+    """,
+)
+def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with an engine-portable hash family, making the
+    full LSH pipeline value-hash-checkable against the DuckDB oracle (the
+    xxhash64 variant x_dedup_minhash is rows-only because DuckDB lacks
+    that hash). minhash_s(doc) = lexicographic min over shingles of
+    md5('s:' || shingle) — hex strings compare identically everywhere.
+
+    Same scale shape as x_dedup_minhash: banded buckets (candidates
+    ~ linear, never all-pairs), hot buckets past MAX_BAND_FREQ dropped on
+    BOTH sides (a k-doc bucket is k^2 pairs on one shuffle key), verify
+    by exact shingle-Jaccard via integer cross-multiplication
+    (5*|inter| >= 3*|union|, i.e. J >= 0.6) — no float compares.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shset = shingle_frame(docs, "doc_id", "text").persist()
+    sig = shset.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("sh", lambda g, s=s: F.md5(F.concat(F.lit(f"{s}:"), g)))
+                )
+                for s in range(N_MINHASH_MD5)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH_MD5 // N_BANDS_MD5
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS_MD5)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    w = W.partitionBy("band_id", "band_hash")
+    bands_f = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BAND_FREQ)
+        .drop("bsz")
+    )
+    cand = (
+        bands_f.alias("a")
+        .join(
+            bands_f.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            (
+                F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("n_union"),
+        )
+    )
+    return (
+        ver.filter(F.col("n_inter") * 5 >= F.col("n_union") * 3)
+        .select("id_a", "id_b", "n_inter", "n_union")
+        .orderBy("id_a", "id_b")
+    )
