@@ -12,7 +12,7 @@ how partitions fold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -246,4 +246,136 @@ def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sxy / n - (sx / n) * (sy / n), 6).alias("cov_qty_price"),
         )
         .orderBy("linestatus")
+    )
+
+
+@register(
+    "x_funnel",
+    tags=("EXT", "A1", "O4", "T3"),
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM v
+        UNION ALL
+        SELECT 'step2_click' AS step, COUNT(*) AS n_users FROM c
+        UNION ALL
+        SELECT 'step3_purchase' AS step, COUNT(*) AS n_users FROM p
+        ORDER BY step
+    """,
+)
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a click
+    that precedes a purchase (view -> click-after-view ->
+    purchase-after-click). Three conditional-min aggregations chained by
+    equi-joins on the high-cardinality user key — each stage shrinks the
+    frame, so at 100 TB the later joins run on the (much smaller)
+    surviving cohort; no window over the full event log is needed."""
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    parts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step1_view").alias("step"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step2_click").alias("step"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step3_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("step")
+
+
+@register(
+    "x_merge_upsert",
+    tags=("EXT", "J7", "A4", "S6"),
+    oracle="""
+        WITH latest AS (
+            SELECT o_custkey, o_totalprice FROM (
+                SELECT o_custkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) t WHERE rn = 1
+        ), merged AS (
+            SELECT c.c_custkey,
+                   c.c_mktsegment,
+                   COALESCE(l.o_totalprice, c.c_acctbal) AS new_balance,
+                   (l.o_custkey IS NOT NULL) AS updated
+            FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+        )
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(SUM(CAST(new_balance AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance
+        FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE/upsert semantics on plain Spark: apply the latest
+    change row per key (here: each customer's most recent order total
+    becomes the new balance) to a dimension snapshot via outer join +
+    COALESCE — the WHEN MATCHED THEN UPDATE arm of MERGE INTO expressed
+    with stock operators.
+
+    Scale shape: change extraction is a WindowGroupLimit (row_number=1)
+    on the change stream, the apply is ONE equi-join on the dimension
+    key; both sides shuffle-partition on c_custkey, and with a bucketed
+    dimension layout (x_bucketed_join) the apply join is shuffle-free.
+    Deterministic: latest-change tie-break is (o_orderdate, o_orderkey)
+    DESC, and the balance sum is an exact decimal fold."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_totalprice")
+    )
+    merged = customer.join(
+        latest, customer.c_custkey == latest.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        F.coalesce("o_totalprice", "c_acctbal").alias("new_balance"),
+        F.col("o_custkey").isNotNull().alias("updated"),
+    )
+    return (
+        merged.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("updated"), 1).otherwise(0)).cast("bigint").alias("n_updated"),
+            dsum("new_balance").alias("sum_balance"),
+        )
+        .orderBy("segment")
     )
