@@ -246,3 +246,64 @@ def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream -> watermark -> window agg -> availableNow). Rows-only:
     content equality with the batch plan is asserted in tests."""
     return stream_tumbling_counts(spark, sf_dir).orderBy("hour_start")
+
+
+def stream_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 completion — stream-STREAM inner join with event-time bounds:
+    views joined to purchases of the same user landing within one hour.
+    Both sides carry watermarks and the join condition carries the time
+    range, so Spark can evict join state: at 100 TB of continuous events
+    the state store holds only the last hour of views per user, not the
+    full history. The join itself is the only stateful operator in the
+    streaming plan (the per-user rollup happens on the materialized
+    result) — chaining stateful ops in one stream is the pattern
+    Structured Streaming restricts."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("v_user", "v_ts", "p_ts")
+    return _run_available_now(joined, "stream_stream", output_mode="append")
+
+
+@register(
+    "x_stream_stream_join",
+    tags=("EXT", "T6", "T4", "J8"),
+    bench=False,
+    oracle="""
+        SELECT v.user_id,
+               COUNT(*) AS n_pairs
+        FROM events v
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        GROUP BY v.user_id ORDER BY v.user_id
+    """,
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join run as a true stream, then rolled up per user.
+    With the availableNow trigger over a static file every row arrives
+    inside the watermark, so the streaming join's append output equals
+    the batch time-range join — which is exactly the DuckDB oracle, making
+    this the value-hash-CHECKED streaming query (the other T-row streams
+    are rows-only)."""
+    pairs = stream_stream_join_counts(spark, sf_dir)
+    return (
+        pairs.groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -88,3 +88,21 @@ def test_stream_static_join_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from music_database_spark.streaming.batch_windows import stream_stream_join_counts
+
+    streamed = stream_stream_join_counts(spark, SF).count()
+    events = load_table(spark, SF, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = v.join(
+        p,
+        F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+    ).count()
+    assert streamed == batch > 0
