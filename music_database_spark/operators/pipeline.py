@@ -14,7 +14,7 @@ brief's training-data-pipeline mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -241,4 +241,66 @@ def x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text_red")).cast("bigint").alias("sum_len_after"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "x_seq_packing",
+    tags=("EXT", "X4", "O4"),
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id, doc_id % 8 AS shard,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT lang, shard, doc_id, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT lang, shard, (cum - n_tok) // 2048 AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM c GROUP BY lang, shard, bin
+        ORDER BY lang, shard, bin
+    """,
+)
+def x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch prep: documents greedily packed
+    in stable doc_id order into 2048-token context windows (bin = floor
+    of the preceding cumulative token count / window size; a document may
+    straddle a boundary, as packed pretraining batches do).
+
+    Packing is inherently sequential, so the parallel form packs per
+    (lang, shard) stream with shard = doc_id % 8 — deterministic,
+    content-independent, and the window shuffle spreads over
+    n_langs * n_shards partitions instead of serializing per language.
+    At cluster scale shard count rises with executor count; the
+    per-stream semantics are unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "lang",
+            "shard",
+            F.expr("(cum - n_tok) div 2048").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang", "shard", "bin")
     )

@@ -379,3 +379,89 @@ def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q15_small_quantity_revenue",
+    tags=("EXT", "A5", "J1", "P2"),
+    oracle="""
+        WITH thresh AS (
+            SELECT l_partkey AS t_partkey,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                          / COUNT(*)) AS avg_fifth
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN thresh ON t_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < avg_fifth
+    """,
+)
+def q15_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (public TPC-H Q17 pattern): revenue
+    from small-quantity orders, where "small" is 20% of that part's own
+    average quantity. Authored the way Catalyst decorrelates it — the
+    per-part average as an aggregate joined back on the part key — so the
+    plan is two hash aggregates and two equi-joins, never a per-row
+    re-scan. The brand filter broadcasts; the threshold agg shuffles on
+    the same l_partkey as the probe join, so AQE reuses the exchange.
+    Float determinism: avg via exact decimal sum / count, then one
+    double multiply per side."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thresh = (
+        lineitem.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (F.lit(0.2) * (dsum("l_quantity") / F.count(F.lit(1)))).alias("avg_fifth")
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .join(thresh, lineitem.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("avg_fifth"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "x_grouping_sets",
+    tags=("EXT", "A8"),
+    oracle="""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, returnflag NULLS FIRST, linestatus NULLS FIRST
+    """,
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (A8
+    completion beyond ROLLUP/CUBE): three chosen aggregation levels in
+    one pass — Spark expands to a single Expand + HashAggregate, reading
+    the fact table once instead of three unioned scans."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+        .orderBy("gid", F.asc_nulls_first("returnflag"), F.asc_nulls_first("linestatus"))
+    )
