@@ -662,3 +662,62 @@ def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_inter", "n_union")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "x_dedup_incremental",
+    tags=("EXT", "X1", "J4"),
+    oracle="""
+        WITH batch AS (
+            SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 10 = 9
+        ), idx AS (
+            SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+        ), kept AS (
+            SELECT b.doc_id, b.lang,
+                   (i.h IS NOT NULL) AS is_dup
+            FROM batch b LEFT JOIN idx i ON b.h = i.h
+        )
+        SELECT lang,
+               COUNT(*) AS n_batch,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               CAST(MIN(CASE WHEN NOT is_dup THEN doc_id END) AS BIGINT) AS first_kept
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch (doc_id % 10 = 9 stands in
+    for today's arrivals) checked against the EXISTING corpus's
+    fingerprint index — the production shape where each ingest joins
+    only its own rows against a persisted digest index instead of
+    re-deduplicating the whole corpus.
+
+    The join is asymmetric: batch side is small, index side is digests
+    only (16 bytes/row, never document bodies) — at 100 TB the index is
+    a bucketed table on the digest and the per-ingest cost is
+    O(batch), not O(corpus). Near-dup extends the same shape by joining
+    the batch's LSH band keys (x_dedup_minhash_md5's signature stage)
+    against a persisted band index."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 9).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    idx = (
+        docs.filter(F.col("doc_id") % 10 != 9)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_idx", F.lit(True))
+    )
+    kept = batch.join(idx, "h", "left").select(
+        "doc_id", "lang", F.coalesce("in_idx", F.lit(False)).alias("is_dup")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+            F.min(F.when(~F.col("is_dup"), F.col("doc_id"))).cast("bigint").alias("first_kept"),
+        )
+        .orderBy("lang")
+    )
