@@ -60,6 +60,13 @@ def main() -> int:
         except Exception as e:  # a broken query must not kill the whole bench
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
+        # Several operators persist intermediate frames (shingle sets, LSH
+        # signatures) that are reused *within* one execution; across 80+
+        # queries in one session the leaked blocks pile up into storage-
+        # memory pressure that inflates later queries. Clearing between
+        # queries keeps each number order-independent (runs of the SAME
+        # query still share the persist inside time_query).
+        spark.catalog.clearCache()
         print(f"# {name}: {results[name]}s", file=sys.stderr)
     total = round(sum(v for v in results.values() if v >= 0), 3)
     print(
