@@ -304,3 +304,55 @@ def x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "bin")
     )
+
+
+@register(
+    "x_stratified_sample",
+    tags=("EXT", "X4", "P2"),
+    oracle="""
+        WITH s AS (
+            SELECT lang, n_chars,
+                   ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN bucket < 10 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sampled_chars
+        FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: an exact-rate 10% sample drawn
+    independently within every language stratum, keyed by md5 of the
+    stable id (salted 'strat:' so this sample is independent of the
+    x_hash_split buckets). Unlike TABLESAMPLE/df.sample, the selection is
+    reproducible across engines, runs, and repartitionings, and a
+    document's membership never changes as the corpus grows — the
+    property an eval-holdout pipeline needs. Map-only until the per-lang
+    summary agg."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    s = docs.select("lang", "n_chars", bucket.alias("bucket"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("bucket") < 10, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

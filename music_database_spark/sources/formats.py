@@ -107,3 +107,43 @@ def x_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register("x_compaction", tags=("EXT", "S6", "S5"), oracle=None)
+def x_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs: a fragmented layout (64 tiny part files, the
+    debris of streaming/incremental ingests) rewritten into files sized
+    by target bytes. File count for the compacted write is computed from
+    the actual fragmented size (ceil(bytes / target)), not guessed, and
+    applied with repartition before the write. Rows-only check: file
+    layout is invisible to the SQL oracle; row conservation and the
+    before/after file counts are the observable result.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tmp_dir("compaction")
+    frag_path = os.path.join(base, "fragmented")
+    compact_path = os.path.join(base, "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    def layout(path: str) -> tuple[int, int]:
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    n_frag, frag_bytes = layout(frag_path)
+    target_bytes = 4 * 1024 * 1024  # demo target; 128 MiB in production
+    n_target = max(1, math.ceil(frag_bytes / target_bytes))
+    frag = spark.read.parquet(frag_path)
+    frag.repartition(n_target).write.mode("overwrite").parquet(compact_path)
+    n_comp, _ = layout(compact_path)
+    rows = [
+        ("1_fragmented", n_frag, spark.read.parquet(frag_path).count()),
+        ("2_compacted", n_comp, spark.read.parquet(compact_path).count()),
+    ]
+    return spark.createDataFrame(rows, "phase string, n_files int, n_rows bigint")
