@@ -1,0 +1,107 @@
+"""CorpusPipeline facade pinned against the registered driver queries:
+both surfaces must implement the same semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from music_database_spark.sources.loader import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def pipe(docs):
+    from music_database_spark.corpus import CorpusPipeline
+
+    return CorpusPipeline(docs)
+
+
+def test_exact_dedup_matches_registered_query(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg_ids = {
+        r["doc_id"] for r in load_all()["x_dedup_exact"].build(spark, SF_SMOKE).collect()
+    }
+    api_ids = {r["doc_id"] for r in pipe.exact_dedup().select("doc_id").collect()}
+    assert api_ids == reg_ids
+
+
+def test_near_dup_pairs_match_registered_minhash(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        (r["id_a"], r["id_b"])
+        for r in load_all()["x_dedup_minhash"].build(spark, SF_SMOKE).collect()
+    }
+    api = {(r["id_a"], r["id_b"]) for r in pipe.near_dup_pairs(0.6).collect()}
+    assert api == reg
+
+
+def test_split_fractions_match_registered_query(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["split"]: r["n_docs"]
+        for r in load_all()["x_hash_split"].build(spark, SF_SMOKE).collect()
+    }
+    api = {
+        r["split"]: r["n"]
+        for r in pipe.with_split().groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert api == reg
+
+
+def test_sample_matches_registered_stratified_sample(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["lang"]: r["n_sampled"]
+        for r in load_all()["x_stratified_sample"].build(spark, SF_SMOKE).collect()
+    }
+    api = {
+        r["lang"]: r["n"]
+        for r in pipe.sample(10).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] > 0
+    }
+    assert api == {k: v for k, v in reg.items() if v > 0}
+
+
+def test_quality_flags_match_registered_filter(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["lang"]: (r["n_kept"], r["n_dropped"])
+        for r in load_all()["x_repetition_filter"].build(spark, SF_SMOKE).collect()
+    }
+    flagged = pipe.with_quality_flags()
+    api = {
+        r["lang"]: (r["kept"], r["drop"])
+        for r in flagged.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("dropped"), 0).otherwise(1)).alias("kept"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("drop"),
+        )
+        .collect()
+    }
+    assert api == reg
+
+
+def test_pack_sequences_bins_are_contiguous(pipe):
+    packed = pipe.pack_sequences(window_tokens=512, shards=4).select(
+        "shard", "bin", "doc_id"
+    )
+    rows = packed.orderBy("shard", "doc_id").collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bins in by_shard.values():
+        assert bins[0] == 0  # packing starts at the first window
+        assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))  # monotone in id order
