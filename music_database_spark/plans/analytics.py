@@ -465,3 +465,59 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", F.asc_nulls_first("returnflag"), F.asc_nulls_first("linestatus"))
     )
+
+
+@register(
+    "x_retention_cohorts",
+    tags=("EXT", "A1", "O4", "F1"),
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events
+            GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+               day_offset,
+               COUNT(*) AS n_active
+        FROM activity
+        WHERE day_offset <= 7
+        GROUP BY cohort_day, day_offset ORDER BY cohort, day_offset
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct active
+    users counted per day offset for the first week. Two aggregations on
+    the high-cardinality user key plus one equi-join — the cohort dim
+    (first_seen) is the output of the first agg and re-joins on the same
+    user_id partitioning, so AQE reuses the exchange; the DISTINCT before
+    the final count collapses each user's many daily events before the
+    small (cohort, offset) shuffle."""
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "n_active",
+        )
+        .orderBy("cohort", "day_offset")
+    )
