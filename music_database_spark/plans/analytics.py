@@ -521,3 +521,78 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "x_rolling_distinct_exact",
+    tags=("EXT", "A6", "O5", "J8"),
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT e.user_id) AS n_users_7d
+        FROM days d
+        JOIN events e
+          ON e.ts >= d.day - INTERVAL 6 DAY
+         AND e.ts < d.day + INTERVAL 1 DAY
+        GROUP BY d.day ORDER BY day
+    """,
+)
+def x_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed exactly: a day grid
+    range-joined back to the raw events. Correct but expensive — every
+    event is re-counted in up to 7 window rows, and COUNT(DISTINCT) can't
+    pre-aggregate, so the shuffle carries (day, user) pairs. This is the
+    query whose 100 TB cost motivates the sketch rollup twin
+    (x_rolling_distinct_hll), which shuffles one ~KB sketch per day
+    instead."""
+    events = _t(spark, sf_dir, "events")
+    days = events.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    e = events.select("ts", "user_id")
+    return (
+        F.broadcast(days)
+        .join(
+            e,
+            (e.ts >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
+            & (e.ts < F.col("day") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users_7d")
+        .orderBy("day")
+    )
+
+
+@register("x_rolling_distinct_hll", tags=("EXT", "A6", "O5"), oracle=None)
+def x_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-rollup form of trailing-7-day distinct users: one HLL
+    sketch per day (hll_sketch_agg — partial-agg friendly, the full event
+    volume collapses map-side), then a 7-row window union of sketches
+    (hll_union_agg) and a cardinality estimate per day.
+
+    This is the hypertable-rollup pattern: the expensive pass over raw
+    events happens ONCE at day grain; any trailing window is then a merge
+    of pre-aggregated sketches, shuffling kilobytes per day instead of
+    (day x user) pairs. The unpartitioned window is deliberate: it runs
+    on the day-grain rollup (365 rows/year — a few KB of sketches even
+    for a decade), not on the raw events. Rows-only check (DuckDB has no
+    HLL surface); estimate-vs-exact tolerance is pinned in tests."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate("sk").alias("daily_users_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("users_7d_est"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "daily_users_est",
+            "users_7d_est",
+        )
+        .orderBy("day")
+    )

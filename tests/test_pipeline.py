@@ -62,3 +62,17 @@ def test_minhash_md5_pairs_meet_jaccard_threshold(spark, reg):
         assert r["id_a"] < r["id_b"]  # canonical pair orientation, no self-pairs
         assert 0 < r["n_inter"] <= r["n_union"]
         assert r["n_inter"] * 5 >= r["n_union"] * 3  # J >= 0.6 verified, not just LSH-guessed
+
+
+def test_hll_rollup_tracks_exact_rolling_distinct(spark, reg):
+    exact = {
+        r["day"]: r["n_users_7d"]
+        for r in reg["x_rolling_distinct_exact"].build(spark, SF_SMOKE).collect()
+    }
+    est = {
+        r["day"]: r["users_7d_est"]
+        for r in reg["x_rolling_distinct_hll"].build(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for day, e in exact.items():
+        assert abs(est[day] - e) <= max(2, 0.05 * e)  # HLL standard error bound
