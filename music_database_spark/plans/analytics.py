@@ -596,3 +596,95 @@ def x_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q16_large_orders",
+    tags=("EXT", "A3", "J3", "O2"),
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+        )
+        SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+)
+def q16_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (the public TPC-H Q18 pattern): orders whose
+    total lineitem quantity exceeds 300, enriched with customer and
+    ranked by price. The HAVING aggregate runs FIRST and is highly
+    selective, so the expensive fact⋈orders join probes only qualifying
+    keys (~0.1% of orders); the top-100 compiles to
+    TakeOrderedAndProject. Exact-decimal quantity sums on both sides."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "x_join_hints",
+    tags=("EXT", "J6", "J5"),
+    oracle="""
+        WITH j AS (
+            SELECT o_orderkey, COUNT(*) AS n_items
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey
+        ), s AS (
+            SELECT COUNT(*) AS n_orders, CAST(SUM(n_items) AS BIGINT) AS n_rows FROM j
+        )
+        SELECT strategy, n_orders, n_rows FROM s,
+               (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) AS t(strategy)
+        ORDER BY strategy
+    """,
+)
+def x_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy control: the same orders⋈lineitem rollup
+    executed under broadcast, sort-merge, and shuffle-hash HINTS, proving
+    the three plans return identical results (one result row per
+    strategy). This is the operator-level knob a 100 TB deployment turns
+    when AQE's choice is wrong — e.g. forcing shuffle_hash when one side
+    is small-ish but over the broadcast threshold, or merge when both
+    sides are pre-sorted by the key."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    out = None
+    for strategy in ["broadcast", "merge", "shuffle_hash"]:
+        j = (
+            orders.hint(strategy)
+            .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("bigint").alias("n_rows"),
+        ).select(F.lit(strategy).alias("strategy"), "n_orders", "n_rows")
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("strategy")

@@ -101,3 +101,65 @@ def x_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_prefix", "lang")
     )
+
+
+@register(
+    "x_try_funcs",
+    tags=("EXT", "F7", "F6"),
+    oracle="""
+        WITH raw AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 7 = 0
+                        THEN 'x' || json_extract_string(props, '$.k')
+                        ELSE json_extract_string(props, '$.k') END AS k_str,
+                   value
+            FROM events WHERE props IS NOT NULL
+        ), c AS (
+            SELECT event_type,
+                   TRY_CAST(k_str AS BIGINT) AS k_num,
+                   CASE WHEN value = 0 THEN NULL ELSE CAST(100 AS DOUBLE) / value END
+                       AS inv
+            FROM raw
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN k_num IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unparseable,
+               CAST(SUM(COALESCE(k_num, 0)) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div0
+        FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant expression surface (the ANSI-mode escape hatches):
+    try_cast over deliberately corrupted numeric strings and try_divide
+    on zero denominators, aggregated as parse-failure accounting. At
+    100 TB ingest this is how a pipeline quarantines malformed rows in
+    one pass instead of failing the job; everything stays in codegen
+    (inputs are restricted to integral-or-garbage strings — DuckDB's
+    TRY_CAST rounds fractional strings where Spark truncates, so
+    fractional inputs are excluded from the contract)."""
+    events = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k_str = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("x"), F.get_json_object("props", "$.k")),
+    ).otherwise(F.get_json_object("props", "$.k"))
+    c = events.select(
+        "event_type",
+        k_str.try_cast("bigint").alias("k_num"),
+        F.try_divide(F.lit(100).cast("double"), F.col("value")).alias("inv"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k_num").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unparseable"),
+            F.sum(F.coalesce("k_num", F.lit(0))).cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("inv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div0"),
+        )
+        .orderBy("event_type")
+    )

@@ -147,3 +147,40 @@ def x_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("2_compacted", n_comp, spark.read.parquet(compact_path).count()),
     ]
     return spark.createDataFrame(rows, "phase string, n_files int, n_rows bigint")
+
+
+@register("x_sorted_layout", tags=("EXT", "S5", "P5", "O1"), oracle=None)
+def x_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered data layout (the z-order-lite every large fact table
+    needs): the same events written (a) round-robin scattered and (b)
+    range-partitioned + sorted by ts, then an identical one-day filter
+    read from each. The observable: how many physical files contribute
+    rows (`_metadata.file_path`) — the sorted layout confines the day to
+    1-2 of 16 files, so parquet min/max row-group stats skip the rest,
+    while the scattered layout bleeds every file into the scan. At 100 TB
+    this is the difference between reading ~6% and 100% of the table for
+    time-windowed queries. Rows-only: file layout is invisible to SQL."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    base = _tmp_dir("layout")
+    paths = {
+        "1_scattered": os.path.join(base, "scattered"),
+        "2_sorted": os.path.join(base, "sorted"),
+    }
+    ev.repartition(16).write.mode("overwrite").parquet(paths["1_scattered"])
+    ev.repartitionByRange(16, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(paths["2_sorted"])
+    lo, hi = "2024-01-10 00:00:00", "2024-01-11 00:00:00"
+    out = None
+    for layout, path in paths.items():
+        back = spark.read.parquet(path).filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        row = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files_touched"),
+        ).select(F.lit(layout).alias("layout"), "n_rows", "n_files_touched")
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("layout")

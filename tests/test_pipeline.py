@@ -76,3 +76,9 @@ def test_hll_rollup_tracks_exact_rolling_distinct(spark, reg):
     assert set(est) == set(exact)
     for day, e in exact.items():
         assert abs(est[day] - e) <= max(2, 0.05 * e)  # HLL standard error bound
+
+
+def test_sorted_layout_confines_time_filter_to_few_files(spark, reg):
+    rows = {r["layout"]: r for r in reg["x_sorted_layout"].build(spark, SF_SMOKE).collect()}
+    assert rows["1_scattered"]["n_rows"] == rows["2_sorted"]["n_rows"]
+    assert rows["2_sorted"]["n_files_touched"] < rows["1_scattered"]["n_files_touched"]
