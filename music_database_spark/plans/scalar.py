@@ -163,3 +163,81 @@ def x_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_recursive_cte",
+    tags=("EXT", "F1", "U2", "S5"),
+    oracle="""
+        WITH RECURSIVE cal(day) AS (
+            SELECT date_trunc('day', MIN(ts)) FROM events
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM cal
+            WHERE day < (SELECT date_trunc('day', MAX(ts)) FROM events)
+        )
+        SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+               COALESCE(e.n, 0) AS n_events
+        FROM cal LEFT JOIN (
+            SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM events GROUP BY d
+        ) e ON e.d = cal.day
+        ORDER BY day
+    """,
+)
+def x_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4 front door):
+    a generated calendar spine left-joined to daily event counts so
+    silent zero-activity days appear as explicit 0 rows — the gap-fill
+    every monitoring rollup needs. Runs as verbatim SQL text through
+    spark.sql to exercise the recursive front door; the DataFrame-native
+    equivalent (sequence(min, max, interval 1 day) + explode, one pass,
+    no iteration) is what a 100 TB pipeline would prefer and what the
+    calendar spine compiles down to at day grain (tiny either way)."""
+    from .relational import _t as _load
+
+    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH RECURSIVE cal(day) AS (
+            SELECT date_trunc('DAY', MIN(ts)) FROM events
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM cal
+            WHERE day < (SELECT date_trunc('DAY', MAX(ts)) FROM events)
+        )
+        SELECT date_format(cal.day, 'yyyy-MM-dd') AS day,
+               COALESCE(e.n, 0) AS n_events
+        FROM cal LEFT JOIN (
+            SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n FROM events GROUP BY d
+        ) e ON e.d = cal.day
+        ORDER BY day
+    """)
+
+
+@register(
+    "x_variant_json",
+    tags=("EXT", "F6", "D3"),
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        FROM events WHERE props IS NOT NULL
+        GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def x_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns through the VARIANT type (Spark 4):
+    parse_json once into a binary variant column, then typed
+    variant_get extraction — the schema-on-read path that replaces
+    per-access string re-parsing (get_json_object) with a decoded
+    columnar encoding. At 100 TB the parse cost is paid once per row
+    instead of once per extracted field per query."""
+    events = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = events.select(F.parse_json("props").alias("pv"))
+    k = F.expr("variant_get(pv, '$.k', 'int')")
+    return (
+        v.select(k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("k_bucket")
+    )
