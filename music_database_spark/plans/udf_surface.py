@@ -115,3 +115,51 @@ def x_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zscore_group, "event_id bigint, event_type string, zscore double"
     )
     return out.orderBy("event_id")
+
+
+@register(
+    "x_python_udtf",
+    tags=("EXT", "D3", "D1"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, len(toks) AS n,
+                   unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INTEGER))) AS chunk_id
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT chunk_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(32, n - 32 * chunk_id)) AS BIGINT) AS total_tokens
+        FROM c GROUP BY chunk_id ORDER BY chunk_id
+    """,
+)
+def x_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The class-based Python UDTF surface (Spark 3.5+): a table function
+    lateral-joined per input row, yielding one row per 32-token chunk.
+    This exercises the genuine @udtf API — eval() generator, lateral
+    correlation, registration — which x_chunking deliberately avoids (its
+    sequence/slice array form stays in codegen and is the production
+    path; SURVEY.md §2.9 D3). Python rows cross the Arrow boundary here,
+    so the aggregate after the lateral join is the only shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tokens int")
+    class ChunkCounter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(0, len(toks), 32):
+                yield i // 32, len(toks[i : i + 32])
+
+    spark.udtf.register("chunk_counter", ChunkCounter)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT c.chunk_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+        FROM docs_udtf, LATERAL chunk_counter(text) c
+        GROUP BY c.chunk_id ORDER BY c.chunk_id
+    """)
