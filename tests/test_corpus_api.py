@@ -105,3 +105,22 @@ def test_pack_sequences_bins_are_contiguous(pipe):
     for bins in by_shard.values():
         assert bins[0] == 0  # packing starts at the first window
         assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))  # monotone in id order
+
+
+def test_exact_dedup_is_idempotent(pipe):
+    from music_database_spark.corpus import CorpusPipeline
+
+    once = pipe.exact_dedup()
+    twice = CorpusPipeline(once).exact_dedup()
+    assert once.count() == twice.count()
+
+
+def test_sample_is_subset_and_split_is_total(docs, pipe):
+    n = docs.count()
+    s = pipe.sample(10)
+    assert 0 < s.count() < n
+    assert s.join(docs, "doc_id", "left_anti").count() == 0  # subset
+    split_counts = {
+        r["split"]: r["count"] for r in pipe.with_split().groupBy("split").count().collect()
+    }
+    assert sum(split_counts.values()) == n  # exactly one split per doc
