@@ -688,3 +688,150 @@ def x_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out.orderBy("strategy")
+
+
+@register(
+    "x_observe_metrics",
+    tags=("EXT", "A1", "A7", "S6"),
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discounted
+        FROM lineitem
+    """,
+)
+def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight metric observation (df.observe + Observation): data-
+    quality counters collected DURING another query's single pass over
+    lineitem — no second scan. The host action here is a noop count;
+    production attaches the same Observation to its real write and reads
+    the metrics from the listener afterward. The observed values are
+    returned as the result frame so the oracle can check them like any
+    aggregate."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the host pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
+        "n_rows bigint, sum_qty double, n_discounted bigint",
+    )
+
+
+@register(
+    "q17_idle_customers",
+    tags=("EXT", "J4", "A5", "P2"),
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def q17_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-value customers (the public TPC-H Q22 pattern):
+    above-average balance holders with no orders in the most recent year.
+    The scalar average is one tiny agg broadcast into the filter; "no
+    recent orders" is a LEFT ANTI join against the (date-filtered) orders
+    key set — at 100 TB that anti join shuffles only (custkey) pairs and
+    the sargable date filter prunes the orders scan first. Exact-decimal
+    average on both sides."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg((dsum("c_acctbal") / F.count(F.lit(1))).alias("a"))
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "x_sessionize_lag",
+    tags=("EXT", "O4", "T3"),
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g
+        )
+        SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual sessionization — the lag-gap-cumsum idiom: a session breaks
+    where the gap to the previous event exceeds 30 minutes; a running sum
+    of break flags numbers the sessions. The declarative twin of
+    F.session_window (x_session) that also yields stable per-session ids
+    usable in later joins. Both windows share the single (user_id)
+    exchange; ties broken on event_id for determinism."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    s = g.select("user_id", F.sum("new_sess").over(w2).alias("sess_id"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count_distinct("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
