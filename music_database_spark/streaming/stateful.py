@@ -6,6 +6,13 @@ microbatches: the state-store shape Structured Streaming gives custom
 operators. Each key's state is one tiny tuple (count, value sum, last
 seen ts) — at 100 TB keys shuffle-partition across executors and the
 state store holds O(distinct users) rows, not O(events).
+Spark 4's successor API (transformWithStateInPandas, StatefulProcessor +
+ValueState/RocksDB) was probed and is unavailable in this container: its
+streaming Python runner needs google.protobuf, whose install here is
+broken (ImportError: cannot import name 'descriptor'), and installs are
+off-limits. The v1 applyInPandasWithState operator below covers the
+custom-stateful surface; the TWS port is mechanical when the runtime
+allows.
 """
 
 from __future__ import annotations
