@@ -5,7 +5,7 @@ whole-stage codegen; no Python UDFs on these paths."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double_array
@@ -286,4 +286,89 @@ def x_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "x_map_funcs",
+    tags=("EXT", "F5", "A1"),
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type, COUNT(*) AS n FROM events
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               COUNT(*) AS n_types,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT)
+                   AS n_clicks,
+               CAST(MAX(n) AS BIGINT) AS max_type_count
+        FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (F5): per-user event-type histogram materialized as
+    a map column (map_from_entries over collected (type, count) structs),
+    then consumed with map scalar functions — size(), element_at(),
+    array_max(map_values()). The map is built from an aggregated frame
+    (distinct types per user ≤ 5), not from raw events, so the collect
+    is bounded. The oracle checks the same semantics with plain
+    conditional aggregation — the map is the Spark-side representation
+    under test."""
+    events = _t(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("hist")
+    )
+    return (
+        mapped.select(
+            "user_id",
+            F.size("hist").alias("n_types"),
+            F.coalesce(F.element_at("hist", F.lit("click")), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks"),
+            F.array_max(F.map_values("hist")).cast("bigint").alias("max_type_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x_array_agg_ordered",
+    tags=("EXT", "F5", "O4", "A1"),
+    oracle="""
+        SELECT user_id,
+               string_agg(event_id, ',' ORDER BY ts, event_id)
+                   FILTER (WHERE rn <= 5) AS first5
+        FROM (SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) t
+        GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered array aggregation — the trap this query
+    documents: Spark's collect_list order is partition-dependent, so a
+    bare array_agg is NOT reproducible. The fix: collect (sort-key,
+    value) structs and array_sort the result (struct comparison is
+    field-order lexicographic), making the aggregation order-insensitive
+    and therefore stable under any partitioning — then emit as a joined
+    string. A WindowGroupLimit caps each user at their first 5 events
+    before the collect, bounding per-group state."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = events.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        first5.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+                    lambda s: s["event_id"].cast("string"),
+                ),
+                ",",
+            ).alias("first5")
+        )
+        .orderBy("user_id")
     )
