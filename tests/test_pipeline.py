@@ -82,3 +82,20 @@ def test_sorted_layout_confines_time_filter_to_few_files(spark, reg):
     rows = {r["layout"]: r for r in reg["x_sorted_layout"].build(spark, SF_SMOKE).collect()}
     assert rows["1_scattered"]["n_rows"] == rows["2_sorted"]["n_rows"]
     assert rows["2_sorted"]["n_files_touched"] < rows["1_scattered"]["n_files_touched"]
+
+
+def test_hashed_bow_forms_agree(spark):
+    from music_database_spark.functions.vector import hashed_bow, hashed_bow_frame
+    from music_database_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    col_form = {
+        r["doc_id"]: tuple(r["vec"])
+        for r in docs.select("doc_id", hashed_bow(F.col("text"), 64).alias("vec")).collect()
+    }
+    frame_form = {
+        r["id"]: tuple(r["vec"])
+        for r in hashed_bow_frame(docs, "doc_id", "text", 64).collect()
+    }
+    assert col_form == frame_form
