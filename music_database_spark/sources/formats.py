@@ -184,3 +184,84 @@ def x_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out.orderBy("layout")
+
+
+@register(
+    "x_dynamic_partition_pruning",
+    tags=("EXT", "S5", "P5", "J5"),
+    oracle="""
+        WITH busy AS (
+            SELECT date_trunc('day', ts) AS day FROM events
+            GROUP BY day HAVING COUNT(*) > 300
+        )
+        SELECT strftime(e_day, '%Y-%m-%d') AS day, COUNT(*) AS n FROM (
+            SELECT date_trunc('day', e.ts) AS e_day
+            FROM events e JOIN busy b ON date_trunc('day', e.ts) = b.day
+        ) t GROUP BY e_day ORDER BY day
+    """,
+)
+def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: events laid out `partitionBy(day)`, then
+    joined to a dim whose qualifying days are only known at RUNTIME (days
+    with >300 events). Catalyst injects a dynamicpruning subquery into
+    the fact scan's partition filters, so only qualifying day directories
+    are read — the plan carries `dynamicpruningexpression` on the scan.
+    At 100 TB this is the difference between scanning the whole fact
+    table and scanning the joined slice; static pruning
+    (x_partitioned_scan) can't do it because the day set isn't a literal."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _tmp_dir("dpp")
+    path = os.path.join(base, "events_by_day")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.withColumn("day", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    busy = (
+        fact.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 300)
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(busy), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "x_nested_schema_pruning",
+    tags=("EXT", "S5", "P1", "F5"),
+    oracle="""
+        SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: documents rewritten with a struct column
+    meta=(lang, n_chars, source) plus the (large) text body, then a query
+    touching only two struct subfields. Spark prunes the parquet
+    ReadSchema to meta.lang/meta.n_chars — the text column and the
+    untouched subfield are never decoded (verify: ReadSchema in .explain
+    shows struct<lang,n_chars>, no text). The result is checked against
+    the flat source of truth, proving the nested round-trip is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tmp_dir("nested")
+    path = os.path.join(base, "documents_nested")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.select(
+            "doc_id",
+            F.struct("lang", "n_chars", "source").alias("meta"),
+            "text",
+        ).write.mode("overwrite").parquet(path)
+    nested = spark.read.parquet(path)
+    return (
+        nested.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta.n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
