@@ -265,3 +265,98 @@ def x_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x_partition_overwrite",
+    tags=("EXT", "S6", "S2", "P5"),
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round((CASE WHEN date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+                                  THEN 2 * value ELSE value END) * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events GROUP BY day ORDER BY day
+    """,
+)
+def x_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent re-ingest pattern: a
+    full day-partitioned table, then one day's corrected rows (values
+    doubled) rewritten with partitionOverwriteMode=dynamic, which
+    replaces ONLY the touched day directory and leaves every other
+    partition byte-identical. This is how a 100 TB pipeline repairs a bad
+    day without rewriting the table (static overwrite mode would truncate
+    everything). The oracle recomputes the expected end state from the
+    raw source; cent-integer sums keep the check exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _tmp_dir("pow")
+    path = os.path.join(base, "events_by_day")
+    day_col = F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd")
+    ev.withColumn("day", day_col).write.mode("overwrite").partitionBy("day").parquet(path)
+    fixed = (
+        ev.withColumn("day", day_col)
+        .filter(F.col("day") == "2024-01-15")
+        .withColumn("value", F.col("value") * 2)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x_schema_evolution",
+    tags=("EXT", "S5", "S1", "F7"),
+    oracle="""
+        SELECT batch,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_quality
+        FROM (
+            SELECT 'v1' AS batch, NULL AS quality FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'v2' AS batch, n_chars % 5 AS quality FROM documents WHERE doc_id % 2 = 1
+        ) t GROUP BY batch ORDER BY batch
+    """,
+)
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch v1 written without the `quality`
+    column, batch v2 written with it, one mergeSchema read unifying both
+    — old rows surface NULL for the new column instead of failing the
+    scan. The append-only ingest reality every long-lived dataset hits;
+    at 100 TB the merged-footer read costs one extra schema resolution,
+    not a table rewrite. Oracle reconstructs the same union from the
+    source of truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tmp_dir("evolve")
+    path = os.path.join(base, "docs_evolving")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("v1").alias("batch"))
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.lit("v2").alias("batch"), (F.col("n_chars") % 5).alias("quality")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "b=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=1"), os.path.join(path, "b=2")
+    )
+    return (
+        merged.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_quality"),
+        )
+        .orderBy("batch")
+    )
