@@ -210,8 +210,11 @@ def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and scanning the joined slice; static pruning
     (x_partitioned_scan) can't do it because the day set isn't a literal."""
     ev = load_table(spark, sf_dir, "events")
+    # Cache key includes the sf tag: a layout written for one scale must
+    # never serve a differently-scaled run (the driver checks sf0.01
+    # right after benching sf0.1).
     base = _tmp_dir("dpp")
-    path = os.path.join(base, "events_by_day")
+    path = os.path.join(base, f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev.withColumn("day", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd")).write.mode(
             "overwrite"
@@ -249,7 +252,9 @@ def x_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flat source of truth, proving the nested round-trip is lossless."""
     docs = load_table(spark, sf_dir, "documents")
     base = _tmp_dir("nested")
-    path = os.path.join(base, "documents_nested")
+    path = os.path.join(
+        base, f"documents_nested_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.select(
             "doc_id",
