@@ -88,3 +88,25 @@ def test_minhash_pairs_are_canonical_and_bounded(spark, docs):
     }
     got_pairs = {(r["id_a"], r["id_b"]) for r in cand}
     assert dup_pairs <= got_pairs
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_hashed_bow_partitions_token_mass(spark, docs):
+    """Feature hashing is a partition of the token multiset: every vector
+    entry is a non-negative count and the entries sum to the token count
+    (split on ' ' — empty-string tokens from consecutive spaces count,
+    matching the split semantics both forms use)."""
+    from music_database_spark.functions.vector import hashed_bow
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        hashed_bow(F.col("text"), 16).alias("vec"),
+    ).collect()
+    for r in out:
+        assert all(v >= 0 for v in r["vec"])
+        assert sum(r["vec"]) == r["n_tok"]
