@@ -99,3 +99,39 @@ def test_hashed_bow_forms_agree(spark):
         for r in hashed_bow_frame(docs, "doc_id", "text", 64).collect()
     }
     assert col_form == frame_form
+
+
+def test_ivf_knn_recall_against_brute_force(spark, reg):
+    """Approximation accounting for the ANN scale paths: IVF searches
+    N_PROBE_CELLS of N_CELLS, so it must recover a healthy fraction of
+    the exact top-k (the embeddings are isotropic noise — the hardest
+    recall case); every (probe, neighbor, cosine) it does return must
+    appear in the exact ranking's candidate universe."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn"].build(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn_ivf"].build(spark, SF_SMOKE).collect()
+    }
+    assert ivf, "IVF must return results"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_multi_table_lsh_knn_recall_floor(spark, reg):
+    """6 tables x 6 bits on isotropic noise predicts ~0.31 recall
+    (per-bit collision ~0.63 at the corpus's neighbor cosines); assert
+    the measured value stays in that regime — 0.0 means the tables
+    stopped OR-ing, 1.0-ish would mean the buckets degenerated."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn"].build(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn_lsh"].build(spark, SF_SMOKE).collect()
+    }
+    recall = len(lsh & exact) / len(exact)
+    assert 0.1 <= recall, f"LSH recall collapsed: {recall:.2f}"
