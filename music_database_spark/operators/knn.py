@@ -37,7 +37,6 @@ from ..registry import register
 
 N_PROBES = 10  # fixed probe set: the N lowest vec_ids
 TOP_K = 3
-N_PLANES = 12  # hyperplanes for the dedup-path LSH tables
 N_LSH_TABLES = 6  # kNN: independent OR-ed tables (recall knob)
 N_LSH_BITS = 6  # kNN: bits per table -> 64 buckets each
 LSH_SEED = 42
