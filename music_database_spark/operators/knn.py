@@ -9,10 +9,12 @@ Two paths, per the survey's two-stage design:
   the work is O(|probes| * |corpus|) scanned once — this is exactly how
   a brute-force ANN baseline shards at 100 TB: broadcast the probes,
   scan the corpus partition-parallel, per-partition top-k, merge.
-* ``x_knn_lsh`` — scale path: random-hyperplane LSH (sign of dot with
-  K fixed projection vectors -> K-bit bucket key), equi-join probes to
-  corpus on the bucket, rerank within buckets only. Candidates are a
-  small fraction of the corpus; recall < 1 by design (rows-only check).
+* ``x_knn_lsh`` — scale path: multi-table random-hyperplane LSH
+  (N_LSH_TABLES OR-ed 6-bit tables, buckets computed by one numpy
+  matmul behind a pandas_udf), equi-join probes to corpus on
+  (table_id, bucket), exact-cosine rerank over the deduplicated
+  candidates. Recall < 1 by design (rows-only check; floor pinned in
+  tests against the brute-force baseline).
 
 Cosine determinism for the DuckDB oracle: both engines fold the arrays
 sequentially in index order in double precision (Spark ``aggregate``,

@@ -351,3 +351,26 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(target).orderBy("event_type")
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 as a true stream: watermarked sliding-window counts (1 h window
+    every 15 min). With availableNow over a static file nothing is late,
+    so the result equals the batch x_sliding plan — asserted in tests."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:00").alias("win_start"), "n")
+    )
+    return _run_available_now(agg, "sliding")
+
+
+@register("x_stream_sliding", tags=("EXT", "T2", "T4"), oracle=None, bench=False)
+def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows executed as a true stream (readStream -> watermark
+    -> overlapping window agg -> availableNow), completing the
+    true-stream twin set for T1/T2/T3. Rows-only; equality with the
+    batch plan is asserted in tests."""
+    return stream_sliding_counts(spark, sf_dir).orderBy("win_start")

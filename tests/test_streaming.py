@@ -123,3 +123,17 @@ def test_foreach_batch_totals_equal_batch_counts(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_sliding_equals_batch(spark):
+    from music_database_spark.registry import load_all
+    from music_database_spark.streaming.batch_windows import stream_sliding_counts
+
+    streamed = {
+        (r["win_start"], r["n"]) for r in stream_sliding_counts(spark, SF).collect()
+    }
+    batch = {
+        (r["win_start"], r["n"])
+        for r in load_all()["x_sliding"].build(spark, SF).collect()
+    }
+    assert streamed == batch
