@@ -46,7 +46,11 @@ def replicate(docs: DataFrame, k: int) -> DataFrame:
 
 
 def main() -> int:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 10]
+    args = [a for a in sys.argv[1:] if a != "--tpch"]
+    ks = [int(a) for a in args] or [1, 2, 4, 10]
+    if "--tpch" in sys.argv[1:]:
+        tpch_growth(ks)
+        return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
 
@@ -69,6 +73,54 @@ def main() -> int:
         spark.catalog.clearCache()
     return 0
 
+
+
+def tpch_growth(ks: list[int]) -> None:
+    """Relational-side growth: replicate lineitem/orders K times (keys
+    offset so join fan-out per key is unchanged) and time the
+    scan-agg (TPC-H Q1 shape) and large-join-agg shapes."""
+    spark = get_spark("scalecheck_tpch")
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    o0 = load_table(spark, SF_DIR, "orders")
+    max_ok = o0.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def rep(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+        out = df
+        for r in range(1, k):
+            shifted = df
+            for c in key_cols:
+                shifted = shifted.withColumn(c, F.col(c) + r * max_ok)
+            out = out.unionByName(shifted)
+        return out
+
+    print(f"{'K':>3} {'rows':>9} {'query':<18} {'sec':>7}")
+    for k in ks:
+        li = rep(li0, ["l_orderkey"], k).persist()
+        o = rep(o0, ["o_orderkey"], k).persist()
+        n = li.count()
+        o.count()
+        for name, build in [
+            (
+                "q1_scan_agg",
+                lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"),
+                    F.count(F.lit(1)).alias("n"),
+                ),
+            ),
+            (
+                "join_agg",
+                lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n")),
+            ),
+        ]:
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            print(f"{k:>3} {n:>9} {name:<18} {dt:>7.2f}")
+        li.unpersist()
+        o.unpersist()
+        spark.catalog.clearCache()
 
 if __name__ == "__main__":
     sys.exit(main())
