@@ -365,3 +365,46 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@register("x_csv_malformed", tags=("EXT", "S5", "F7"), oracle=None)
+def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on CSV ingest: a file seeded with
+    deterministic corruption (wrong arity, bad types) read under
+    PERMISSIVE mode with a corrupt-record column — clean rows parse,
+    broken rows land intact in the quarantine column for reprocessing,
+    and the job never dies. DROPMALFORMED and FAILFAST are the other two
+    contract points, asserted in tests. At 100 TB ingest this is the
+    difference between losing a task to one bad line and accounting for
+    it. Rows-only: engines disagree on CSV error taxonomy, so the
+    numbers are pinned by construction in tests instead."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _tmp_dir("malformed")
+    path = os.path.join(base, f"docs_{os.path.basename(os.path.normpath(sf_dir))}.csv")
+    rows = ["doc_id,lang,n_chars"]
+    for r in docs.orderBy("doc_id").collect():
+        if r["doc_id"] % 97 == 3:
+            rows.append(f"{r['doc_id']},{r['lang']}")  # wrong arity
+        elif r["doc_id"] % 97 == 5:
+            rows.append(f"not_a_number,{r['lang']},{r['n_chars']}")  # bad type
+        else:
+            rows.append(f"{r['doc_id']},{r['lang']},{r['n_chars']}")
+    with open(path, "w") as f:
+        f.write("\n".join(rows))
+    parsed = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("doc_id bigint, lang string, n_chars bigint, _corrupt string")
+        .csv(path)
+        .cache()  # required: corrupt-record queries must not prune the parsed cols
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_id"),
+    ).orderBy("lang")

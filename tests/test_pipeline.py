@@ -135,3 +135,47 @@ def test_multi_table_lsh_knn_recall_floor(spark, reg):
     }
     recall = len(lsh & exact) / len(exact)
     assert 0.1 <= recall, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_csv_malformed_mode_contract(spark, reg):
+    """PERMISSIVE quarantines exactly the seeded corruption;
+    DROPMALFORMED returns only clean rows; FAILFAST refuses the file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = {r["lang"]: r for r in reg["x_csv_malformed"].build(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_total = docs.count()
+    seeded_bad = docs.filter((F.col("doc_id") % 97).isin(3, 5)).count()
+    assert sum(r["n_rows"] for r in out.values()) == n_total
+    assert sum(r["n_quarantined"] for r in out.values()) == seeded_bad
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "malformed", f"docs_{os.path.basename(SF_SMOKE)}.csv",
+    )
+    dropped = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .csv(path)
+        # cache forces a full-schema parse: a bare count() pushes an empty
+        # projection, the parser never materializes fields, and malformed
+        # rows are NOT detected (they'd all count) — the same pitfall the
+        # PERMISSIVE query guards with its own cache().
+        .cache()
+    )
+    assert dropped.count() == n_total - seeded_bad
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.option("header", "true")
+            .option("mode", "FAILFAST")
+            .schema("doc_id bigint, lang string, n_chars bigint")
+            .csv(path)
+            .select("doc_id", "lang", "n_chars")  # full parse, same pitfall
+            .collect()
+        )
