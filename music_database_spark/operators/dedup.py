@@ -727,3 +727,135 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x_dedup_incremental_band",
+    tags=("EXT", "X2", "J4"),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+        shset AS (
+            SELECT id,
+                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
+                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
+            FROM toks WHERE len(t) >= {SHINGLE_LEN}
+        ),
+        sh AS (SELECT id, unnest(sh) AS g FROM shset),
+        mh AS (
+            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
+            GROUP BY id, s.s
+        ),
+        bands AS (
+            SELECT id, seed // 2 AS band_id,
+                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY id, seed // 2
+        ),
+        idx AS (
+            SELECT id, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+                FROM bands WHERE id % 10 <> 9
+            ) WHERE bsz <= {MAX_BAND_FREQ}
+        ),
+        batch AS (SELECT id, band_id, band_hash FROM bands WHERE id % 10 = 9),
+        cand AS (
+            SELECT DISTINCT b.id AS batch_id, i.id AS index_id
+            FROM batch b JOIN idx i
+              ON b.band_id = i.band_id AND b.band_hash = i.band_hash
+        ),
+        ver AS (
+            SELECT batch_id, index_id,
+                   len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS n_inter,
+                   len(x.sh) + len(y.sh)
+                       - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS n_union
+            FROM cand JOIN shset x ON x.id = cand.batch_id
+                      JOIN shset y ON y.id = cand.index_id
+        )
+        SELECT batch_id, index_id, n_inter, n_union
+        FROM ver WHERE n_inter * 5 >= n_union * 3
+        ORDER BY batch_id, index_id
+    """,
+)
+def x_dedup_incremental_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: today's batch (doc_id % 10 = 9) probed
+    against the existing corpus's persisted LSH band index — the
+    companion to x_dedup_incremental's exact-hash path and the shape a
+    production pipeline actually runs: per ingest, only the batch is
+    shingled/hashed and the join is asymmetric (batch bands x index
+    bands), so cost is O(batch), never O(corpus). The band index here is
+    derived in-plan from the corpus split; in deployment it is the
+    materialized signature table that x_dedup_minhash_md5's stage
+    produces. Engine-portable md5 hash family -> fully value-hash-checked
+    (pairs + exact Jaccard counts), with the index-side hot-bucket cap
+    mirrored in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    shset = shingle_frame(docs, "doc_id", "text").persist()
+    sig = shset.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("sh", lambda g, s=s: F.md5(F.concat(F.lit(f"{s}:"), g)))
+                )
+                for s in range(N_MINHASH_MD5)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH_MD5 // N_BANDS_MD5
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS_MD5)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    w = W.partitionBy("band_id", "band_hash")
+    idx = (
+        bands.filter(F.col("id") % 10 != 9)
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BAND_FREQ)
+        .drop("bsz")
+    )
+    batch = bands.filter(F.col("id") % 10 == 9)
+    cand = (
+        batch.alias("b")
+        .join(
+            idx.alias("i"),
+            (F.col("b.band_id") == F.col("i.band_id"))
+            & (F.col("b.band_hash") == F.col("i.band_hash")),
+        )
+        .select(F.col("b.id").alias("batch_id"), F.col("i.id").alias("index_id"))
+        .distinct()
+    )
+    ver = (
+        cand.join(shset.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh_b")), "batch_id")
+        .join(shset.select(F.col("id").alias("index_id"), F.col("sh").alias("sh_i")), "index_id")
+        .select(
+            "batch_id",
+            "index_id",
+            F.size(F.array_intersect("sh_b", "sh_i")).alias("n_inter"),
+            (
+                F.size("sh_b") + F.size("sh_i") - F.size(F.array_intersect("sh_b", "sh_i"))
+            ).alias("n_union"),
+        )
+    )
+    return (
+        ver.filter(F.col("n_inter") * 5 >= F.col("n_union") * 3)
+        .select("batch_id", "index_id", "n_inter", "n_union")
+        .orderBy("batch_id", "index_id")
+    )
