@@ -372,3 +372,50 @@ def x_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "x_arg_extremes",
+    tags=("EXT", "A4", "A7", "F4"),
+    oracle="""
+        WITH k AS (
+            SELECT event_type, event_id, value,
+                   CAST(round(value * 100) AS BIGINT) * 10000000 + event_id AS ord_key
+            FROM events
+        )
+        SELECT event_type,
+               max_by(event_id, ord_key) AS top_event,
+               min_by(event_id, ord_key) AS bottom_event,
+               round(max(value), 2) AS max_value,
+               round(min(value), 2) AS min_value
+        FROM k GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by): the event carrying each
+    type's extreme value, in one aggregation pass — no self-join back to
+    the max, no window. Determinism contract: max_by ties are
+    engine-arbitrary, so the ordering key is uniquified as
+    round(value*100)*1e7 + event_id (values are 2-dp; the composite is
+    collision-free and identical in both engines) — the same trick a
+    100 TB pipeline needs, because at that scale value ties are
+    guaranteed, not lucky."""
+    events = _t(spark, sf_dir, "events")
+    k = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.round(F.col("value") * 100).cast("bigint") * 10000000 + F.col("event_id")
+        ).alias("ord_key"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.expr("max_by(event_id, ord_key)").alias("top_event"),
+            F.expr("min_by(event_id, ord_key)").alias("bottom_event"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
