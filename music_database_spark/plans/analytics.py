@@ -835,3 +835,63 @@ def x_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "x_regression",
+    tags=("EXT", "A5", "F4"),
+    oracle="""
+        WITH s AS (
+            SELECT l_linestatus AS linestatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,8))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(26,6))) AS DOUBLE)
+                       AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT linestatus, n,
+               round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6)
+                   AS slope,
+               round(sy / n - ((sxy / n - (sx / n) * (sy / n))
+                               / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 4)
+                   AS intercept,
+               round(POW(sxy / n - (sx / n) * (sy / n), 2)
+                     / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))), 6)
+                   AS r2
+        FROM s ORDER BY linestatus
+    """,
+)
+def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (the regr_slope / regr_intercept /
+    regr_r2 family: price regressed on quantity per linestatus) computed
+    from exact decimal power sums rather than the built-ins — the
+    built-in regr_* fold doubles in partition order, which flakes
+    cross-engine hashes; the decimal-moment form is bit-deterministic
+    and still one aggregation pass (5 accumulators)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+    syy = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(26,6)")
+    ).cast("double")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(26,8)")).cast(
+        "double"
+    )
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    return (
+        li.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            n.alias("n"),
+            F.round(cov / varx, 6).alias("slope"),
+            F.round(sy / n - (cov / varx) * (sx / n), 4).alias("intercept"),
+            F.round(F.pow(cov, 2) / (varx * vary), 6).alias("r2"),
+        )
+        .orderBy("linestatus")
+    )

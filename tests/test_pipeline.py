@@ -179,3 +179,11 @@ def test_csv_malformed_mode_contract(spark, reg):
             .select("doc_id", "lang", "n_chars")  # full parse, same pitfall
             .collect()
         )
+
+
+def test_incremental_band_pairs_respect_the_split(spark, reg):
+    rows = reg["x_dedup_incremental_band"].build(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["batch_id"] % 10 == 9  # probe side is the new batch only
+        assert r["index_id"] % 10 != 9  # matches come from the index only
+        assert r["n_inter"] * 5 >= r["n_union"] * 3
