@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -382,4 +382,70 @@ def x_lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "x_tfidf",
+    tags=("EXT", "X4", "A1", "O3"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored
+        ) t WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+)
+def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring with per-document top-3 terms — the canonical
+    text-relevance pipeline: term frequencies (partial-agg wordcount per
+    doc), document frequencies (distinct-doc count per term), smoothed
+    idf = ln((1+N)/(1+df)), ranking window with a term tie-break.
+
+    Scale shape: two partial-agg-friendly shuffles over (doc, term) /
+    (term) pairs — never the text — and the tiny N aggregate broadcasts
+    into the scoring join. Cross-engine floats: tfidf rounds to 6 dp
+    before ranking so a last-ulp ln() difference cannot flip the window
+    order, and exact score ties fall back to term order."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
     )
