@@ -449,3 +449,61 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "x_token_entropy",
+    tags=("EXT", "X4", "F5", "A1"),
+    oracle="""
+        WITH tok AS (
+            SELECT lang,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+        ), cnts AS (
+            SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY lang, term
+        ), folded AS (
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS vocab,
+                   list_sort(list(CAST(c AS DOUBLE))) AS cs
+            FROM cnts GROUP BY lang
+        )
+        SELECT lang, n_tokens, vocab,
+               round(ln(CAST(n_tokens AS DOUBLE))
+                     - list_aggregate(list_transform(cs, c -> c * ln(c)), 'sum')
+                       / n_tokens, 6) AS entropy
+        FROM folded ORDER BY lang
+    """,
+)
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-language token distribution
+    (H = ln N - sum(c*ln c)/N) — the vocabulary-diversity signal a
+    corpus monitor tracks.
+
+    Float-determinism technique worth noting: the sum over thousands of
+    c*ln(c) terms would be partition-order-dependent as a SQL SUM, so
+    both engines fold a SORTED array of counts sequentially
+    (sort_array + aggregate here, list_sort + list_aggregate in DuckDB)
+    — identical operand order => bit-identical doubles. The array is
+    per-(lang) vocabulary counts, bounded and already aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("term")
+    )
+    cnts = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    folded = cnts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sort_array(F.collect_list(F.col("c").cast("double"))).alias("cs"),
+    )
+    ent = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - F.aggregate(
+            F.transform("cs", lambda c: c * F.log(c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.col("n_tokens"),
+        6,
+    )
+    return folded.select("lang", "n_tokens", "vocab", ent.alias("entropy")).orderBy("lang")

@@ -895,3 +895,49 @@ def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("linestatus")
     )
+
+
+@register(
+    "x_quantile_binning",
+    tags=("EXT", "F4", "A1"),
+    oracle="""
+        WITH b AS (
+            SELECT o_orderpriority AS priority, o_totalprice,
+                   MIN(o_totalprice) OVER () AS lo,
+                   MAX(o_totalprice) OVER () AS hi
+            FROM orders
+        )
+        SELECT priority,
+               LEAST(CAST(floor((o_totalprice - lo) / (hi - lo) * 8) AS BIGINT), 7) AS bin,
+               COUNT(*) AS n
+        FROM b GROUP BY priority, bin ORDER BY priority, bin
+    """,
+)
+def x_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width feature bucketization (the width_bucket shape, done
+    portably): order totals mapped to 8 bins over the global [min, max]
+    range, counted per priority. The global range is a 1-row aggregate
+    broadcast-cross-joined back to the scan — NOT an unpartitioned
+    window, which would drag every row to one task just to learn two
+    scalars. The bin expression is a single float (v-lo)/(hi-lo)*8 both
+    engines evaluate identically (same doubles, same three ops), so even
+    boundary values land in the same bin."""
+    orders = _t(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = orders.crossJoin(F.broadcast(rng)).select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice", "lo", "hi"
+    )
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 8).cast(
+            "bigint"
+        ),
+        F.lit(7).cast("bigint"),
+    )
+    return (
+        b.select("priority", bin_col.alias("bin"))
+        .groupBy("priority", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("priority", "bin")
+    )
