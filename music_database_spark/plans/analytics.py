@@ -941,3 +941,99 @@ def x_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("priority", "bin")
     )
+
+
+@register(
+    "x_percent_change",
+    tags=("EXT", "O4", "F1", "A7"),
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY month
+        )
+        SELECT month, revenue,
+               round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 4) AS pct_change
+        FROM monthly ORDER BY month
+    """,
+)
+def x_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the reporting staple (monthly
+    rollup -> lag -> percent delta). The lag window is unpartitioned by
+    necessity but runs on the month-grain rollup (12 rows/year), exactly
+    like the sketch-rollup pattern — the full-volume pass is the
+    partial-agg monthly SUM. Decimal-exact revenue; the percent division
+    is one double op on identical operands both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("MONTH", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = W.orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "revenue",
+            F.round(
+                100.0 * (F.col("revenue") - F.lag("revenue").over(w)) / F.lag("revenue").over(w),
+                4,
+            ).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "x_skew_profile",
+    tags=("EXT", "A1", "O2", "J6"),
+    oracle="""
+        WITH freq AS (
+            SELECT l_orderkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+        ), stats AS (
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM freq
+        ), top AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+            FROM freq
+        )
+        SELECT t.rnk, t.key, CAST(t.cnt AS BIGINT) AS cnt,
+               s.n_keys, s.n_rows,
+               round(CAST(t.cnt AS DOUBLE) * s.n_keys / s.n_rows, 4) AS skew_ratio
+        FROM top t CROSS JOIN stats s
+        WHERE t.rnk <= 5
+        ORDER BY t.rnk
+    """,
+)
+def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profiling pass a pipeline runs
+    BEFORE picking a join strategy: per-key frequencies of the fact
+    join key, the top-5 hottest keys, and each one's skew ratio
+    (count / mean count). Ratio >> 1 on a production key is the signal
+    to salt (x_salted_join) or lean on AQE skew handling. One
+    partial-agg shuffle on the key; the top-5 is TakeOrdered, the
+    1-row stats broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("key"))
+    top = freq.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rnk",
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy("rnk")
+    )
