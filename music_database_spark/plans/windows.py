@@ -222,3 +222,42 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "x_time_range_frame",
+    tags=("EXT", "O5", "O4"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_1h_sum,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS trailing_1h_n
+        FROM events ORDER BY user_id, event_id
+    """,
+)
+def x_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (O5 beyond row frames): each event's
+    trailing one-hour value sum and event count per user — frame
+    membership decided by the TIMESTAMP delta, not a row count, so
+    bursts widen the frame and quiet periods shrink it. Expressed
+    through the SQL front door because the DataFrame rangeBetween only
+    takes numeric offsets; semantically identical to ordering by
+    unix_micros with a 3.6e9 range, which is how x_asof_join's frame is
+    authored. Decimal-exact sums; ties impossible (ts is unique per
+    user in the driver data, verified by the tumbling/session suite)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_trf")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_1h_sum,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS trailing_1h_n
+        FROM events_trf ORDER BY user_id, event_id
+    """)
