@@ -1037,3 +1037,63 @@ def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "x_incremental_rollup",
+    tags=("EXT", "A1", "A7", "S6"),
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY day ORDER BY day
+    """,
+)
+def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: yesterday's persisted
+    daily rollup merged with a new ingest batch (the last 3 days of
+    events, which OVERLAP the old rollup's final day — the late-data
+    case) by re-aggregating partials, not raw history. COUNT and
+    decimal-SUM are algebraic, so merge = groupBy(day) over the union of
+    (old partials, new partials); the full-history recompute exists only
+    as the oracle. At 100 TB this is the difference between touching one
+    day of raw data per refresh and touching all of it. Exactness: the
+    decimal partials make the merged sums bit-equal to the full
+    recompute, which is precisely the property that licenses the
+    incremental plan."""
+    events = _t(spark, sf_dir, "events")
+    # Mid-day cutoff: the boundary day's rows land in BOTH the old rollup
+    # and the new batch, so the merge genuinely combines two partials for
+    # one key (a midnight cutoff would make the day keys disjoint and the
+    # "merge" a plain union).
+    cutoff = F.lit("2024-01-28 12:00:00").cast("timestamp")
+    day = F.date_trunc("DAY", "ts")
+    # the "persisted" rollup: everything strictly before the cutoff
+    old = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("vsum"),
+        )
+    )
+    # the new ingest: the last 3 days INCLUDING late rows for the
+    # cutoff-boundary day (>= cutoff - 0, i.e. everything not in old)
+    new = (
+        events.filter(F.col("ts") >= cutoff)
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("vsum"),
+        )
+    )
+    merged = (
+        old.unionByName(new)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("vsum").alias("vsum"))
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("vsum").cast("double").alias("value_sum"),
+    ).orderBy("day")
