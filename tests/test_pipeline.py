@@ -7,6 +7,8 @@ import hashlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 
@@ -187,3 +189,26 @@ def test_incremental_band_pairs_respect_the_split(spark, reg):
         assert r["batch_id"] % 10 == 9  # probe side is the new batch only
         assert r["index_id"] % 10 != 9  # matches come from the index only
         assert r["n_inter"] * 5 >= r["n_union"] * 3
+
+
+def test_merge_upsert_updates_exactly_customers_with_orders(spark, reg):
+    from music_database_spark.sources.loader import load_table
+
+    out = {r["segment"]: r for r in reg["x_merge_upsert"].build(spark, SF_SMOKE).collect()}
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with_orders = (
+        customer.join(orders.select("o_custkey").distinct(),
+                      customer.c_custkey == F.col("o_custkey"))
+        .groupBy("c_mktsegment").count()
+    )
+    expected = {r["c_mktsegment"]: r["count"] for r in with_orders.collect()}
+    for seg, r in out.items():
+        assert r["n_updated"] == expected.get(seg, 0)
+        assert r["n_updated"] <= r["n_rows"]
+
+
+def test_funnel_is_monotonically_shrinking(spark, reg):
+    steps = {r["step"]: r["n_users"] for r in reg["x_funnel"].build(spark, SF_SMOKE).collect()}
+    assert steps["step1_view"] >= steps["step2_click"] >= steps["step3_purchase"]
+    assert steps["step1_view"] > 0
