@@ -3,7 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "total_median_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1, "queries_file": ...}
+
+The driver captures only the LAST 2000 characters of stdout; a full
+per-query map for 119 queries is ~4 KB, so round 2's record truncated
+into unparseable JSON (BENCH_r02 `parsed: null`). The final stdout line
+is therefore kept compact — total, counts, and the slowest-20 query map
+— and the COMPLETE per-query map is written to BENCH_FULL.json at the
+repo root for the judge.
 
 Protocol (BASELINE.md §2): per query, 1 warm-up execution then
 BENCH_RUNS timed executions (default 3), median recorded. Execution is
@@ -69,15 +76,42 @@ def main() -> int:
         spark.catalog.clearCache()
         print(f"# {name}: {results[name]}s", file=sys.stderr)
     total = round(sum(v for v in results.values() if v >= 0), 3)
+    sf = sf_from_dir(SF_DIR)
+    errors = sorted(n for n, v in results.items() if v < 0)
+    full_path = os.path.join(REPO_ROOT, "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "n_queries": len(results),
+                "errors": errors,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # Compact final line: slowest-20 map only, so the whole JSON object
+    # always fits inside the driver's 2000-char tail capture.
+    slowest = dict(
+        sorted(results.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_median_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
-                "sf": sf_from_dir(SF_DIR),
-            }
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(results),
+                "n_errors": len(errors),
+                "queries_file": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -54,11 +54,78 @@ def register(
     return deco
 
 
+# The driver's correctness pass samples the FIRST 50 entries of queries()
+# in dict order (CORRECTNESS_r02 was exactly the first 50 registrations, so
+# round 2 left every operators/ and streaming/ family unverified by the
+# driver). This curated order puts at least one representative of every
+# SURVEY.md §2 row — S1-S6, P1-P6, J1-J9, A1-A9, O1-O5, U1-U3, F1-F7,
+# T1-T6, D1-D3, X1-X5 — inside that window, preferring oracle-backed
+# queries. Everything else follows in registration order.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    "q1_singles_by_artist",   # P2,P3,P5,J1,A1,A2,O1,F2
+    "q2_last_in_year",        # A3,A4,F1
+    "q4_both_kinds",          # J3,P6
+    "q4_intersect",           # U1
+    "q4b_only_albums",        # J4
+    "q5_top_rated",           # J2
+    "q6_active_users",        # J1 (flagship)
+    "q7_users_with_counts",   # J7
+    "q8_avg_rating",          # A5,A7
+    "q9_distinct_counts",     # A6
+    "q10_topk",               # O2
+    "q11_effective_date",     # F7
+    "ddl_roundtrip",          # S1,S2,S3
+    "fk_violations",          # S4
+    "pk_uniqueness",          # S4
+    "x_sql_frontdoor",        # P1,S5
+    "x_null_partition",       # P4
+    "j_large_large",          # J6
+    "j_event_window",         # J8,T1
+    "q14_local_volume",       # J5
+    "x_knn",                  # X3,J9,O3
+    "x_grouping_sets",        # A8
+    "x_udaf_norm",            # A9
+    "x_window_family",        # O3,O4,O5
+    "x_asof_join",            # J8
+    "x_union_releases",       # U2
+    "x_except",               # U3
+    "x_string_funcs",         # F3
+    "x_vec_norm",             # F4,F5
+    "x_variant_json",         # F6,D3
+    "x_pandas_udf",           # D1
+    "x_grouped_map",          # D2
+    "x_runtime_bloom_filter", # J5/scale: runtime semi-join filter exhibit
+    "x_dedup_exact",          # X1
+    "x_dedup_minhash_md5",    # X2
+    "x_dedup_ngram_jaccard",  # X2
+    "x_dedup_incremental_band",  # X2
+    "x_dedup_simhash_det",    # X2 (engine-portable SimHash)
+    "x_doc_join",             # X5
+    "x_multimodal_features",  # X5,D1
+    "x_quality_score",        # X4
+    "x_tfidf",                # X4
+    "x_corpus_prep_e2e",      # X1,X4,S6
+    "x_format_roundtrip",     # S5,S6
+    "x_dynamic_partition_pruning",  # S5,P5,J5
+    "x_tumbling",             # T1
+    "x_sliding",              # T2
+    "x_session",              # T3
+    "x_stream_stream_join",   # T6,T4
+    "x_stream_stateful",      # T5
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every module that registers queries, then return the registry."""
+    """Import every module that registers queries, then return the registry
+    reordered so DRIVER_PRIORITY comes first (driver correctness window),
+    followed by the rest in registration order."""
     from .plans import analytics, ddl, relational, scalar, scale, setops, udf_surface, windows  # noqa: F401
     from .operators import constraints, dedup, knn, multimodal, pipeline, textops  # noqa: F401
     from .sources import formats  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401
 
-    return REGISTRY
+    ordered = {name: REGISTRY[name] for name in DRIVER_PRIORITY if name in REGISTRY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
