@@ -323,7 +323,13 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the label sum is strictly decreasing until fixpoint — one cheap
     # aggregate per round instead of a change-counting join.
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-    for _ in range(20):  # diameter bound; tiny near-dup clusters converge in 2-3
+    # Loop to the fixpoint, not a fixed round cap: labels only ever
+    # decrease and are bounded below by each component's min id, so the
+    # strictly-decreasing label sum guarantees termination in O(max
+    # component diameter) rounds — and the output is then guaranteed to
+    # equal the oracle's transitive closure even for a pathological
+    # high-diameter duplicate chain.
+    while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
@@ -528,6 +534,167 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_det_sql() -> str:
+    """DuckDB oracle for x_dedup_simhash_det — the identical 64-bit
+    token-set SimHash computed relationally: per-token md5 hex digits ->
+    64 conditional ±1 vote sums -> per-16-bit chunk reassembly -> hot-
+    chunk-capped candidate join -> Hamming <= 3 verify. Every value is
+    an integer, so the whole pipeline hash-matches exactly."""
+    # bit b lives in hex digit b//4 (1-based string index), position b%4.
+    votes = ",\n              ".join(
+        f"SUM(2 * (((strpos('0123456789abcdef', hx[{b // 4 + 1}]) - 1) >> {b % 4}) & 1) - 1)"
+        f" AS v{b}"
+        for b in range(64)
+    )
+    sig_chunks = ",\n              ".join(
+        " + ".join(f"CASE WHEN v{16 * c + k} > 0 THEN {1 << k} ELSE 0 END" for k in range(16))
+        + f" AS c{c}"
+        for c in range(4)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+                       AS tok
+            FROM documents
+        ),
+        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+        votes AS (
+            SELECT doc_id,
+              {votes}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+              {sig_chunks}
+            FROM votes
+        ),
+        chunks AS (
+            SELECT doc_id, c0, c1, c2, c3, x.chunk_id,
+                   CASE x.chunk_id WHEN 0 THEN c0 WHEN 1 THEN c1
+                                   WHEN 2 THEN c2 ELSE c3 END AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) x
+        ),
+        ok_chunks AS (
+            SELECT chunk_id, chunk FROM chunks
+            GROUP BY chunk_id, chunk HAVING COUNT(*) <= {MAX_CHUNK_FREQ}
+        ),
+        cf AS (SELECT c.* FROM chunks c JOIN ok_chunks o USING (chunk_id, chunk)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+                   b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+            FROM cf a JOIN cf b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
+@register("x_dedup_simhash_det", tags=("EXT", "X2"), oracle=_simhash_det_sql())
+def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash near-dup — the fully value-hash-checked
+    twin of x_dedup_simhash. The 64-bit signature is built from md5(tok)
+    hex digits entirely in Catalyst expressions (no Python): each bit's
+    majority vote is one conditional integer SUM, so map-side partial
+    aggregation collapses the per-token explosion before the shuffle.
+    Candidates come from equality on any of four 16-bit chunks (a pair
+    within Hamming distance 3 must agree on >= 1 chunk), hot chunks past
+    MAX_CHUNK_FREQ are dropped (k docs on one chunk value = k^2/2 pairs
+    through one task), and verification is JVM-side bit_count(xor).
+    Integer votes, integer chunks, integer Hamming -> exact DuckDB
+    oracle, unlike the weighted/numpy variant."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+        ).alias("tok"),
+    )
+    # Parse the 16 hex digits into four 16-bit ints ONCE per token; the 64
+    # per-bit votes are then single shift-and-mask extractions instead of
+    # 64 conv(substring(..)) calls (which made the expression tree — and
+    # the task binary — an order of magnitude heavier).
+    hg = toks.select(
+        "doc_id", F.md5("tok").alias("hx")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring("hx", 4 * gi + 1, 4), 16, 10).cast("int").alias(f"g{gi}")
+            for gi in range(4)
+        ],
+    )
+
+    def bit(b: int):
+        # bit b = bit (b%4) of hex digit (b//4); digit 4g+j sits at
+        # position 4*(3-j) of the big-endian 4-digit group g.
+        gi, j, k = b // 16, (b // 4) % 4, b % 4
+        return F.shiftright(F.col(f"g{gi}"), 4 * (3 - j) + k).bitwiseAND(F.lit(1))
+
+    votes = hg.groupBy("doc_id").agg(
+        *[F.sum(bit(b) * 2 - 1).alias(f"v{b}") for b in range(64)]
+    )
+
+    def chunk(c: int):
+        expr = F.lit(0)
+        for k in range(16):
+            expr = expr + F.when(F.col(f"v{16 * c + k}") > 0, F.lit(1 << k)).otherwise(0)
+        return expr.cast("int")
+
+    sig = votes.select("doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)])
+    chunks = sig.select(
+        "doc_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "c0", "c1", "c2", "c3", "ch.chunk_id", "ch.chunk")
+    chunk_sizes = chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("csz"))
+    chunks = chunks.join(
+        chunk_sizes.filter(F.col("csz") <= MAX_CHUNK_FREQ).select("chunk_id", "chunk"),
+        ["chunk_id", "chunk"],
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            *[F.col(f"a.c{c}").alias(f"a{c}") for c in range(4)],
+            *[F.col(f"b.c{c}").alias(f"b{c}") for c in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")

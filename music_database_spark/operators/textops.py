@@ -303,20 +303,6 @@ def _lang_id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "pred_lang": preds})
 
 
-@register("x_lang_id", tags=("EXT", "X4", "D1"), oracle=None)
-def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification via mapInPandas (Arrow-batched heuristic),
-    reported as a (true lang, predicted lang) confusion summary. Rows-only
-    check: the heuristic is procedural, not SQL-expressible."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    pred = docs.mapInPandas(_lang_id_batches, "doc_id bigint, lang string, pred_lang string")
-    return (
-        pred.groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "pred_lang")
-    )
-
-
 def _lang_score_sql(lang: str, engine: str) -> str:
     """Stopword-hit count expression for one language, rendered for either
     engine from the same LANG_STOPWORDS table."""
@@ -347,6 +333,43 @@ def _lang_pred_case(score: dict[str, str]) -> str:
 
 _SQL_LANG_SCORES = {lg: _lang_score_sql(lg, "duckdb") for lg in LANG_STOPWORDS}
 _SPARK_LANG_SCORES = {lg: _lang_score_sql(lg, "spark") for lg in LANG_STOPWORDS}
+
+# The confusion-matrix summary both lang-id variants reduce to — integer
+# counts, so the mapInPandas heuristic is value-hash-checkable against
+# the same relational oracle as its pure-Catalyst twin.
+_LANG_CONFUSION_SQL = f"""
+        WITH t AS (
+            SELECT lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), p AS (
+            SELECT lang, {{pred}} AS pred_lang FROM t
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n
+        FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """
+
+
+@register(
+    "x_lang_id",
+    tags=("EXT", "X4", "D1"),
+    oracle=_LANG_CONFUSION_SQL.format(pred=_lang_pred_case(_SQL_LANG_SCORES)),
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via mapInPandas (Arrow-batched heuristic),
+    reported as a (true lang, predicted lang) confusion summary. The
+    heuristic's stopword-hit argmax (ties to the largest code, 'unknown'
+    on zero hits) is exactly re-expressible as the nested-CASE argmax of
+    x_lang_id_sql, and the confusion counts are integers — so this Arrow
+    path is fully value-hash-checked against the same DuckDB oracle as
+    its declarative twin (they are also pinned row-equal in tests)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = docs.mapInPandas(_lang_id_batches, "doc_id bigint, lang string, pred_lang string")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
 
 
 @register(

@@ -785,7 +785,7 @@ def q17_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("EXT", "O4", "T3"),
     oracle="""
         WITH g AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -793,7 +793,7 @@ def q17_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), s AS (
             SELECT user_id,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sess_id
             FROM g
         )
@@ -814,6 +814,7 @@ def x_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -825,7 +826,13 @@ def x_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_sess"),
     )
-    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    # event_id tie-break matches the lag window above: duplicate
+    # (user_id, ts) rows would otherwise make sess_id nondeterministic.
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     s = g.select("user_id", F.sum("new_sess").over(w2).alias("sess_id"))
     return (
         s.groupBy("user_id")

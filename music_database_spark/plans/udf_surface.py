@@ -67,52 +67,97 @@ def x_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @pandas_udf(DoubleType())
-def mean_vec_norm(emb: pd.Series) -> float:
-    """GROUPED_AGG UDAF (A9): mean L2 norm of the group's embeddings.
-    numpy over the whole Arrow batch; no per-row Python."""
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-    if mat.size == 0:
+def exact_mean_6dp(norm6: pd.Series) -> float:
+    """GROUPED_AGG UDAF (A9): exact mean of 6dp-rounded doubles via
+    integer micro-unit accumulation — numpy over the whole Arrow group,
+    no per-row Python. Because each input has at most 6 decimal places,
+    rint(x*1e6) recovers the exact integer, the int64 sum is exact and
+    order-independent, and float(sum)/1e6/n reproduces DuckDB's
+    CAST(SUM(DECIMAL(18,6)) AS DOUBLE)/COUNT(*) bit-for-bit."""
+    micros = np.rint(norm6.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+    if len(micros) == 0:
         return 0.0
-    return float(np.sqrt((mat * mat).sum(axis=1)).mean())
+    return (float(int(micros.sum())) / 1e6) / len(micros)
 
 
-@register("x_udaf_norm", tags=("EXT", "A9"), oracle=None)
+@register(
+    "x_udaf_norm",
+    tags=("EXT", "A9"),
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(sqrt(list_aggregate(
+                        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        'sum')), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
 def x_udaf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregate over a vector column: per-label mean embedding
-    norm. Rows-only check (float mean over a group is partition-order
-    dependent in the last ulp); x_vec_norm is the decimal-stabilized,
-    oracle-checked sibling."""
+    """Custom aggregate (A9) over a vector column: per-label mean
+    embedding norm, computed by a GROUPED_AGG pandas UDF. The per-row
+    norm is prepared JVM-side exactly as in x_vec_norm (sequential fold
+    + 6dp round — bit-identical to the oracle's list_aggregate), and the
+    Python UDAF does the aggregation itself with exact integer
+    accumulation, so the query is fully value-hash-checked against the
+    same DuckDB oracle as its built-in sibling — pinning UDAF == SUM."""
+    from ..functions.vector import as_double_array
+
     emb = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(as_double_array("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    base = emb.select("label", F.round(F.sqrt(sumsq), 6).alias("norm6"))
     # A GROUPED_AGG pandas UDF cannot share an agg() with built-in
     # aggregates (INVALID_PANDAS_UDF_PLACEMENT); the group count joins in
     # from a second tiny aggregate on the same key.
-    norms = emb.groupBy("label").agg(F.round(mean_vec_norm("embedding"), 4).alias("mean_norm"))
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return norms.join(counts, "label").select("label", "n", "mean_norm").orderBy("label")
+    norms = base.groupBy("label").agg(exact_mean_6dp("norm6").alias("avg_norm"))
+    counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return norms.join(counts, "label").select("label", "n", "avg_norm").orderBy("label")
 
 
-def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-event-type z-score, population std (ddof=0). Deterministic given
-    the group's rows; numpy reduces over the whole group at once."""
-    v = pdf["value"].to_numpy(dtype=np.float64)
-    mu = v.mean()
-    sd = v.std(ddof=0)
-    z = np.zeros_like(v) if sd == 0.0 else (v - mu) / sd
+def _rank_delta_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group value rank and gap to the previous value. Procedural
+    whole-group logic (sort + positional diff) — the grouped-map shape
+    for per-group sequence feature engineering. Every output is either
+    an integer or a single double subtraction of two values both engines
+    read identically from parquet, so the result is bit-deterministic."""
+    s = pdf.sort_values(["value", "event_id"], kind="mergesort")
+    v = s["value"].to_numpy(dtype=np.float64)
+    # First row's delta is SQL NULL (matching lag()'s), not NaN — an
+    # object column with None crosses Arrow as a true null.
+    delta = pd.Series([None] + [float(d) for d in v[1:] - v[:-1]], dtype=object)
     return pd.DataFrame(
-        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": np.round(z, 4)}
+        {
+            "event_id": s["event_id"].to_numpy(),
+            "event_type": s["event_type"].to_numpy(),
+            "rk": np.arange(1, len(s) + 1, dtype=np.int32),
+            "delta": delta,
+        }
     )
 
 
-@register("x_grouped_map", tags=("EXT", "D2"), oracle=None)
+@register(
+    "x_grouped_map",
+    tags=("EXT", "D2"),
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(row_number() OVER w AS INTEGER) AS rk,
+               value - lag(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_id
+    """,
+)
 def x_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map transform (D2): applyInPandas z-scores event values
-    within each event_type. Each group arrives as one pandas frame —
-    the shape for per-group model scoring / normalization at scale
-    (groups shuffle-partition across executors). Rows-only: float mean
-    over a group depends on summation order."""
+    """Grouped-map transform (D2): applyInPandas ranks each event's value
+    within its event_type and emits the gap to the previous value. Each
+    group arrives as one pandas frame — the shape for per-group model
+    scoring / sequence feature engineering at scale (groups
+    shuffle-partition across executors). Rank is integral and the delta
+    is one exact double subtraction, so unlike a float-mean z-score this
+    grouped-map is fully value-hash-checked against a window-function
+    oracle (the declarative twin of the same computation)."""
     events = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = events.groupBy("event_type").applyInPandas(
-        _zscore_group, "event_id bigint, event_type string, zscore double"
+        _rank_delta_group, "event_id bigint, event_type string, rk int, delta double"
     )
     return out.orderBy("event_id")
 

@@ -380,19 +380,20 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are pinned by construction in tests instead."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     base = _tmp_dir("malformed")
-    path = os.path.join(base, f"docs_{os.path.basename(os.path.normpath(sf_dir))}.csv")
-    rows = ["doc_id,lang,n_chars"]
-    for r in docs.orderBy("doc_id").collect():
-        if r["doc_id"] % 97 == 3:
-            rows.append(f"{r['doc_id']},{r['lang']}")  # wrong arity
-        elif r["doc_id"] % 97 == 5:
-            rows.append(f"not_a_number,{r['lang']},{r['n_chars']}")  # bad type
-        else:
-            rows.append(f"{r['doc_id']},{r['lang']},{r['n_chars']}")
-    with open(path, "w") as f:
-        f.write("\n".join(rows))
+    path = os.path.join(base, f"docs_{os.path.basename(os.path.normpath(sf_dir))}_csv")
+    # The corrupted fixture is synthesized IN Spark (no driver-side
+    # collect — at 100 TB that's an OOM) and written distributed as raw
+    # text lines: wrong arity at doc_id%97==3, bad type at %97==5. No
+    # header line, so the multi-part directory reads uniformly.
+    mod = F.col("doc_id") % 97
+    line = (
+        F.when(mod == 3, F.concat_ws(",", "doc_id", "lang"))  # wrong arity
+        .when(mod == 5, F.concat_ws(",", F.lit("not_a_number"), F.col("lang"), F.col("n_chars")))
+        .otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
-        spark.read.option("header", "true")
+        spark.read.option("header", "false")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .schema("doc_id bigint, lang string, n_chars bigint, _corrupt string")

@@ -8,6 +8,7 @@ scan with predicate pushdown and column pruning for free.
 
 from __future__ import annotations
 
+import logging
 import os
 import zipfile
 
@@ -29,8 +30,12 @@ DRIVER_TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# SparkContexts that already ship the package to their workers.
-_PYFILES_ADDED: set[int] = set()
+# SparkContexts that already ship the package to their workers, keyed by
+# applicationId: unique per context, unlike id(sc), which CPython can
+# reuse after an old stopped context is garbage-collected (a reused id
+# would silently skip addPyFile for the fresh context and break
+# Arrow-UDF unpickling on workers).
+_PYFILES_ADDED: set[str] = set()
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
@@ -44,7 +49,8 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     executor host — the same mechanism as ``spark-submit --py-files``.
     """
     sc = spark.sparkContext
-    if id(sc) in _PYFILES_ADDED:
+    app_id = sc.applicationId
+    if app_id in _PYFILES_ADDED:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_dir)
@@ -65,7 +71,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         sc.addPyFile(zip_path)
     except Exception:
         pass  # same archive already registered with this context
-    _PYFILES_ADDED.add(id(sc))
+    _PYFILES_ADDED.add(app_id)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,8 +105,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32"
             )
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - only reachable on exotic sessions
+        # A silently-unset session timezone would surface later as opaque
+        # value-hash mismatches against the UTC-pinned oracle — make the
+        # swallowed failure visible instead.
+        logging.getLogger(__name__).warning(
+            "session conf pinning failed (oracle comparisons may flake): %s", e
+        )
     ensure_worker_imports(spark)
     if name == "events":
         # Runtime SQL conf; only affects NANOS-annotated INT64 columns, so

@@ -19,6 +19,7 @@ shape.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -177,6 +178,10 @@ def _run_available_now(stream_df: DataFrame, name: str, output_mode: str = "comp
         .start()
     )
     q.awaitTermination()
+    # The checkpoint is only needed while the query runs (availableNow
+    # drains to completion); leaving it would accumulate one dir per
+    # invocation across bench/test runs.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(table)
 
 
@@ -342,6 +347,7 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.sparkSession.read.parquet(target + f"_stage{batch_id}").write.mode(
             "overwrite"
         ).parquet(target)
+        shutil.rmtree(target + f"_stage{batch_id}", ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(upsert_batch)
@@ -350,6 +356,7 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(target).orderBy("event_type")
 
 

@@ -155,10 +155,10 @@ def test_csv_malformed_mode_contract(spark, reg):
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".tmp", "malformed", f"docs_{os.path.basename(SF_SMOKE)}.csv",
+        ".tmp", "malformed", f"docs_{os.path.basename(SF_SMOKE)}_csv",
     )
     dropped = (
-        spark.read.option("header", "true")
+        spark.read.option("header", "false")
         .option("mode", "DROPMALFORMED")
         .schema("doc_id bigint, lang string, n_chars bigint")
         .csv(path)
@@ -174,7 +174,7 @@ def test_csv_malformed_mode_contract(spark, reg):
 
     with _pytest.raises(Exception):
         (
-            spark.read.option("header", "true")
+            spark.read.option("header", "false")
             .option("mode", "FAILFAST")
             .schema("doc_id bigint, lang string, n_chars bigint")
             .csv(path)
