@@ -100,16 +100,16 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
     signature is folded into N_BANDS band hashes. Everything is arrays +
     higher-order functions: no UDF, no shuffle until the band join.
     """
-    seeds = list(range(N_MINHASH))
-    sig = sh.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-                for i in seeds
-            ]
-        ).alias("sig"),
-    )
+    # One single-param lambda per seed, with the seed captured in an
+    # enclosing scope. A two-param lambda (`lambda s, i=i: ...`) would be
+    # WRONG here: pyspark binds a 2-arg HOF lambda as (element, index),
+    # so the "default arg" idiom silently hashes with the array index
+    # instead of the seed, collapsing all signature positions to one
+    # hash family.
+    def _mh(seed: int):
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = sh.select("id", F.array(*[_mh(i) for i in range(N_MINHASH)]).alias("sig"))
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
         "id",
@@ -705,6 +705,54 @@ N_MINHASH_MD5 = 8  # portable-minhash permutations (md5-based, oracle-checkable)
 N_BANDS_MD5 = 4  # 2 rows/band -> catches Jaccard >~ 0.6 at this k
 
 
+def md5_band_frame(shset: DataFrame) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows from a shingle-set frame,
+    using the engine-portable md5 minhash family: minhash_s(doc) =
+    lexicographic min over shingles of md5('s:' || shingle), banded
+    N_MINHASH_MD5 // N_BANDS_MD5 rows per band. Shared by the batch
+    pipeline (x_dedup_minhash_md5), the incremental ingest path
+    (x_dedup_incremental_band), and tools/scalecheck.py's index-growth
+    experiment — in production this frame IS the persisted band index."""
+    # Seed captured via enclosing scope, NOT a lambda default arg: pyspark
+    # binds a 2-arg HOF lambda as (element, index), so `lambda g, s=s:`
+    # would receive the array-index Column as s and stringify its repr
+    # into the hash prefix — garbage that also varies with the session's
+    # lambda-naming counter (caught when two plan constructions of this
+    # frame produced different band hashes).
+    def _mh(seed: int):
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform("sh", lambda g: F.md5(F.concat(F.lit(prefix), g)))
+        )
+
+    sig = shset.select(
+        "id", F.array(*[_mh(s) for s in range(N_MINHASH_MD5)]).alias("sig")
+    )
+    rows_per_band = N_MINHASH_MD5 // N_BANDS_MD5
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS_MD5)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+
+
 @register(
     "x_dedup_minhash_md5",
     tags=("EXT", "X2"),
@@ -767,40 +815,7 @@ def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     shset = shingle_frame(docs, "doc_id", "text").persist()
-    sig = shset.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("sh", lambda g, s=s: F.md5(F.concat(F.lit(f"{s}:"), g)))
-                )
-                for s in range(N_MINHASH_MD5)
-            ]
-        ).alias("sig"),
-    )
-    rows_per_band = N_MINHASH_MD5 // N_BANDS_MD5
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS_MD5)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+    bands = md5_band_frame(shset)
     w = W.partitionBy("band_id", "band_hash")
     bands_f = (
         bands.withColumn("bsz", F.count(F.lit(1)).over(w))
@@ -957,40 +972,7 @@ def x_dedup_incremental_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle."""
     docs = _t(spark, sf_dir, "documents")
     shset = shingle_frame(docs, "doc_id", "text").persist()
-    sig = shset.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("sh", lambda g, s=s: F.md5(F.concat(F.lit(f"{s}:"), g)))
-                )
-                for s in range(N_MINHASH_MD5)
-            ]
-        ).alias("sig"),
-    )
-    rows_per_band = N_MINHASH_MD5 // N_BANDS_MD5
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS_MD5)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+    bands = md5_band_frame(shset)
     w = W.partitionBy("band_id", "band_hash")
     idx = (
         bands.filter(F.col("id") % 10 != 9)
@@ -999,8 +981,13 @@ def x_dedup_incremental_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("bsz")
     )
     batch = bands.filter(F.col("id") % 10 == 9)
+    # Explicit broadcast of the (small-by-definition) ingest batch: without
+    # it AQE flips to sort-merge once the index outgrows the broadcast
+    # threshold and shuffles the WHOLE index per ingest. Measured in
+    # tools/scalecheck.py --incremental (PLANS.md): 40 MB shuffled per
+    # batch at 10x index growth without the hint, ~0.02 MB with it.
     cand = (
-        batch.alias("b")
+        F.broadcast(batch).alias("b")
         .join(
             idx.alias("i"),
             (F.col("b.band_id") == F.col("i.band_id"))

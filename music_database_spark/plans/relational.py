@@ -315,15 +315,22 @@ def q9_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q9b_approx_distinct", tags=("EXT", "A6"), oracle=None)
 def q9b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog) — the 100 TB-scale form of A6;
-    sketch values are engine-specific so this is a rows-only check."""
+    """approx_count_distinct (HyperLogLog) — the 100 TB-scale form of A6:
+    one map-side sketch per partition, a tiny merge per group, no
+    distinct shuffle. Sketch values are engine-specific so this is a
+    rows-only check; tests pin the estimate within HLL error of q9-style
+    exact counts.
+
+    Two plan hazards this query deliberately avoids (each measured ~3-5x
+    slower at sf0.1): mixing countDistinct into the same agg() plans the
+    distinct-rewrite, which drags the HLL buffer through a
+    per-(priority, custkey) partial aggregate and TWO exchanges; and
+    rsd=0.02 widens the sketch to 4096 registers = 410 long columns per
+    row in the exchange (default rsd 0.05 is 512 registers)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
-            F.countDistinct("o_custkey").alias("exact_custkeys"),
-        )
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_custkeys"))
         .orderBy("priority")
     )
 

@@ -118,3 +118,66 @@ def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(od, (li.l_orderkey == od.o_orderkey) & (li.salt == od.salt))
     return _agg(joined)
+
+
+@register(
+    "x_runtime_bloom_filter",
+    tags=("EXT", "J6", "J5", "P5"),
+    oracle="""
+        SELECT p_brand AS brand,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 1
+        GROUP BY p_brand ORDER BY brand
+    """,
+)
+def x_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime (Bloom) semi-join filter: a selective dim predicate
+    (p_size = 1) makes Catalyst inject a bloom_filter_agg scalar
+    subquery over the filtered part side and a might_contain() predicate
+    on the lineitem scan — the fact table is pre-filtered to ~1/50 of
+    its rows BEFORE the join shuffle, the runtime analog of static
+    predicate pushdown. Semantics are identical to the plain join (full
+    DuckDB oracle); tests assert might_contain appears in the plan.
+
+    Two confs are pinned only while THIS plan is optimized, then
+    restored: autoBroadcastJoinThreshold=-1 (at test scale the dim fits
+    the broadcast threshold and InjectRuntimeFilter skips broadcast-able
+    joins — on the 100 TB cluster a multi-GB dim shuffles and needs no
+    such pin) and applicationSideScanSizeThreshold=0 (upstream default
+    10GB: the injection only pays off against a big fact scan, which
+    sf0.1 is not). Forcing queryExecution().executedPlan() inside the
+    pinned scope freezes the injected plan into the returned DataFrame,
+    so later .collect() by the driver executes the bloom-filtered join
+    while the session confs are already back to their defaults."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    pins = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved: dict[str, str | None] = {}
+    for k in pins:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        q = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+            .orderBy("brand")
+        )
+        q._jdf.queryExecution().executedPlan()  # plan (and inject) under the pins
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return q

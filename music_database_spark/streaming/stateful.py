@@ -9,7 +9,9 @@ state store holds O(distinct users) rows, not O(events).
 Spark 4's successor API (transformWithStateInPandas, StatefulProcessor +
 ValueState/RocksDB) was probed and is unavailable in this container: its
 streaming Python runner needs google.protobuf, whose install here is
-broken (ImportError: cannot import name 'descriptor'), and installs are
+broken (round 2: ImportError cannot import name 'descriptor'; re-probed
+2026-08-13 round 3: `import google.protobuf` now fails outright with
+ModuleNotFoundError: No module named 'google'), and installs are
 off-limits. The v1 applyInPandasWithState operator below covers the
 custom-stateful surface; the TWS port is mechanical when the runtime
 allows.

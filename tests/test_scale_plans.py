@@ -78,3 +78,21 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_runtime_bloom_filter_is_injected_and_confs_restored(spark):
+    """The x_runtime_bloom_filter plan must carry the injected runtime
+    filter (bloom_filter_agg creation + might_contain application on the
+    fact scan), and the conf pins used to trigger injection at test
+    scale must be restored on the session afterwards."""
+    from music_database_spark.registry import load_all
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = load_all()["x_runtime_bloom_filter"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # and the filtered join still returns the right shape
+    rows = df.collect()
+    assert len(rows) > 0 and all(r["n"] > 0 for r in rows)
