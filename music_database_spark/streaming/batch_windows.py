@@ -237,19 +237,42 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "stream_static")
 
 
-@register("x_stream_static_join", tags=("EXT", "T6", "J1"), oracle=None, bench=False)
+@register(
+    "x_stream_static_join",
+    tags=("EXT", "T6", "J1"),
+    bench=False,
+    oracle="""
+        SELECT c_nationkey, COUNT(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
 def x_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (T6) run as a true stream: the event stream
-    enriched against the static customer dim, counted per nation.
-    Rows-only; equality with the batch join is asserted in tests."""
+    enriched against the static customer dim, counted per nation. With
+    availableNow over a static source the stream drains in one batch and
+    the join equals the batch join — integer counts, so the full batch
+    oracle applies (equality with the batch plan is also pinned in
+    tests)."""
     return stream_static_join_counts(spark, sf_dir).orderBy("c_nationkey")
 
 
-@register("x_stream_tumbling", tags=("EXT", "T1", "T4"), oracle=None, bench=False)
+@register(
+    "x_stream_tumbling",
+    tags=("EXT", "T1", "T4"),
+    bench=False,
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY hour_start
+    """,
+)
 def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible proof that the windowed plan runs as a true stream
-    (readStream -> watermark -> window agg -> availableNow). Rows-only:
-    content equality with the batch plan is asserted in tests."""
+    (readStream -> watermark -> window agg -> availableNow). Nothing is
+    late over a drained static source, so the watermarked stream result
+    equals the batch tumbling window exactly — epoch-aligned windows ==
+    date_trunc('hour'), integer counts, full oracle."""
     return stream_tumbling_counts(spark, sf_dir).orderBy("hour_start")
 
 
@@ -314,15 +337,23 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_stream_foreach_batch", tags=("EXT", "T6", "S6"), oracle=None, bench=False)
+@register(
+    "x_stream_foreach_batch",
+    tags=("EXT", "T6", "S6"),
+    bench=False,
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch production sink pattern: each micro-batch lands
     through arbitrary batch code — here a per-type count upsert into an
     accumulator table — giving streaming jobs access to every batch
     writer (merge into a warehouse table, multi-sink fan-out) that
     writeStream lacks natively. availableNow + a static source makes the
-    result deterministic: one batch, totals equal the batch groupBy
-    (asserted in tests)."""
+    result deterministic: one batch, totals equal the batch groupBy, so
+    the upserted table is fully oracle-checked (and pinned in tests)."""
     import tempfile
 
     tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
@@ -374,10 +405,25 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "sliding")
 
 
-@register("x_stream_sliding", tags=("EXT", "T2", "T4"), oracle=None, bench=False)
+@register(
+    "x_stream_sliding",
+    tags=("EXT", "T2", "T4"),
+    bench=False,
+    oracle="""
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:00') AS win_start, COUNT(*) AS n
+        FROM (
+            SELECT ts, date_trunc('minute', ts)
+                       - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE
+                       - INTERVAL (k * 15) MINUTE AS win_start
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        ) t
+        GROUP BY 1 ORDER BY win_start
+    """,
+)
 def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows executed as a true stream (readStream -> watermark
     -> overlapping window agg -> availableNow), completing the
-    true-stream twin set for T1/T2/T3. Rows-only; equality with the
-    batch plan is asserted in tests."""
+    true-stream twin set for T1/T2/T3. Nothing is late over a drained
+    static source, so the stream equals the batch sliding window and
+    shares its epoch-grid oracle (also pinned equal in tests)."""
     return stream_sliding_counts(spark, sf_dir).orderBy("win_start")
