@@ -78,7 +78,11 @@ def main() -> int:
     total = round(sum(v for v in results.values() if v >= 0), 3)
     sf = sf_from_dir(SF_DIR)
     errors = sorted(n for n, v in results.items() if v < 0)
-    full_path = os.path.join(REPO_ROOT, "BENCH_FULL.json")
+    # Subset invocations (explicit query names) must not clobber the
+    # full-run record the driver and judge read.
+    full_path = os.path.join(
+        REPO_ROOT, "BENCH_FULL.json" if not names else "BENCH_SUBSET.json"
+    )
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -109,7 +113,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(results),
                 "n_errors": len(errors),
-                "queries_file": "BENCH_FULL.json",
+                "queries_file": os.path.basename(full_path),
             },
             separators=(",", ":"),
         )
