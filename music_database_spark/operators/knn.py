@@ -279,3 +279,152 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "cosine", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+DET_TABLES = 2  # deterministic-LSH variant: OR-ed tables
+DET_BITS = 4  # bits per table -> 16 buckets each
+
+
+def _det_planes() -> list[list[list[float]]]:
+    """±1-entry hyperplanes derived from md5 parity of "t:b:d" — computed
+    once in Python and embedded as identical literals in BOTH the Spark
+    plan and the DuckDB oracle, so the two engines share the exact plane
+    matrix without either having to reproduce an RNG."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest(), 16) % 2 == 0
+                else -1.0
+                for d in range(EMB_DIM)
+            ]
+            for b in range(DET_BITS)
+        ]
+        for t in range(DET_TABLES)
+    ]
+
+
+def _det_lsh_oracle() -> str:
+    planes_rows = ",\n                ".join(
+        f"({t}, {b}, [{', '.join(str(int(v)) for v in plane)}])"
+        for t, table in enumerate(_det_planes())
+        for b, plane in enumerate(table)
+    )
+    return f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}
+        ),
+        dbl AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT * FROM (VALUES
+                {planes_rows}
+            ) AS v(t, b, plane)
+        ),
+        proj AS (
+            SELECT d.vec_id, p.t, p.b,
+                   list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+                                                 i -> d.emb[i] * p.plane[i]), 'sum') AS pr
+            FROM dbl d CROSS JOIN planes p
+        ),
+        buckets AS (
+            SELECT vec_id, t AS table_id,
+                   CAST(SUM(CASE WHEN pr >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT pr.probe_id, bc.vec_id AS neighbor_id
+            FROM probes pr
+            JOIN buckets bp ON bp.vec_id = pr.probe_id
+            JOIN buckets bc ON bc.table_id = bp.table_id AND bc.bucket = bp.bucket
+                           AND bc.vec_id <> pr.probe_id
+        ),
+        scored AS (
+            SELECT c.probe_id, c.neighbor_id,
+                   round(
+                     list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+                                                   i -> p.emb[i] * n.emb[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))),
+                     6) AS cosine
+            FROM cand c
+            JOIN dbl p ON p.vec_id = c.probe_id
+            JOIN dbl n ON n.vec_id = c.neighbor_id
+        )
+        SELECT probe_id, neighbor_id, cosine, rnk FROM (
+            SELECT probe_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """
+
+
+@register("x_knn_lsh_det", tags=("EXT", "X3"), oracle=_det_lsh_oracle())
+def x_knn_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable LSH approximate kNN — the fully value-hash-checked
+    twin of x_knn_lsh. Two OR-ed 4-bit hyperplane tables whose ±1 plane
+    entries are md5-parity constants shared verbatim with the DuckDB
+    oracle; projections are the same sequential double fold both engines
+    use for cosine, so signs, buckets, candidate sets and the exact
+    rerank all match bitwise. Same scale shape as x_knn_lsh (bucket
+    equi-joins, candidates ~ corpus/2^bits per table, exact rerank only
+    on candidates); the numpy variant stays the production bucket
+    computation for wide plane matrices (see its plan-size note)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _det_planes()
+    dbl = as_double_array("embedding")
+
+    def bucket(t: int):
+        e = F.lit(0).cast("bigint")
+        for b in range(DET_BITS):
+            plane_arr = F.array(*[F.lit(v) for v in planes[t][b]])
+            proj = F.aggregate(
+                F.zip_with(dbl, plane_arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            e = e + F.when(proj >= 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+        return e
+
+    buckets = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table_id"), bucket(t).alias("bucket"))
+                    for t in range(DET_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+    probe_ids = _probes(emb).select("probe_id")
+    probe_buckets = buckets.join(
+        F.broadcast(probe_ids), buckets.vec_id == probe_ids.probe_id
+    ).select(
+        "probe_id", F.col("embedding").alias("probe_emb"), "table_id", "bucket"
+    )
+    cand = (
+        F.broadcast(probe_buckets)
+        .join(buckets, ["table_id", "bucket"])
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "probe_emb", "embedding")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    cos = F.round(
+        cosine_similarity(as_double_array("probe_emb"), as_double_array("embedding")), 6
+    )
+    scored = cand.select("probe_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
