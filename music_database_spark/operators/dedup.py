@@ -493,9 +493,11 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3 must agree on >= 1 chunk), verified by Hamming <= 3 using
     JVM-side bit_count(xor)."""
     docs = _t(spark, sf_dir, "documents")
+    # Persisted: the chunk frame feeds the hot-chunk cap pass and both
+    # candidate-join sides — without it the Arrow signature pass runs 3x.
     signed = docs.select("doc_id", "text").mapInPandas(
         _simhash_batches, "doc_id bigint, simhash bigint"
-    )
+    ).persist()
     chunks = signed.select(
         "doc_id",
         "simhash",
@@ -659,6 +661,10 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         return expr.cast("int")
 
     sig = votes.select("doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)])
+    # NOT persisted (unlike the Arrow variant): the signature is pure
+    # codegen and AQE's exchange reuse already shares the aggregated
+    # votes across the cap pass and both join sides — a persist here
+    # measured ~10% SLOWER by blocking whole-stage pipelining.
     chunks = sig.select(
         "doc_id",
         "c0",
