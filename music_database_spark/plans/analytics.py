@@ -210,6 +210,35 @@ def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_approx_top_k",
+    tags=("EXT", "A6", "F5"),
+    oracle="""
+        SELECT event_type AS item, COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        ORDER BY cnt DESC, item ASC
+    """,
+)
+def x_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via approx_top_k (Spark 4.1's bounded-memory
+    frequent-items sketch) — the 100 TB shape for 'top terms/ids by
+    count' where a full groupBy's key space won't fit: each partition
+    tracks maxItemsTracked counters, merged once. Here maxItemsTracked
+    (10k) exceeds the column's distinct count, so the sketch degenerates
+    to EXACT counts and the query is fully oracle-checked; at real
+    vocabulary scale the same plan returns approximate heavy hitters in
+    bounded memory. Output re-sorted (count desc, item asc) because the
+    sketch's own tie order is engine-arbitrary."""
+    events = _t(spark, sf_dir, "events")
+    topk = events.select(
+        F.explode(F.expr("approx_top_k(event_type, 10, 10000)")).alias("e")
+    )
+    return (
+        topk.select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+@register(
     "x_stats_agg",
     tags=("EXT", "A5", "F4"),
     oracle="""
