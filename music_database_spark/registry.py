@@ -125,7 +125,10 @@ def load_all() -> dict[str, QuerySpec]:
     from .streaming import batch_windows, stateful  # noqa: F401
 
     ordered = {name: REGISTRY[name] for name in DRIVER_PRIORITY if name in REGISTRY}
-    for name, spec in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
+    # Remainder: oracle-backed queries before rows-only ones (stable
+    # within each group) — if a future driver widens its sampling window
+    # past 50, the extra slots verify hash-checkable queries first.
+    rest = [n for n in REGISTRY if n not in ordered]
+    for name in sorted(rest, key=lambda n: (REGISTRY[n].oracle is None, rest.index(n))):
+        ordered[name] = REGISTRY[name]
     return ordered
