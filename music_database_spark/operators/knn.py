@@ -225,7 +225,66 @@ def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_knn_ivf", tags=("EXT", "X3"), oracle=None)
+def _cos_sql(a: str, b: str) -> str:
+    """Unrounded cosine between two double-list columns, same op order as
+    functions/vector.cosine_similarity (dot / (norm*norm), sequential
+    folds) so the doubles match Spark's bitwise."""
+    return (
+        f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1), i -> {a}[i] * {b}[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+    )
+
+
+_IVF_ORACLE = f"""
+        WITH dbl AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS cent FROM dbl ORDER BY vec_id LIMIT {N_CELLS}
+        ),
+        assign AS (
+            SELECT vec_id AS neighbor_id, cell, emb FROM (
+                SELECT d.vec_id, c.cent_id AS cell, d.emb,
+                       row_number() OVER (
+                           PARTITION BY d.vec_id
+                           ORDER BY {_cos_sql('d.emb', 'c.cent')} DESC, c.cent_id DESC
+                       ) AS rn
+                FROM dbl d CROSS JOIN cents c
+            ) t WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, emb AS pemb FROM dbl ORDER BY vec_id LIMIT {N_PROBES}
+        ),
+        probe_cells AS (
+            SELECT probe_id, pemb, cell FROM (
+                SELECT p.probe_id, p.pemb, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY {_cos_sql('p.pemb', 'c.cent')} DESC, c.cent_id ASC
+                       ) AS crnk
+                FROM probes p CROSS JOIN cents c
+            ) t WHERE crnk <= {N_PROBE_CELLS}
+        ),
+        scored AS (
+            SELECT pc.probe_id, a.neighbor_id,
+                   round({_cos_sql('pc.pemb', 'a.emb')}, 6) AS cosine
+            FROM probe_cells pc
+            JOIN assign a ON a.cell = pc.cell
+            WHERE a.neighbor_id <> pc.probe_id
+        )
+        SELECT probe_id, neighbor_id, cosine, rnk FROM (
+            SELECT probe_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """
+
+
+@register("x_knn_ivf", tags=("EXT", "X3"), oracle=_IVF_ORACLE)
 def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate kNN — the other standard ANN scale path:
 
@@ -238,7 +297,11 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the corpus would be written bucketed/partitioned BY cell so
     a probe's search is a partition-pruned scan of nprobe/ncells of the
-    data. Rows-only: recall < 1 by construction."""
+    data. Recall < 1 by construction, but every step is deterministic
+    (seed centroids, bit-identical sequential-fold cosines, explicit tie
+    breaks: assignment ties to the LARGEST cent_id via struct-max, probe
+    cells to the smallest), so the DuckDB oracle mirrors the same
+    approximate algorithm and the query is fully value-hash-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     centroids = (
         emb.orderBy("vec_id")
