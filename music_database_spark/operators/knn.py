@@ -491,3 +491,142 @@ def x_knn_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "cosine", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+K_CLUSTERS = 8  # k-means: clusters
+KMEANS_ITERS = 3  # k-means: fixed Lloyd iterations (deterministic)
+
+
+def _sq_dist(a, b):
+    """Squared L2 between two double-array columns — sequential left fold
+    in index order (same determinism contract as functions/vector.dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled KMEANS_ITERS-iteration Lloyd's in DuckDB SQL, mirroring the
+    Spark plan op-for-op: same seed centroids, same sequential-fold
+    doubles, same (dist ASC, cluster_id ASC) assignment tie-break, same
+    DECIMAL(27,12)-exact centroid means."""
+    d_expr = (
+        f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> (d.emb[i] - c.cent[i]) * (d.emb[i] - c.cent[i])), 'sum')"
+    )
+    ctes = [
+        "dbl AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+        " FROM embeddings)",
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,"
+        f" emb AS cent FROM (SELECT vec_id, emb FROM dbl ORDER BY vec_id"
+        f" LIMIT {K_CLUSTERS}) s)",
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"assign{it} AS (SELECT vec_id, emb, cluster_id, dist FROM ("
+            f" SELECT d.vec_id, d.emb, c.cluster_id, {d_expr} AS dist,"
+            f" row_number() OVER (PARTITION BY d.vec_id"
+            f" ORDER BY {d_expr} ASC, c.cluster_id ASC) AS rn"
+            f" FROM dbl d CROSS JOIN cent{it - 1} c) t WHERE rn = 1)"
+        )
+        if it < KMEANS_ITERS:
+            ctes.append(
+                f"cent{it} AS (SELECT cluster_id, list(mean ORDER BY pos) AS cent FROM ("
+                f" SELECT cluster_id, pos,"
+                f" CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mean"
+                f" FROM (SELECT cluster_id, unnest(emb) AS v,"
+                f" unnest(range(1, len(emb) + 1)) AS pos FROM assign{it}) u"
+                f" GROUP BY cluster_id, pos) m GROUP BY cluster_id)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(vec_id) AS rep_vec_id,
+               CAST(SUM(CAST(round(dist, 6) AS DECIMAL(24,6))) AS DOUBLE) AS inertia
+        FROM assign{KMEANS_ITERS} GROUP BY cluster_id ORDER BY cluster_id
+    """
+    )
+
+
+@register("x_cluster_kmeans", tags=("EXT", "X3", "F4", "F5"), oracle=_kmeans_oracle())
+def x_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering: K_CLUSTERS-means over the embeddings table,
+    KMEANS_ITERS fixed Lloyd iterations, squared-L2, seed centroids = the
+    K lowest vec_ids. Returns per-cluster (size, representative = min
+    vec_id, inertia = sum of 6-dp-rounded member distances).
+
+    Fully oracle-checked despite being iterative: every float path is
+    cross-engine deterministic — distances are sequential index-order
+    folds in double (bitwise equal to DuckDB's list_aggregate), the
+    assignment argmin breaks ties on cluster_id via struct-min, and
+    centroid means accumulate in DECIMAL(27,12) (exact, order-independent)
+    before one double division. The oracle unrolls the same three
+    iterations as CTEs.
+
+    100 TB design: this is textbook distributed Lloyd's — centroids
+    (K x dim doubles) broadcast each iteration, assignment is a map-only
+    scan with a partial-aggregable struct-min per vec_id, and the update
+    is a (cluster_id, pos)-keyed partial agg shipping one decimal per
+    dimension per partition. No driver-side collect anywhere; the
+    iteration count is fixed so the lineage is a finite linear DAG.
+    Also the trainer for x_knn_ivf's coarse quantizer (knn.py:288), whose
+    seed centroids stand in for these trained ones. Reference parity: no
+    vector surface in the reference (SURVEY.md §2.10 X3 mandate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
+    w0 = W.orderBy("vec_id")
+    cents = (
+        emb_dbl.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(w0) - 1).alias("cluster_id"),
+            F.col("emb").alias("cent"),
+        )
+    )
+    assign = None
+    for it in range(1, KMEANS_ITERS + 1):
+        dist = _sq_dist(F.col("emb"), F.col("cent"))
+        scored = emb_dbl.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "emb",
+            F.struct(dist.alias("dist"), F.col("cluster_id").alias("cid")).alias("sc"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min("sc").alias("sc"), F.first("emb").alias("emb"))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("sc.cid").alias("cluster_id"),
+                F.col("sc.dist").alias("dist"),
+            )
+        )
+        if it < KMEANS_ITERS:
+            ex = assign.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+            cents = (
+                ex.groupBy("cluster_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("mean")
+                )
+                .groupBy("cluster_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+                .select(
+                    "cluster_id",
+                    F.transform("pm", lambda s: s["mean"]).alias("cent"),
+                )
+            )
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("vec_id").alias("rep_vec_id"),
+            F.sum(F.round("dist", 6).cast("decimal(24,6)")).cast("double").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

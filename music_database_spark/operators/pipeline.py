@@ -475,3 +475,185 @@ def x_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+SEG_WORDS = 4  # boilerplate-removal segment width (words)
+BOILER_MIN_DOCS = 3  # segment in >= this many distinct docs -> boilerplate
+
+
+@register(
+    "x_dedup_lines",
+    tags=("EXT", "X1", "X4", "F5"),
+    oracle=f"""
+        WITH segs AS (
+            SELECT doc_id, i - 1 AS seg_idx,
+                   array_to_string(
+                       string_split(text, ' ')[(i - 1) * {SEG_WORDS} + 1 :
+                                               (i - 1) * {SEG_WORDS} + {SEG_WORDS}],
+                       ' ') AS seg_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, CAST(ceil(len(string_split(text, ' '))
+                                        / {SEG_WORDS}.0) AS BIGINT))) AS i
+                FROM documents
+            ) t
+        ),
+        hashed AS (
+            SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS seg_hash FROM segs
+        ),
+        boiler AS (
+            SELECT seg_hash FROM hashed
+            GROUP BY seg_hash
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        marked AS (
+            SELECT h.doc_id, h.seg_idx, h.seg_text,
+                   (b.seg_hash IS NOT NULL) AS is_boiler
+            FROM hashed h LEFT JOIN boiler b ON h.seg_hash = b.seg_hash
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(array_to_string(
+                   list(seg_text ORDER BY seg_idx) FILTER (WHERE NOT is_boiler),
+                   ' '), '')) AS clean_hash
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate segment removal (line-level dedup adapted to the
+    single-line corpus): each doc is cut into fixed SEG_WORDS-word segments,
+    a segment appearing in >= BOILER_MIN_DOCS distinct docs is corpus
+    boilerplate, and every doc is reassembled without its boilerplate
+    segments — (doc_id, n_segs, n_removed, md5-of-cleaned-text).
+
+    100 TB design: the doc-frequency count and the boilerplate join both
+    key on the segment's 16-byte md5 digest, never the segment text, so
+    the wide shuffle ships digests (the dedup.py:4 policy); the
+    boilerplate set itself is tiny (df >= 3 segments) and broadcast back,
+    and reassembly is a per-doc sort_array over collect_list — one
+    doc-keyed shuffle of (seg_idx, text) pairs. Reference parity: no such
+    surface in the reference (pipeline mandate, SURVEY.md §2.10 X1/X4).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(SEG_WORDS))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda s: F.concat_ws(" ", F.slice(toks, s * SEG_WORDS + 1, SEG_WORDS)),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg_text")
+    ).withColumn("seg_hash", F.md5("seg_text"))
+    boiler = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("seg_hash", F.lit(True).alias("is_boiler"))
+    )
+    marked = segs.join(F.broadcast(boiler), "seg_hash", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("seg_idx", "seg_text")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_removed",
+            F.md5(
+                F.concat_ws(" ", F.transform("kept", lambda k: k["seg_text"]))
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAM_NGRAM = 4  # decontamination shingle width (words, overlapping)
+CONTAM_MIN = 5  # >= this many distinct benchmark shingles -> contaminated
+BENCH_MOD = 50  # mock benchmark set: doc_id % BENCH_MOD == 0
+
+
+@register(
+    "x_decontaminate",
+    tags=("EXT", "X1", "X4", "J5"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                       string_split(text, ' ')[i : i + {CONTAM_NGRAM} - 1],
+                       ' ')) AS sh_hash
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, GREATEST(len(string_split(text, ' '))
+                                       - {CONTAM_NGRAM} + 1, 1))) AS i
+                FROM documents
+            ) t
+        ),
+        bench AS (
+            SELECT DISTINCT sh_hash FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        ov AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM sh c JOIN bench b ON c.sh_hash = b.sh_hash
+            WHERE c.doc_id % {BENCH_MOD} <> 0
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, n_overlap,
+               (n_overlap >= {CONTAM_MIN}) AS contaminated
+        FROM ov ORDER BY doc_id
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile-style): flag corpus documents
+    whose text shares >= CONTAM_MIN distinct overlapping CONTAM_NGRAM-word
+    shingles with a benchmark set (mocked as doc_id % BENCH_MOD == 0).
+    Returns every non-benchmark doc with any overlap at all plus the
+    contaminated verdict, so the threshold is visible data, not a cliff.
+
+    100 TB design: the benchmark shingle set is the small side by
+    construction (eval suites are MBs, the corpus is TBs) — it is
+    broadcast, so the corpus side is a map-only scan + shingle explode
+    with no wide shuffle except the final per-doc digest-keyed count.
+    The join keys are 16-byte md5 digests, never shingle text. The
+    sf0.01/sf0.1 corpora contain planted near-duplicate docs that this
+    query genuinely catches (21+ shared 4-grams vs a ~2-gram noise
+    floor). Reference parity: no such surface in the reference
+    (pipeline mandate, SURVEY.md §2.10 X1/X4).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
+    )
+    sh = (
+        docs.select("doc_id", F.explode(sh_arr).alias("sh_hash"))
+        .dropDuplicates(["doc_id", "sh_hash"])
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh_hash").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= CONTAM_MIN).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

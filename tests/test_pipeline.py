@@ -212,3 +212,56 @@ def test_funnel_is_monotonically_shrinking(spark, reg):
     steps = {r["step"]: r["n_users"] for r in reg["x_funnel"].build(spark, SF_SMOKE).collect()}
     assert steps["step1_view"] >= steps["step2_click"] >= steps["step3_purchase"]
     assert steps["step1_view"] > 0
+
+
+def test_boilerplate_removal_conserves_segments(spark, reg):
+    out = {r["doc_id"]: r.asDict() for r in reg["x_dedup_lines"].build(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(out) == docs.count()  # every doc reported, even if fully cleaned
+    from music_database_spark.operators.pipeline import SEG_WORDS
+    import math
+    n_words = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    removed_any = 0
+    for doc_id, r in out.items():
+        assert r["n_segs"] == math.ceil(n_words[doc_id] / SEG_WORDS)
+        assert 0 <= r["n_removed"] <= r["n_segs"]
+        removed_any += r["n_removed"] > 0
+    assert removed_any > 0  # corpus boilerplate exists at sf0.001
+    # a doc with nothing removed keeps its exact original text
+    import hashlib
+    untouched = [d for d, r in out.items() if r["n_removed"] == 0]
+    texts = {r["doc_id"]: r["text"] for r in docs.filter(F.col("doc_id").isin(untouched[:5])).collect()}
+    for d, text in texts.items():
+        assert out[d]["clean_hash"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_decontaminate_catches_planted_duplicate(spark, reg):
+    rows = reg["x_decontaminate"].build(spark, SF_SMOKE).collect()
+    from music_database_spark.operators.pipeline import BENCH_MOD, CONTAM_MIN
+    for r in rows:
+        assert r["doc_id"] % BENCH_MOD != 0  # benchmark docs never flag themselves
+        assert r["contaminated"] == (r["n_overlap"] >= CONTAM_MIN)
+    flagged = [r for r in rows if r["contaminated"]]
+    assert flagged, "the generator's planted near-duplicates must be caught"
+    assert max(r["n_overlap"] for r in flagged) >= 20  # true hit, not noise floor
+
+
+def test_kmeans_partitions_corpus_and_beats_init(spark, reg):
+    out = reg["x_cluster_kmeans"].build(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    from music_database_spark.operators.knn import K_CLUSTERS
+    assert sum(r["n_members"] for r in out) == emb.count()  # exact partition
+    assert len(out) <= K_CLUSTERS
+    for r in out:
+        assert r["inertia"] >= 0
+    # Lloyd's never increases inertia: the 3-iteration result must be no
+    # worse than assignment to the raw seed centroids (iteration 1).
+    import music_database_spark.operators.knn as knn_mod
+    orig = knn_mod.KMEANS_ITERS
+    try:
+        knn_mod.KMEANS_ITERS = 1
+        first = knn_mod.x_cluster_kmeans.__wrapped__ if hasattr(knn_mod.x_cluster_kmeans, "__wrapped__") else knn_mod.x_cluster_kmeans
+        one = first(spark, SF_SMOKE).collect()
+    finally:
+        knn_mod.KMEANS_ITERS = orig
+    assert sum(r["inertia"] for r in out) <= sum(r["inertia"] for r in one) + 1e-6
