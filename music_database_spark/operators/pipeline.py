@@ -657,3 +657,68 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x_mixture_sample",
+    tags=("EXT", "X4", "F3"),
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars,
+               (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 4.0 AS target_rate
+        FROM (
+            SELECT source, n_chars,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source),
+                                   1, 6))::BIGINT % 10000
+                       < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 2500
+                       AS kept
+            FROM documents
+        ) s
+        GROUP BY source ORDER BY source
+    """,
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source gets a target inclusion rate
+    (25/50/75/100% by source index — the stand-in for a data-mixture
+    spec), and a document is kept iff a stable hash of (doc_id, source)
+    lands under the rate. Returns per-source totals, kept counts/chars,
+    and the target rate.
+
+    Like x_hash_split, membership is pure per-row md5 arithmetic —
+    content- and order-independent, so re-running over an incrementally
+    grown corpus never flips a previous keep/drop decision (the property
+    a reproducible mixture needs). Map-only until the per-source summary
+    agg; at 100 TB the kept subset would stream straight into the
+    sequence-packing stage (x_seq_packing) with no extra pass."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    rate_bp = (idx % 4 + 1) * 2500
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = bucket < rate_bp
+    return (
+        docs.select("source", "n_chars", kept.alias("kept"), ((idx % 4 + 1) / F.lit(4.0)).alias("target_rate"))
+        .groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .select("source", "n_total", "n_kept", "kept_chars", "target_rate")
+        .orderBy("source")
+    )

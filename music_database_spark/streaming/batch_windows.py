@@ -427,3 +427,37 @@ def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     static source, so the stream equals the batch sliding window and
     shares its epoch-grid oracle (also pinned equal in tests)."""
     return stream_sliding_counts(spark, sf_dir).orderBy("win_start")
+
+
+@register(
+    "x_stream_dedup",
+    tags=("EXT", "T5", "T4", "X1"),
+    bench=False,
+    oracle="""
+        SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (T5/X1): every 10th event is injected
+    into the stream TWICE (identical rows — the at-least-once delivery
+    shape), then dropDuplicatesWithinWatermark on event_id removes the
+    replays before a per-type count. The dedup is load-bearing: without
+    it the counts run ~10% high (pinned in tests); with it the result
+    equals the plain batch count, so the full DuckDB oracle applies.
+
+    100 TB design: dropDuplicatesWithinWatermark keeps state only for
+    the watermark horizon (10 min of event_ids, not the full history) —
+    the bounded-state streaming twin of the batch digest dedup
+    (operators/dedup.py). State is keyed on event_id, high-cardinality,
+    so the state store shards evenly."""
+    stream = _events_stream(spark, sf_dir)
+    fanout = F.when(
+        F.col("event_id") % 10 == 0, F.array(F.lit(1), F.lit(2))
+    ).otherwise(F.array(F.lit(1)))
+    dup = stream.withColumn("__copy", F.explode(fanout)).drop("__copy")
+    deduped = dup.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_available_now(agg, "stream_dedup").orderBy("event_type")

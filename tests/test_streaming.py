@@ -137,3 +137,22 @@ def test_stream_sliding_equals_batch(spark):
         for r in load_all()["x_sliding"].build(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_removes_injected_replays(spark):
+    """x_stream_dedup injects every 10th event twice; the watermarked
+    dedup must remove exactly the replays, making its count equal the
+    batch count — and without dedup the counts must run high."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    streamed = {r["event_type"]: r["n"] for r in reg["x_stream_dedup"].build(spark, SF).collect()}
+    events = load_table(spark, SF, "events")
+    batch = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert streamed == batch
+    n_injected = events.filter(F.col("event_id") % 10 == 0).count()
+    assert n_injected > 0  # the replay injection is non-empty
+    assert sum(streamed.values()) == events.count()  # replays all removed
