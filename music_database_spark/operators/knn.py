@@ -507,15 +507,24 @@ def _sq_dist(a, b):
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled KMEANS_ITERS-iteration Lloyd's in DuckDB SQL, mirroring the
-    Spark plan op-for-op: same seed centroids, same sequential-fold
-    doubles, same (dist ASC, cluster_id ASC) assignment tie-break, same
-    DECIMAL(27,12)-exact centroid means."""
-    d_expr = (
+def _sqdist_sql(a: str, b: str) -> str:
+    """Unrounded squared-L2 between two double-list columns, same op order
+    as _sq_dist (sequential index-order fold) so the doubles match Spark's
+    bitwise."""
+    return (
         f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
-        f" i -> (d.emb[i] - c.cent[i]) * (d.emb[i] - c.cent[i])), 'sum')"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
     )
+
+
+def _kmeans_ctes() -> list[str]:
+    """Unrolled KMEANS_ITERS-iteration Lloyd's as DuckDB CTEs, mirroring
+    the Spark plan op-for-op: same seed centroids, same sequential-fold
+    doubles, same (dist ASC, cluster_id ASC) assignment tie-break, same
+    DECIMAL(27,12)-exact centroid means. Shared by the x_cluster_kmeans
+    oracle and the x_knn_ivf_trained oracle (which searches the trained
+    quantizer)."""
+    d_expr = _sqdist_sql("d.emb", "c.cent")
     ctes = [
         "dbl AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
         " FROM embeddings)",
@@ -540,8 +549,12 @@ def _kmeans_oracle() -> str:
                 f" unnest(range(1, len(emb) + 1)) AS pos FROM assign{it}) u"
                 f" GROUP BY cluster_id, pos) m GROUP BY cluster_id)"
             )
+    return ctes
+
+
+def _kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        "WITH " + ",\n".join(_kmeans_ctes()) + f"""
         SELECT cluster_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                MIN(vec_id) AS rep_vec_id,
@@ -575,6 +588,22 @@ def x_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also the trainer for x_knn_ivf's coarse quantizer (knn.py:288), whose
     seed centroids stand in for these trained ones. Reference parity: no
     vector surface in the reference (SURVEY.md §2.10 X3 mandate)."""
+    _cents, assign = _kmeans_fit(spark, sf_dir)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("vec_id").alias("rep_vec_id"),
+            F.sum(F.round("dist", 6).cast("decimal(24,6)")).cast("double").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Run KMEANS_ITERS Lloyd iterations; returns (cents, assign) where
+    cents is the trained quantizer (cluster_id, cent) the final assignment
+    used, and assign is (vec_id, emb, cluster_id, dist)."""
     emb = _t(spark, sf_dir, "embeddings")
     emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
     w0 = W.orderBy("vec_id")
@@ -621,12 +650,89 @@ def x_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform("pm", lambda s: s["mean"]).alias("cent"),
                 )
             )
+    return cents, assign
+
+
+TRAINED_PROBE_CELLS = 2  # trained-IVF: cells searched per probe (of K_CLUSTERS)
+
+
+def _ivf_trained_oracle() -> str:
+    """x_knn_ivf_trained oracle: the k-means CTEs (training) composed with
+    the IVF search — probe the TRAINED_PROBE_CELLS nearest trained cells,
+    exact-cosine rerank inside them. Every stage deterministic, so the
+    whole train->index->search pipeline is value-hash-checked."""
+    last_cent = f"cent{KMEANS_ITERS - 1}"
+    last_assign = f"assign{KMEANS_ITERS}"
+    ctes = _kmeans_ctes() + [
+        f"probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM dbl"
+        f" ORDER BY vec_id LIMIT {N_PROBES})",
+        f"pcells AS (SELECT probe_id, pemb, cluster_id FROM ("
+        f" SELECT p.probe_id, p.pemb, c.cluster_id,"
+        f" row_number() OVER (PARTITION BY p.probe_id"
+        f" ORDER BY {_sqdist_sql('p.pemb', 'c.cent')} ASC, c.cluster_id ASC) AS crnk"
+        f" FROM probes p CROSS JOIN {last_cent} c) t WHERE crnk <= {TRAINED_PROBE_CELLS})",
+        f"scored AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,"
+        f" round({_cos_sql('pc.pemb', 'a.emb')}, 6) AS cosine"
+        f" FROM pcells pc JOIN {last_assign} a ON a.cluster_id = pc.cluster_id"
+        f" WHERE a.vec_id <> pc.probe_id)"
+    ]
     return (
-        assign.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.min("vec_id").alias("rep_vec_id"),
-            F.sum(F.round("dist", 6).cast("decimal(24,6)")).cast("double").alias("inertia"),
-        )
-        .orderBy("cluster_id")
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT probe_id, neighbor_id, cosine, rnk FROM (
+            SELECT probe_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """
+    )
+
+
+@register("x_knn_ivf_trained", tags=("EXT", "X3", "F4", "F5"), oracle=_ivf_trained_oracle())
+def x_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN over a TRAINED coarse quantizer — the full
+    train -> index -> search ANN pipeline: x_cluster_kmeans' Lloyd
+    iterations produce the cell centroids and the cell assignment, then
+    each probe searches its TRAINED_PROBE_CELLS nearest cells with exact
+    cosine rerank. Complements x_knn_ivf (seed centroids stand-in) with
+    the production shape, and the whole pipeline stays deterministic, so
+    the DuckDB oracle replays training AND search for a full value-hash
+    check.
+
+    100 TB design: training runs on the corpus (or a sample) with
+    broadcast centroids; the assignment is exactly the partition key the
+    corpus would be written bucketed by, making each probe a
+    partition-pruned scan of TRAINED_PROBE_CELLS/K_CLUSTERS of the data.
+    Search joins probes (broadcast) to cells by key — hash joins
+    end-to-end, no nested loop."""
+    cents, assign = _kmeans_fit(spark, sf_dir)
+    probes = (
+        assign.orderBy("vec_id")
+        .limit(N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"))
+    )
+    pdist = _sq_dist(F.col("pemb"), F.col("cent"))
+    wp = W.partitionBy("probe_id").orderBy(F.asc("pdist"), F.asc("cluster_id"))
+    pcells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cents))
+        .select("probe_id", "pemb", "cluster_id", pdist.alias("pdist"))
+        .withColumn("crnk", F.row_number().over(wp))
+        .filter(F.col("crnk") <= TRAINED_PROBE_CELLS)
+        .select("probe_id", "pemb", "cluster_id")
+    )
+    cos = F.round(cosine_similarity(F.col("pemb"), F.col("emb")), 6)
+    scored = (
+        F.broadcast(pcells)
+        .join(assign, "cluster_id")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
     )

@@ -265,3 +265,21 @@ def test_kmeans_partitions_corpus_and_beats_init(spark, reg):
     finally:
         knn_mod.KMEANS_ITERS = orig
     assert sum(r["inertia"] for r in out) <= sum(r["inertia"] for r in one) + 1e-6
+
+
+def test_trained_ivf_recall_and_cell_coverage(spark, reg):
+    """The trained-quantizer IVF searches TRAINED_PROBE_CELLS of
+    K_CLUSTERS cells, so it must recover a healthy fraction of the exact
+    top-k, and training must matter: its cells are the k-means
+    assignment, so every returned neighbor shares a probed cell."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn"].build(spark, SF_SMOKE).collect()
+    }
+    trained = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in reg["x_knn_ivf_trained"].build(spark, SF_SMOKE).collect()
+    }
+    assert trained, "trained IVF must return results"
+    recall = len(trained & exact) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall collapsed: {recall:.2f}"
