@@ -111,7 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sliding",              # T2
     "x_session",              # T3
     "x_stream_stream_join",   # T6,T4
-    "x_stream_stateful",      # T5
+    "x_stream_dedup",         # T5,T4,X1 — stateful dedup, fully oracle-backed
 )
 
 
