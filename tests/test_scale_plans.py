@@ -96,3 +96,45 @@ def test_runtime_bloom_filter_is_injected_and_confs_restored(spark):
     # and the filtered join still returns the right shape
     rows = df.collect()
     assert len(rows) > 0 and all(r["n"] > 0 for r in rows)
+
+
+def test_decontaminate_broadcasts_the_benchmark_side(spark):
+    """The benchmark shingle set must broadcast (eval suites are MBs, the
+    corpus is TBs) — the corpus side must never be the build side of a
+    shuffle join, even with auto-broadcast off."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = reg["x_decontaminate"].build(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_lines_shuffles_digests_not_text(spark):
+    """The boilerplate doc-frequency exchange must be keyed on the
+    16-byte segment digest; the boilerplate set joins back broadcast."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["x_dedup_lines"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(seg_hash" in plan, plan
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark):
+    """Every Lloyd iteration must broadcast the K-centroid side into the
+    assignment join — never shuffle the corpus against it."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["x_cluster_kmeans"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    from music_database_spark.operators.knn import KMEANS_ITERS
+
+    assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS, plan
