@@ -736,3 +736,127 @@ def x_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "cosine", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+QUANT_LEVELS = 255  # int8 scalar quantization: levels per dimension
+
+
+@register(
+    "x_vec_quantize",
+    tags=("EXT", "X3", "X5", "F4", "F5"),
+    oracle=f"""
+        WITH dbl AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+            FROM (SELECT unnest(emb) AS v, unnest(range(1, len(emb) + 1)) AS pos
+                  FROM dbl) u
+            GROUP BY pos
+        ),
+        arrs AS (
+            SELECT list(mn ORDER BY pos) AS mins,
+                   list(CASE WHEN mx = mn THEN 0.0
+                             ELSE (mx - mn) / {QUANT_LEVELS} END ORDER BY pos) AS scales
+            FROM stats
+        ),
+        q AS (
+            SELECT d.vec_id, d.label, a.mins, a.scales,
+                   list_transform(range(1, {EMB_DIM} + 1),
+                       i -> CASE WHEN a.scales[i] = 0 THEN 0
+                                 ELSE CAST(round((d.emb[i] - a.mins[i]) / a.scales[i])
+                                           AS BIGINT) END) AS qv,
+                   d.emb
+            FROM dbl d CROSS JOIN arrs a
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(list_aggregate(qv, 'sum')) AS BIGINT) AS sum_q,
+               CAST(SUM(CAST(round(
+                   list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+                       i -> abs(emb[i] - (mins[i] + qv[i] * scales[i]))), 'sum'),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
+        FROM q GROUP BY label ORDER BY label
+    """,
+)
+def x_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x storage/bandwidth compression before ANN indexing at 100 TB:
+    per-dimension global [min, max] is learned in one aggregate, each
+    vector quantizes to QUANT_LEVELS levels, and the query reports
+    per-label quantized mass plus total L1 reconstruction error.
+
+    Deterministic end-to-end: min/max are exact, the quantize/dequantize
+    arithmetic is IEEE double with identical op order on both engines
+    (round-half-away ties match Spark's HALF_UP for the non-negative
+    operand), per-vector error folds sequentially, and the final sums
+    accumulate 6-dp decimals — so the oracle value-hash-checks the whole
+    codec.
+
+    100 TB design: the stats pass is a (dim)-keyed partial agg (64 rows
+    out), the codec itself is map-only with the 64-entry codebook
+    broadcast — the same shape as applying any learned per-column
+    transform. Quantized vectors would be written as array<tinyint>
+    cutting the embedding store 4x; recall impact is bounded by
+    scale/2 per dimension. Reference parity: no vector surface in the
+    reference (SURVEY.md §2.10 X3/X5 mandate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_dbl = emb.select("vec_id", "label", as_double_array("embedding").alias("emb"))
+    ex = emb_dbl.select(F.posexplode("emb").alias("pos", "v"))
+    stats = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    scale = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("mx") - F.col("mn")) / QUANT_LEVELS
+    )
+    arrs = (
+        stats.select(F.struct("pos", "mn", scale.alias("sc")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.transform("ss", lambda s: s["mn"]).alias("mins"),
+            F.transform("ss", lambda s: s["sc"]).alias("scales"),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.lit(EMB_DIM))
+
+    def _q(i):
+        sc = F.element_at("scales", i)
+        return (
+            F.when(sc == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.round((F.element_at("emb", i) - F.element_at("mins", i)) / sc).cast(
+                    "bigint"
+                )
+            )
+        )
+
+    def _err(i):
+        return F.abs(
+            F.element_at("emb", i)
+            - (
+                F.element_at("mins", i)
+                + F.element_at("qv", i) * F.element_at("scales", i)
+            )
+        )
+
+    q = emb_dbl.crossJoin(F.broadcast(arrs)).withColumn(
+        "qv", F.transform(idx, _q)
+    )
+    per_vec = q.select(
+        "label",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("qsum"),
+        F.round(
+            F.aggregate(F.transform(idx, _err), F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("verr"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("qsum").cast("bigint").alias("sum_q"),
+            F.sum("verr").cast("double").alias("recon_err"),
+        )
+        .orderBy("label")
+    )
