@@ -409,3 +409,89 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_id"),
     ).orderBy("lang")
+
+
+Z_BITS = 12  # z-order: bits per dimension (day index, customer bucket)
+Z_BUCKET_SHIFT = 2 * Z_BITS - 6  # keep the top 6 bits -> 64 z-buckets
+
+
+def _z_expr(engine: str) -> str:
+    """Bit-interleave of d_q and c_q (Z_BITS bits each) as a SQL
+    expression, generated per engine: Spark spells shifts as
+    shiftleft/shiftright functions, DuckDB as << / >> operators. The
+    arithmetic is identical 64-bit integer math, so the z-values hash
+    identically."""
+    terms = []
+    for b in range(Z_BITS):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright(d_q, {b}) & 1, {2 * b})")
+            terms.append(f"shiftleft(shiftright(c_q, {b}) & 1, {2 * b + 1})")
+        else:
+            terms.append(f"(((d_q >> {b}) & 1) << {2 * b})")
+            terms.append(f"(((c_q >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "x_zorder_layout",
+    tags=("EXT", "S5", "S6", "F4"),
+    oracle=f"""
+        WITH q AS (
+            SELECT CAST(LEAST(o_orderdate - DATE '1992-01-01', 4095) AS BIGINT) AS d_q,
+                   CAST(LEAST(o_custkey // 8, 4095) AS BIGINT) AS c_q
+            FROM orders
+        ),
+        z AS (
+            SELECT d_q, c_q, ({_z_expr('duck')}) >> {Z_BUCKET_SHIFT} AS z_bucket
+            FROM q
+        )
+        SELECT z_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MAX(d_q) - MIN(d_q) AS BIGINT) AS day_span,
+               CAST(MAX(c_q) - MIN(c_q) AS BIGINT) AS cust_span
+        FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders — the multi-dimensional
+    generalization of x_sorted_layout's 1-D sort: interleaving the bits of
+    the day index and the customer bucket gives one integer whose ranges
+    are small rectangles in (date x customer) space, so ONE layout serves
+    range filters on EITHER dimension (the Delta/Iceberg Z-ORDER BY
+    technique). Reports per-z-bucket row counts and the day/customer
+    spans each bucket touches — the locality the layout buys; the
+    physical file-pruning effect of writing repartitionByRange(z) is
+    pinned in tests (tests/test_scale_plans.py) with _metadata file
+    counts, like x_sorted_layout.
+
+    Pure 64-bit integer arithmetic (shiftleft/shiftright/&) generated
+    from the same bit schedule on both engines — exactly hash-checkable.
+    At 100 TB: write the fact table range-partitioned by z; a one-month
+    filter or a customer-segment filter each prune to ~sqrt fraction of
+    files instead of one dimension winning and the other scanning
+    everything."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select(
+        F.least(
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")), F.lit(4095)
+        )
+        .cast("bigint")
+        .alias("d_q"),
+        F.least((F.col("o_custkey") / 8).cast("bigint"), F.lit(4095))
+        .cast("bigint")
+        .alias("c_q"),
+    )
+    z = q.select(
+        "d_q",
+        "c_q",
+        F.shiftright(F.expr(_z_expr("spark")), Z_BUCKET_SHIFT).alias("z_bucket"),
+    )
+    return (
+        z.groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.max("d_q") - F.min("d_q")).cast("bigint").alias("day_span"),
+            (F.max("c_q") - F.min("c_q")).cast("bigint").alias("cust_span"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -283,3 +283,40 @@ def test_trained_ivf_recall_and_cell_coverage(spark, reg):
     assert trained, "trained IVF must return results"
     recall = len(trained & exact) / len(exact)
     assert recall >= 0.5, f"trained-IVF recall collapsed: {recall:.2f}"
+
+
+def test_quantize_error_bounded_by_half_step(spark, reg):
+    """Scalar quantization guarantees per-element error <= scale/2, so
+    each label's total L1 reconstruction error must stay under
+    n_vecs * sum(scales)/2 — and quantization must be lossy but sane."""
+    out = reg["x_vec_quantize"].build(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    import numpy as np
+
+    vecs = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    from music_database_spark.operators.knn import QUANT_LEVELS
+
+    scales = (vecs.max(axis=0) - vecs.min(axis=0)) / QUANT_LEVELS
+    half_step_budget = scales.sum() / 2 + 1e-9
+    n_total = 0
+    for r in out:
+        assert r["recon_err"] <= r["n_vecs"] * half_step_budget
+        assert r["recon_err"] > 0  # int8 is genuinely lossy on float data
+        n_total += r["n_vecs"]
+    assert n_total == len(vecs)
+
+
+def test_mixture_sample_rates_track_targets(spark, reg):
+    """Hash-gated sampling is binomial: each source's realized keep rate
+    must track its target within a generous concentration bound, and
+    rerunning must reproduce the exact same counts (order independence)."""
+    rows = reg["x_mixture_sample"].build(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # 5-sigma binomial bound, safe for n=25 per source
+        import math
+
+        sigma = math.sqrt(r["n_total"] * r["target_rate"] * (1 - r["target_rate"]))
+        assert abs(r["n_kept"] - r["n_total"] * r["target_rate"]) <= 5 * sigma + 1
+    again = reg["x_mixture_sample"].build(spark, SF_SMOKE).collect()
+    assert rows == again
