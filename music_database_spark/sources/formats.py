@@ -437,7 +437,8 @@ def _z_expr(engine: str) -> str:
     tags=("EXT", "S5", "S6", "F4"),
     oracle=f"""
         WITH q AS (
-            SELECT CAST(LEAST(o_orderdate - DATE '1992-01-01', 4095) AS BIGINT) AS d_q,
+            SELECT CAST(LEAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)), 4095) AS BIGINT) AS d_q,
                    CAST(LEAST(o_custkey // 8, 4095) AS BIGINT) AS c_q
             FROM orders
         ),

@@ -138,3 +138,59 @@ def test_kmeans_broadcasts_centroids_every_iteration(spark):
     from music_database_spark.operators.knn import KMEANS_ITERS
 
     assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS, plan
+
+
+def test_zorder_layout_prunes_files_on_both_dimensions(spark, tmp_path):
+    """The x_zorder_layout docstring's claim, measured: one z-ordered
+    layout must confine a narrow range filter on EITHER dimension to a
+    strict subset of the physical files, while the scattered layout
+    bleeds (nearly) every file into both scans. Both dimensions are
+    quantized adaptively to the full 12-bit range here so the interleave
+    is balanced even at smoke scale (the registered query's fixed //8
+    bucketing leaves c_q only ~5 bits at sf0.001)."""
+    from music_database_spark.sources.formats import _z_expr
+
+    orders = load_table(spark, SF, "orders")
+    s = orders.agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dspan"),
+        F.min("o_custkey").alias("cmin"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("cspan"),
+    ).first()
+    q = orders.select(
+        (F.datediff("o_orderdate", F.lit(s["dmin"])) * 4096 / (s["dspan"] + 1))
+        .cast("bigint")
+        .alias("d_q"),
+        ((F.col("o_custkey") - s["cmin"]) * 4096 / (s["cspan"] + 1))
+        .cast("bigint")
+        .alias("c_q"),
+    )
+    z = q.withColumn("z", F.expr(_z_expr("spark")))
+    n_files = 16
+    paths = {
+        "scattered": str(tmp_path / "scattered"),
+        "zorder": str(tmp_path / "zorder"),
+    }
+    z.repartition(n_files).write.mode("overwrite").parquet(paths["scattered"])
+    z.repartitionByRange(n_files, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(paths["zorder"])
+
+    def scan(path, col):
+        # a 1/8-wide slice of the quantized space on one dimension
+        df = spark.read.parquet(path).filter(
+            (F.col(col) >= 1024) & (F.col(col) < 1536)
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+        ).first()
+
+    for col in ("d_q", "c_q"):
+        sc = scan(paths["scattered"], col)
+        zo = scan(paths["zorder"], col)
+        assert zo["n_rows"] == sc["n_rows"] and zo["n_rows"] > 0
+        # 16 files cover the top 4 z bits = 2 high bits per dimension, so a
+        # 1/8 slice on either dimension lives in ~1/4 of the files (+range
+        # boundary straddle); the scattered layout touches essentially all.
+        assert zo["n_files"] < sc["n_files"], (col, zo, sc)
