@@ -1024,3 +1024,85 @@ def x_dedup_incremental_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "index_id", "n_inter", "n_union")
         .orderBy("batch_id", "index_id")
     )
+
+
+K_SEMANTIC = 32  # semantic dedup: k-means cells (scale K ~ N/target_cell_size)
+SEM_DUP_COS = 0.3  # within-cell cosine at/above which the higher vec_id drops
+
+
+def _semantic_oracle() -> str:
+    from .knn import KMEANS_ITERS, _cos_sql, _kmeans_ctes
+
+    last = f"assign{KMEANS_ITERS}"
+    ctes = _kmeans_ctes(K_SEMANTIC) + [
+        f"sims AS (SELECT a.vec_id, MAX(round({_cos_sql('a.emb', 'b.emb')}, 6)) AS best"
+        f" FROM {last} a JOIN {last} b"
+        f" ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id"
+        f" GROUP BY a.vec_id)"
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT m.vec_id, m.cluster_id, s.best AS best_lower_sim,
+               COALESCE(s.best >= {SEM_DUP_COS}, FALSE) AS is_dup
+        FROM {last} m LEFT JOIN sims s ON m.vec_id = s.vec_id
+        ORDER BY m.vec_id
+    """
+    )
+
+
+@register("x_semantic_dedup", tags=("EXT", "X2", "X3", "F4", "F5"), oracle=_semantic_oracle())
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means the embedding space into K_SEMANTIC cells, then compare pairs
+    ONLY within a cell — a vector is a semantic duplicate iff some
+    lower-id cell-mate sits at cosine >= SEM_DUP_COS. Per vector:
+    (cluster_id, best similarity to a lower-id cell-mate, verdict).
+
+    The within-cell pairwise step is the published algorithm, not a
+    shortcut: its cost is sum over cells of |cell|^2, and K is chosen to
+    scale with corpus size so |cell| stays ~constant — total work is
+    linear in N with a bounded constant, vs the quadratic all-pairs this
+    replaces. The k-means trainer is the shared broadcast-Lloyd's of
+    x_cluster_kmeans (knn.py:_kmeans_fit, k parameterized).
+
+    Fully oracle-checked end-to-end despite two stages of float math:
+    training replays deterministically (decimal centroid means,
+    sequential-fold distances, cluster-id tie-breaks) and the pairwise
+    cosines round to 6dp before the MAX/threshold, so DuckDB unrolls
+    train -> assign -> pairwise -> verdict and value-hashes every row.
+
+    100 TB design: the cell join is an equi-join on cluster_id (skew
+    bounded by the max cell size the trainer controls); centroids
+    broadcast; nothing all-pairs. Reference parity: no vector surface in
+    the reference (SURVEY.md §2.10 X2/X3 mandate)."""
+    from .knn import _kmeans_fit
+
+    _cents, assign = _kmeans_fit(spark, sf_dir, k=K_SEMANTIC)
+    from ..functions.vector import cosine_similarity
+
+    members = assign.select("vec_id", "cluster_id", "emb")
+    sims = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("best"))
+    )
+    return (
+        members.select("vec_id", "cluster_id")
+        .join(sims, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("best").alias("best_lower_sim"),
+            F.coalesce(F.col("best") >= SEM_DUP_COS, F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

@@ -517,20 +517,20 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes(k: int = K_CLUSTERS) -> list[str]:
     """Unrolled KMEANS_ITERS-iteration Lloyd's as DuckDB CTEs, mirroring
     the Spark plan op-for-op: same seed centroids, same sequential-fold
     doubles, same (dist ASC, cluster_id ASC) assignment tie-break, same
     DECIMAL(27,12)-exact centroid means. Shared by the x_cluster_kmeans
-    oracle and the x_knn_ivf_trained oracle (which searches the trained
-    quantizer)."""
+    oracle, the x_knn_ivf_trained oracle (which searches the trained
+    quantizer), and the x_semantic_dedup oracle (k=K_SEMANTIC)."""
     d_expr = _sqdist_sql("d.emb", "c.cent")
     ctes = [
         "dbl AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
         " FROM embeddings)",
         f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,"
         f" emb AS cent FROM (SELECT vec_id, emb FROM dbl ORDER BY vec_id"
-        f" LIMIT {K_CLUSTERS}) s)",
+        f" LIMIT {k}) s)",
     ]
     for it in range(1, KMEANS_ITERS + 1):
         ctes.append(
@@ -600,7 +600,7 @@ def x_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fit(spark: SparkSession, sf_dir: str):
+def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS):
     """Run KMEANS_ITERS Lloyd iterations; returns (cents, assign) where
     cents is the trained quantizer (cluster_id, cent) the final assignment
     used, and assign is (vec_id, emb, cluster_id, dist)."""
@@ -609,7 +609,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     w0 = W.orderBy("vec_id")
     cents = (
         emb_dbl.orderBy("vec_id")
-        .limit(K_CLUSTERS)
+        .limit(k)
         .select(
             (F.row_number().over(w0) - 1).alias("cluster_id"),
             F.col("emb").alias("cent"),

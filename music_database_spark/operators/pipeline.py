@@ -722,3 +722,61 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_total", "n_kept", "kept_chars", "target_rate")
         .orderBy("source")
     )
+
+
+DOMAIN_CAP = 20  # max documents kept per source domain
+
+
+@register(
+    "x_domain_cap",
+    tags=("EXT", "X4", "O3", "F3"),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rnk
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rnk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN rnk <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT)
+                   AS kept_id_sum
+        FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — web-corpus preps bound any one domain's
+    contribution so a single crawl-heavy site can't dominate the mixture
+    (the per-domain cap in public corpus recipes, e.g. C4/RefinedWeb).
+    Keeps at most DOMAIN_CAP docs per source, chosen by a DETERMINISTIC
+    pseudo-random order (md5 of the doc id, doc_id tie-break) so the cap
+    is an unbiased sample that is stable across runs, partitionings, and
+    engines — not "first N by ingest order", which would bias toward
+    whatever the crawler saw first. Reports per source the total, the
+    kept count, and the kept-id checksum that pins WHICH docs survived.
+
+    Plan: one row_number window partitioned by source (the shuffle key),
+    then a partial-aggregable rollup on the same key — one exchange
+    total. At 100 TB a pathologically hot domain would skew its window
+    partition; the fix is the two-phase cap (per-partition pre-cap to
+    DOMAIN_CAP, then the global window over the <= DOMAIN_CAP x
+    n_partitions survivors), same answer by the order's transitivity."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum((F.col("rnk") <= DOMAIN_CAP).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rnk") <= DOMAIN_CAP, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )

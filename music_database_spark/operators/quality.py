@@ -1,0 +1,186 @@
+"""Data-quality operators (EXT): column profiling and statistical
+outlier detection — the screening pass any 100 TB ingest runs before the
+corpus-prep pipeline (operators/pipeline.py) trusts the data.
+
+Scale notes:
+* x_profile is ONE aggregation pass computing every column's metrics
+  simultaneously; the exact multi-column COUNT(DISTINCT) plans as one
+  Expand (x5 rows, map-side) + partial aggregation — no per-column
+  re-scan. At 100 TB swap the exact distincts for approx_count_distinct
+  (HLL partials merge associatively); the query shape is unchanged.
+* x_outliers is two passes: a per-group partial-agg for the moment
+  statistics (decimal-exact, so cross-engine deterministic), broadcast
+  back over the stream for the z-scores. No window over the full table,
+  no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.relational import _t
+from ..registry import register
+
+# (column, kind) pairs profiled over orders; kind picks the min/max
+# string rendering that is bit-identical across Spark and DuckDB.
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _minmax_sql(col: str, kind: str, fn: str) -> str:
+    if kind == "bigint":
+        return f"CAST({fn}({col}) AS VARCHAR)"
+    if kind == "money":
+        return f"CAST(CAST({fn}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "date":
+        return f"strftime({fn}({col}), '%Y-%m-%d')"
+    return f"{fn}({col})"
+
+
+def _profile_oracle() -> str:
+    blocks = []
+    for col, kind in PROFILE_COLS:
+        blocks.append(
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {_minmax_sql(col, kind, 'MIN')} AS min_str,"
+            f" {_minmax_sql(col, kind, 'MAX')} AS max_str"
+            f" FROM orders"
+        )
+        # DuckDB folds the five scans into one; the UNION ALL is for
+        # clarity, the Spark side is genuinely single-pass.
+    return " UNION ALL ".join(blocks) + " ORDER BY col_name"
+
+
+def _minmax_spark(col: str, kind: str, fn) -> F.Column:
+    if kind == "bigint":
+        return fn(col).cast("string")
+    if kind == "money":
+        return fn(col).cast("decimal(18,2)").cast("string")
+    if kind == "date":
+        return F.date_format(fn(col), "yyyy-MM-dd")
+    return fn(col)
+
+
+@register("x_profile", tags=("EXT", "A1", "A6", "F7"), oracle=_profile_oracle())
+def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: per profiled column of orders — row count, null
+    count, exact distinct count, and min/max rendered to a canonical
+    string per type (bigints plain, money via DECIMAL(18,2), dates
+    yyyy-MM-dd). The long-format output is built by aggregating every
+    column's metrics in ONE pass and exploding the wide row into
+    (col_name, metrics) structs driver-side-free.
+
+    This is the profiling sweep a data contract check runs per partition
+    drop; at 100 TB the exact COUNT(DISTINCT x5) becomes
+    approx_count_distinct to avoid the Expand blowup, everything else is
+    identical (see module docstring)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        aggs.append(F.sum(F.col(col).isNull().cast("bigint")).alias(f"null_{col}"))
+        aggs.append(F.count_distinct(F.col(col)).cast("bigint").alias(f"nd_{col}"))
+        aggs.append(_minmax_spark(col, kind, F.min).alias(f"min_{col}"))
+        aggs.append(_minmax_spark(col, kind, F.max).alias(f"max_{col}"))
+    wide = orders.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"null_{col}").alias("n_null"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+            F.col(f"min_{col}").alias("min_str"),
+            F.col(f"max_{col}").alias("max_str"),
+        )
+        for col, _ in PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+Z_THRESHOLD = 3.0  # |z| above which an event value is an outlier
+
+
+@register(
+    "x_outliers",
+    tags=("EXT", "A5", "J5", "F4"),
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mean,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        scored AS (
+            SELECT e.event_type,
+                   round(abs((e.value - s.mean)
+                             / sqrt(GREATEST((s.sumsq - s.mean * s.mean * s.n) / s.n,
+                                             1e-300))), 6) AS az
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+            WHERE e.value IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN az > {Z_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               MAX(az) AS max_abs_z
+        FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier screen: per event_type, population z-score of
+    every event value against the type's own mean/stddev; reports the
+    event count, how many land beyond |z| > {Z}, and the max |z|.
+
+    Determinism across engines despite float math: the moments accumulate
+    in DECIMAL (exact, order-independent), collapse to double once, and
+    every downstream op (subtract, divide, sqrt, round-6) is identical
+    IEEE arithmetic on identical inputs. Variance uses the
+    sum-of-squares identity so ONE partial-aggregable pass computes all
+    moments; the stats side (5 rows) broadcasts back onto the stream.
+    At 100 TB: partial agg + broadcast join — no shuffle of the events
+    table at all, the exact shape anomaly screens need."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sumsq"),
+    )
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sumsq") - F.col("mean") * F.col("mean") * F.col("n")) / F.col("n"),
+            F.lit(1e-300),
+        )
+    )
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.round(F.abs((F.col("value") - F.col("mean")) / sd), 6).alias("az"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("az") > Z_THRESHOLD).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("az").alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

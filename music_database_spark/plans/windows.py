@@ -261,3 +261,181 @@ def x_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS trailing_1h_n
         FROM events_trf ORDER BY user_id, event_id
     """)
+
+
+@register(
+    "x_scd2_history",
+    tags=("EXT", "O4", "F7"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type,
+               CAST(MAX(CASE WHEN valid_to IS NOT NULL
+                             THEN epoch_us(valid_to) - epoch_us(ts) END) AS BIGINT)
+                   AS longest_closed_us,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_from
+        FROM chg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each user's event_type
+    treated as a versioned attribute — collapse the event stream to its
+    CHANGE rows (lag filter), then effective-date each version with
+    valid_from = its ts and valid_to = the next change's ts (lead over
+    the filtered rows; NULL = current). Summarized per user (version
+    count, current value, longest closed version in us, first effective
+    ts) so the output hash pins every version boundary without shipping
+    the full history table.
+
+    The two-window pipeline reuses ONE (user_id, ts, event_id) sort:
+    Catalyst plans lag and lead over the same partitioning as a single
+    exchange + sort, then the final groupBy(user_id) rides the same
+    partitioning — one shuffle total for the whole dimension build. At
+    100 TB user_id is high-cardinality so the shuffle is well spread;
+    state per key is one version row, not the event history. Timestamps
+    compare in integer microseconds (the loader's truncation contract,
+    sources/loader.py). Reference parity: the reference's MySQL schema
+    versions nothing; this is the warehouse-side surface its
+    'users/history' tables imply (SURVEY.md §2 O4/F7)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = (
+        ev.select("user_id", "event_type", "ts", "event_id", prev.alias("prev_type"))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .withColumn("valid_to", F.lead("ts").over(w))
+    )
+    return (
+        chg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.max(
+                F.when(F.col("valid_to").isNull(), F.col("event_type"))
+            ).alias("current_type"),
+            F.max(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.unix_micros("valid_to") - F.unix_micros("ts"),
+                )
+            )
+            .cast("bigint")
+            .alias("longest_closed_us"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_from"),
+        )
+        .orderBy("user_id")
+    )
+
+
+N_BUSY_WINDOWS = 20  # interval overlap: busiest hours promoted to windows
+WIN_PRE_US = 900_000_000  # window reach-back: 15 min before the hour
+WIN_POST_US = 4_500_000_000  # window reach-forward: 75 min after the hour start
+
+
+@register(
+    "x_interval_overlap",
+    tags=("EXT", "J8", "A1"),
+    oracle=f"""
+        WITH hours AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY h
+        ),
+        windows AS (
+            SELECT h, epoch_us(h) - {WIN_PRE_US} AS w_start_us,
+                   epoch_us(h) + {WIN_POST_US} AS w_end_us
+            FROM (SELECT h, row_number() OVER (ORDER BY n DESC, h ASC) AS rnk
+                  FROM hours) t
+            WHERE rnk <= {N_BUSY_WINDOWS}
+        ),
+        spans AS (
+            SELECT user_id, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+            HAVING epoch_us(MAX(ts)) > epoch_us(MIN(ts))
+        )
+        SELECT strftime(w.h, '%Y-%m-%d %H:%M:%S') AS window_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(LEAST(s.e_us, w.w_end_us) - GREATEST(s.s_us, w.w_start_us))
+                    AS BIGINT) AS total_overlap_us
+        FROM windows w JOIN spans s
+          ON s.s_us < w.w_end_us AND w.w_start_us < s.e_us
+        GROUP BY w.h ORDER BY window_hour
+    """,
+)
+def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join (J8's general form — both sides
+    are ranges, unlike the point-in-range j_event_window / x_asof_join):
+    per-user daily activity spans [first event, last event] overlapped
+    against the {N_BUSY_WINDOWS} busiest hours widened to
+    [-15 min, +75 min) incident windows, reporting per window how many
+    user-day spans intersect it and the exact total overlap duration.
+    Overlap predicate s.start < w.end AND w.start < s.end; duration
+    least(ends) - greatest(starts), all in integer microseconds.
+
+    Plan shape: the window side is tiny by construction (top-N of a
+    groupBy), so Spark broadcasts it and the inequality join runs as
+    BroadcastNestedLoopJoin over the span side — at 100 TB that is a
+    map-only pass over the spans, no shuffle of the big side, and the
+    classic fallback when neither side has an equi-key. A billion-row
+    span table against 20 windows stays embarrassingly parallel; if the
+    window side ever grew, the production path is binning both sides to
+    a shared time bucket and equi-joining on the bucket (the technique
+    x_dedup_* uses for similarity candidates)."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # Top-N over ~720 candidate hours: the unpartitioned row_number is a
+    # single-task sort of a pre-aggregated frame, not of the events table.
+    wrnk = W.orderBy(F.desc("n"), F.asc("h"))
+    windows = (
+        hours.withColumn("rnk", F.row_number().over(wrnk))
+        .filter(F.col("rnk") <= N_BUSY_WINDOWS)
+        .select(
+            "h",
+            (F.unix_micros("h") - F.lit(WIN_PRE_US)).alias("w_start_us"),
+            (F.unix_micros("h") + F.lit(WIN_POST_US)).alias("w_end_us"),
+        )
+    )
+    spans = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    joined = F.broadcast(windows).join(
+        spans,
+        (F.col("s_us") < F.col("w_end_us")) & (F.col("w_start_us") < F.col("e_us")),
+    )
+    return (
+        joined.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.least("e_us", "w_end_us") - F.greatest("s_us", "w_start_us")
+            )
+            .cast("bigint")
+            .alias("total_overlap_us"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_hour"),
+            "n_spans",
+            "n_users",
+            "total_overlap_us",
+        )
+        .orderBy("window_hour")
+    )

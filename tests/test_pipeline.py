@@ -320,3 +320,99 @@ def test_mixture_sample_rates_track_targets(spark, reg):
         assert abs(r["n_kept"] - r["n_total"] * r["target_rate"]) <= 5 * sigma + 1
     again = reg["x_mixture_sample"].build(spark, SF_SMOKE).collect()
     assert rows == again
+
+
+def test_semantic_dedup_verdicts_match_numpy_within_cells(spark, reg):
+    """Given the cell assignment the operator itself reports, every
+    verdict must agree with a from-scratch numpy pairwise check: a vector
+    is a dup iff some lower-id cell-mate has cosine >= SEM_DUP_COS.
+    (Clustering correctness itself is pinned by the x_cluster_kmeans
+    oracle; this guards the pairwise stage against a shared mistake in
+    both SQL formulations.)"""
+    import numpy as np
+
+    from music_database_spark.operators.dedup import SEM_DUP_COS
+
+    out = {r["vec_id"]: r for r in reg["x_semantic_dedup"].build(spark, SF_SMOKE).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert set(out) == set(emb)
+    cells: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        cells.setdefault(r["cluster_id"], []).append(vid)
+    n_dups = 0
+    for members in cells.values():
+        for vid in members:
+            best = None
+            for other in members:
+                if other < vid:
+                    a, b = emb[vid], emb[other]
+                    c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                    best = c if best is None else max(best, c)
+            expect_dup = best is not None and round(best, 6) >= SEM_DUP_COS
+            assert out[vid]["is_dup"] == expect_dup, (vid, best, out[vid])
+            if expect_dup:
+                n_dups += 1
+            if best is not None:
+                assert abs(out[vid]["best_lower_sim"] - best) < 1e-5
+    # the threshold must actually bite on this corpus, else the test is vacuous
+    assert n_dups > 0
+
+
+def test_scd2_reconstructs_one_users_history(spark, reg):
+    """Replay one user's event stream in plain Python and compare the
+    version count, current type, and longest closed version."""
+    rows = {r["user_id"]: r for r in reg["x_scd2_history"].build(spark, SF_SMOKE).collect()}
+    uid = sorted(rows)[0]
+    from music_database_spark.sources.loader import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") == uid)
+        .select("ts", "event_id", "event_type")
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["ts"], r["event_id"]))
+    versions = []
+    for r in ev:
+        if not versions or versions[-1][1] != r["event_type"]:
+            versions.append((r["ts"], r["event_type"]))
+    longest = max(
+        (
+            int((b[0] - a[0]).total_seconds() * 1_000_000)
+            for a, b in zip(versions, versions[1:])
+        ),
+        default=None,
+    )
+    got = rows[uid]
+    assert got["n_versions"] == len(versions)
+    assert got["current_type"] == versions[-1][1]
+    assert got["longest_closed_us"] == longest
+
+
+def test_domain_cap_keeps_exactly_min_total_cap(spark, reg):
+    from music_database_spark.operators.pipeline import DOMAIN_CAP
+
+    rows = reg["x_domain_cap"].build(spark, SF_SMOKE).collect()
+    assert rows, "documents table must have sources"
+    for r in rows:
+        assert r["n_kept"] == min(r["n_total"], DOMAIN_CAP)
+    again = reg["x_domain_cap"].build(spark, SF_SMOKE).collect()
+    assert rows == again  # the kept SET is deterministic, not just its size
+
+
+def test_interval_overlap_durations_are_bounded(spark, reg):
+    from music_database_spark.plans.windows import (
+        N_BUSY_WINDOWS,
+        WIN_POST_US,
+        WIN_PRE_US,
+    )
+
+    rows = reg["x_interval_overlap"].build(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= N_BUSY_WINDOWS
+    win_len = WIN_PRE_US + WIN_POST_US
+    for r in rows:
+        assert r["n_users"] <= r["n_spans"]
+        assert 0 < r["total_overlap_us"] <= r["n_spans"] * win_len
