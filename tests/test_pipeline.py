@@ -416,3 +416,56 @@ def test_interval_overlap_durations_are_bounded(spark, reg):
     for r in rows:
         assert r["n_users"] <= r["n_spans"]
         assert 0 < r["total_overlap_us"] <= r["n_spans"] * win_len
+
+
+def test_editdist_pairs_verified_by_python_levenshtein(spark, reg):
+    from music_database_spark.operators.linkage import EDIT_MAX
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = reg["x_editdist_join"].build(spark, SF_SMOKE).collect()
+    assert rows, "synthetic part names must yield candidate pairs"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]  # unordered pairs, canonical order
+        assert r["edit_dist"] == lev(r["name_a"], r["name_b"]) <= EDIT_MAX
+        # blocking contract: the pair shares at least one token
+        assert set(r["name_a"].split()) & set(r["name_b"].split())
+        assert r["parts_a"] >= 1 and r["parts_b"] >= 1
+    # completeness within the blocking contract: recompute all pairs in python
+    names = [r["p_name"] for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+             .select("p_name").distinct().collect()]
+    expect = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if set(a.split()) & set(b.split()) and lev(*sorted((a, b))) <= EDIT_MAX
+    }
+    got = {tuple(sorted((r["name_a"], r["name_b"]))) for r in rows}
+    assert got == {tuple(sorted(p)) for p in expect}
+
+
+def test_vocab_coverage_totals_and_bounds(spark, reg):
+    from music_database_spark.operators.linkage import VOCAB_K
+
+    rows = reg["x_vocab_coverage"].build(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    total_tok = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == total_tok
+    for r in rows:
+        assert 0 <= r["in_vocab_tokens"] <= r["total_tokens"]
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert 0 <= r["n_low_docs"] <= r["n_docs"]
+    # the learned vocab covers the K most frequent tokens: corpus-wide
+    # coverage must be >= K / n_distinct under the near-uniform synthetic mix
+    n_distinct = docs.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
+    corpus_cov = sum(r["in_vocab_tokens"] for r in rows) / total_tok
+    assert corpus_cov >= min(1.0, VOCAB_K / n_distinct) * 0.8
