@@ -118,11 +118,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the millisecond timestamps in orders/lineitem are untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa, so
-        # float division would round the microsecond off by one.
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        # Driver testdata generations differ: events.ts has shipped both as
+        # INT64 epoch-nanos (read as long under nanosAsLong) and as plain
+        # parquet timestamp[us] (read as TIMESTAMP_NTZ). Normalize either to
+        # session-zone TIMESTAMP (session tz is pinned UTC above, so NTZ →
+        # LTZ is the identity wall-clock mapping DuckDB's oracle also uses).
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa, so
+            # float division would round the microsecond off by one.
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -133,33 +133,43 @@ def x_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- true Structured Streaming (T4-T6): smoke-level, exercised by tests ---
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (same nanos handling as
-    the batch loader: read raw nanos as long, derive micro timestamps)."""
+    """File-source stream over the events parquet (same ts normalization as
+    the batch loader: nanos-as-long or native timestamp[us], by generation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Probe the batch footer once to learn which testdata generation this is
+    # (INT64 epoch-nanos vs parquet timestamp[us]) — a schema-only read.
+    ts_is_long = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
+    )
     # File-source streams need a directory; select just the events file
     # from the sf dir via glob (the real-deployment shape is a directory
     # of arriving part files anyway).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _events_raw_schema(T.LongType() if ts_is_long else T.TimestampNTZType())
+        )
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
