@@ -780,3 +780,124 @@ def x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BLOOM_BITS = 1 << 20  # bitmap size m (128 KiB) — sized for ~bench-set*10 FPR<1%
+BLOOM_K = 3  # probe count k
+
+
+def _bloom_probes(col):
+    # k positions from independently-seeded xxhash64 draws; pmod keeps
+    # them non-negative. Plain Catalyst, identical on every executor.
+    def probe(i):
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_BITS))
+
+    return F.array(*[probe(i) for i in range(BLOOM_K)])
+
+
+@register(
+    "x_bloom_decontaminate",
+    tags=("EXT", "X1", "X4", "J5", "S5"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                       string_split(text, ' ')[i : i + {CONTAM_NGRAM} - 1],
+                       ' ')) AS sh_hash
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, GREATEST(len(string_split(text, ' '))
+                                       - {CONTAM_NGRAM} + 1, 1))) AS i
+                FROM documents
+            ) t
+        ),
+        bench AS (
+            SELECT DISTINCT sh_hash FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        ov AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM sh c JOIN bench b ON c.sh_hash = b.sh_hash
+            WHERE c.doc_id % {BENCH_MOD} <> 0
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, n_overlap,
+               (n_overlap >= {CONTAM_MIN}) AS contaminated
+        FROM ov ORDER BY doc_id
+    """,
+)
+def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a hand-built Bloom prefilter — the scale
+    path for x_decontaminate when the benchmark shingle set outgrows the
+    broadcast threshold. Same semantics, same oracle: the Bloom pass only
+    prunes, and an exact join then removes its false positives, so the
+    output is bit-identical to the plain version.
+
+    The Bloom bitmap is built IN Spark as data, not via Catalyst's
+    internal bloom_filter_agg (not user-callable): each bench shingle
+    digest yields BLOOM_K=3 xxhash64 probe positions, positions group
+    into 64-bit words by `pos div 64`, and `bit_or(shiftleft(1L, pos %
+    64))` folds each word — a (BLOOM_BITS/64)-row table (16 K rows here)
+    regardless of bench-set size. Corpus shingles explode to their k
+    probes, broadcast-join the word table, and survive only when all k
+    bits are set (COUNT(*) = k, since each probe matches at most one
+    word row).
+
+    100 TB design: the plain twin must broadcast the FULL bench digest
+    set — fine for MB-scale eval suites, impossible when decontaminating
+    against a multi-TB held-out corpus. Here the broadcast side is a
+    fixed 128 KiB bitmap however large the bench set grows (tune
+    BLOOM_BITS ~ 10 bits/element), the corpus stream is pruned map-side
+    to ~FPR + true-overlap fraction, and only that sliver reaches the
+    exact shuffle join that guarantees exactness. Reference parity: no
+    such surface in the reference (pipeline mandate, SURVEY.md §2.10).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
+    )
+    sh = (
+        docs.select("doc_id", F.explode(sh_arr).alias("sh_hash"))
+        .dropDuplicates(["doc_id", "sh_hash"])
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh_hash").distinct()
+    )
+    words = (
+        bench.select(F.explode(_bloom_probes(F.col("sh_hash"))).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 64").alias("word_idx"))
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+            .alias("bits")
+        )
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    candidates = (
+        corpus_sh.select(
+            "doc_id", "sh_hash", F.explode(_bloom_probes(F.col("sh_hash"))).alias("pos")
+        )
+        .withColumn("word_idx", F.expr("pos div 64"))
+        .join(F.broadcast(words), "word_idx")
+        .filter(
+            F.expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0")
+        )
+        .groupBy("doc_id", "sh_hash")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == BLOOM_K)
+        .select("doc_id", "sh_hash")
+    )
+    return (
+        candidates.join(bench, "sh_hash")  # exact verify: kills Bloom FPs
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= CONTAM_MIN).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -194,3 +194,54 @@ def test_zorder_layout_prunes_files_on_both_dimensions(spark, tmp_path):
         # 1/8 slice on either dimension lives in ~1/4 of the files (+range
         # boundary straddle); the scattered layout touches essentially all.
         assert zo["n_files"] < sc["n_files"], (col, zo, sc)
+
+def test_bloom_decontaminate_bitmap_is_bounded_and_prunes(spark):
+    """The Bloom word-table must stay <= BLOOM_BITS/64 rows no matter how
+    large the benchmark set is (that's the whole point: fixed-size
+    broadcast), and the prefilter must prune the corpus shingle stream
+    before the exact verify join."""
+    from music_database_spark.operators.pipeline import (
+        BENCH_MOD,
+        BLOOM_BITS,
+        CONTAM_NGRAM,
+        _bloom_probes,
+    )
+    from music_database_spark.plans.relational import _t
+    import pyspark.sql.functions as F
+
+    docs = _t(spark, SF, "documents")
+    toks = F.split("text", " ")
+    n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
+    )
+    sh = docs.select("doc_id", F.explode(sh_arr).alias("sh_hash")).dropDuplicates(
+        ["doc_id", "sh_hash"]
+    )
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh_hash").distinct()
+    words = (
+        bench.select(F.explode(_bloom_probes(F.col("sh_hash"))).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 64").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias("bits"))
+    )
+    assert words.count() <= BLOOM_BITS // 64
+    # the prefilter keeps every true overlap (no false negatives) yet
+    # passes only a sliver of the corpus stream: survivors < 10% of input
+    corpus_n = sh.filter(F.col("doc_id") % BENCH_MOD != 0).count()
+    cand = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "sh_hash", F.explode(_bloom_probes(F.col("sh_hash"))).alias("pos"))
+        .withColumn("word_idx", F.expr("pos div 64"))
+        .join(F.broadcast(words), "word_idx")
+        .filter(F.expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0"))
+        .groupBy("doc_id", "sh_hash")
+        .count()
+        .filter(F.col("count") == 3)
+    )
+    n_cand = cand.count()
+    true_overlap = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0).join(bench, "sh_hash").count()
+    )
+    assert true_overlap <= n_cand < corpus_n * 0.10
