@@ -471,3 +471,50 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _run_available_now(agg, "stream_dedup").orderBy("event_type")
+
+
+@register(
+    "x_stream_session",
+    tags=("EXT", "T3", "T4"),
+    bench=False,
+    oracle="""
+        WITH flags AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def x_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (T3) executed as a TRUE stream — readStream ->
+    watermark -> session_window gap-merge -> availableNow — completing
+    the driver-visible true-stream twin set (tumbling/sliding/session).
+    Sessionization is the one window family whose streaming state does
+    real work: open sessions must persist across micro-batches until the
+    watermark passes their gap, and adjacent windows merge when a
+    bridging event arrives. Over a drained static source nothing is
+    late, so the merged sessions equal the batch x_session plan and the
+    same lag-based DuckDB oracle applies (integer counts + formatted
+    timestamps — hash-exact).
+
+    100 TB design: state is keyed (user_id, session), sharded across the
+    cluster by user hash; the watermark bounds retained state to open
+    sessions only, so steady-state memory tracks active users, not
+    history. The oracle's sort-based sessionization is the batch
+    equivalent; the streaming form replaces the full-history window sort
+    with incremental gap-merge."""
+    return stream_session_counts(spark, sf_dir).orderBy("user_id", "session_start")
