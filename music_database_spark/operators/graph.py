@@ -1,0 +1,170 @@
+"""Iterative graph analytics expressed as DataFrame joins.
+
+The graph is derived from the TPC-H-ish tables: a weighted directed
+nation-trade graph with an edge (customer nation -> supplier nation)
+for every lineitem, weighted by the number of such trades. Building the
+edge list is the scale-heavy part (fact-table join chain + groupBy);
+the iterations themselves are small equi-joins against the current rank
+vector.
+
+Determinism: ranks are kept in integer billionths (BIGINT) and every
+per-edge contribution is computed with integer multiply + integer
+division — `(85 * pr * w) div (100 * outw)` — so partial-sum order
+cannot perturb the result and the DuckDB oracle (same unrolled integer
+iterations) hash-matches exactly. This is the same micro-unit recipe
+as x_udaf_norm (plans/udf_surface.py).
+
+Reference parity: the reference (shreyasb27/Music-Database,
+music_db.sql:6-106 + Queries:1-57) has no graph surface; this extends
+SURVEY.md §2's EXT rows alongside the label-propagation components in
+operators/dedup.py (x_dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..plans.relational import _t
+
+PR_UNIT = 1_000_000_000  # 1.0 in integer billionths
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as a ratio
+PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*unit
+PR_ITERS = 3  # fixed iteration count, unrolled identically in the oracle
+
+
+@register(
+    "x_pagerank",
+    tags=("EXT", "J1", "J2", "A1", "A7"),
+    oracle=f"""
+        WITH e AS (
+            SELECT c_nationkey AS src, s_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            GROUP BY 1, 2
+        ),
+        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+        nodes AS (
+            SELECT DISTINCT n
+            FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) u
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        p0 AS (
+            SELECT n, CAST({PR_UNIT} // n_nodes AS BIGINT) AS pr
+            FROM nodes, nn
+        ),
+        c1 AS (
+            SELECT e.dst AS n,
+                   CAST(SUM(({PR_DAMP_NUM} * p.pr * e.w)
+                            // ({PR_DAMP_DEN} * o.ow)) AS BIGINT) AS c
+            FROM e JOIN p0 p ON p.n = e.src JOIN ow o ON o.src = e.src
+            GROUP BY e.dst
+        ),
+        p1 AS (
+            SELECT nodes.n, CAST({PR_BASE} + COALESCE(c, 0) AS BIGINT) AS pr
+            FROM nodes LEFT JOIN c1 ON c1.n = nodes.n
+        ),
+        c2 AS (
+            SELECT e.dst AS n,
+                   CAST(SUM(({PR_DAMP_NUM} * p.pr * e.w)
+                            // ({PR_DAMP_DEN} * o.ow)) AS BIGINT) AS c
+            FROM e JOIN p1 p ON p.n = e.src JOIN ow o ON o.src = e.src
+            GROUP BY e.dst
+        ),
+        p2 AS (
+            SELECT nodes.n, CAST({PR_BASE} + COALESCE(c, 0) AS BIGINT) AS pr
+            FROM nodes LEFT JOIN c2 ON c2.n = nodes.n
+        ),
+        c3 AS (
+            SELECT e.dst AS n,
+                   CAST(SUM(({PR_DAMP_NUM} * p.pr * e.w)
+                            // ({PR_DAMP_DEN} * o.ow)) AS BIGINT) AS c
+            FROM e JOIN p2 p ON p.n = e.src JOIN ow o ON o.src = e.src
+            GROUP BY e.dst
+        ),
+        p3 AS (
+            SELECT nodes.n, CAST({PR_BASE} + COALESCE(c, 0) AS BIGINT) AS pr
+            FROM nodes LEFT JOIN c3 ON c3.n = nodes.n
+        )
+        SELECT p3.n AS nationkey, n_name AS nation, p3.pr AS pr_unit
+        FROM p3 JOIN nation ON n_nationkey = p3.n
+        ORDER BY pr_unit DESC, nationkey
+    """,
+)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (PR_ITERS fixed iterations, damping 0.85) over
+    the nation trade graph: an edge (customer nation -> supplier nation)
+    per lineitem, weighted by trade count. Integer-billionth rank units
+    and integer contribution arithmetic make every iteration exact, so
+    the unrolled-CTE DuckDB oracle hash-matches bit for bit.
+
+    100 TB design: the expensive stage is the edge build — the full
+    lineitem⋈orders⋈customer⋈supplier chain with map-side partial
+    aggregation collapsing ~billions of trades into a |V|^2-bounded edge
+    list BEFORE any iteration runs. Each iteration is then an equi-join
+    of the edge list against the 25-row rank vector (broadcast) plus a
+    groupBy dst — no shuffle grows with iteration count, and a general
+    graph would co-partition edges and ranks on src so iterations reuse
+    one partitioning (the standard Pregel-on-relational layout). The
+    fixed iteration count is the deterministic analog of x_dedup_clusters'
+    fixpoint loop; convergence-to-tolerance would swap the loop bound
+    for the same scalar-aggregate check used there.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        # Materialized once: every iteration (and outw/nodes) re-reads the
+        # edge list, not the fact-table join chain that produced it. At
+        # 100 TB this is the write-the-edge-list-to-parquet step.
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
+    e2 = edges.join(outw, "src")
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "n", F.expr(f"CAST({PR_UNIT} div n_nodes AS BIGINT)").alias("pr")
+    )
+    contrib_expr = (
+        f"CAST(SUM(({PR_DAMP_NUM} * pr * w) div ({PR_DAMP_DEN} * ow)) AS BIGINT)"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e2.join(F.broadcast(pr), e2.src == pr.n)
+            .groupBy("dst")
+            .agg(F.expr(contrib_expr).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes.n == contrib.dst, "left").select(
+            "n",
+            (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        pr.join(F.broadcast(nation), pr.n == nation.n_nationkey)
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("pr").alias("pr_unit"),
+        )
+        .orderBy(F.desc("pr_unit"), "nationkey")
+    )
