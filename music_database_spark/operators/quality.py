@@ -184,3 +184,140 @@ def x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+LM_TRAIN_BUCKET = 80  # md5 bucket < this trains the LM (same split as x_hash_split)
+
+
+@register(
+    "x_ngram_lm_score",
+    tags=("EXT", "X4", "F3", "A1", "F5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER
+                       % 100 AS bucket,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        train_tok AS (
+            SELECT unnest(ts) AS w FROM toks WHERE bucket < {LM_TRAIN_BUCKET}
+        ),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM train_tok GROUP BY w),
+        vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        train_big AS (
+            SELECT ts[i] AS w1, ts[i + 1] AS w2
+            FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                  FROM toks WHERE bucket < {LM_TRAIN_BUCKET} AND len(ts) >= 2) t
+        ),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM train_big GROUP BY w1, w2
+        ),
+        eval_big AS (
+            SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+            FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                  FROM toks WHERE bucket >= {LM_TRAIN_BUCKET} AND len(ts) >= 2) t
+        ),
+        scored AS (
+            SELECT e.doc_id,
+                   ln(COALESCE(b.c2, 0) + 1)
+                       - ln(COALESCE(u.c1, 0) + v) AS lp
+            FROM eval_big e
+            LEFT JOIN big b ON b.w1 = e.w1 AND b.w2 = e.w2
+            LEFT JOIN uni u ON u.w = e.w1, vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(-list_aggregate(list_sort(list(lp)), 'sum') / COUNT(*), 6)
+                   AS nll
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (the CCNet recipe, public:
+    Wenzek et al. 2020): train add-one-smoothed bigram counts on the
+    deterministic train split (md5 bucket < LM_TRAIN_BUCKET, the same
+    split rule as x_hash_split), then score every held-out document by
+    its average negative log-likelihood — low nll reads like the
+    training distribution, high nll is noise/boilerplate/other-language.
+    p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V) with c1 counting all train
+    token occurrences and V the train vocabulary size (both defined
+    identically in the oracle).
+
+    Float determinism: each document folds a SORTED array of per-bigram
+    log terms (the x_token_entropy recipe) so partial-sum order cannot
+    perturb the double; the result is rounded to 6 digits.
+
+    100 TB design: counts are classic map-side-combinable groupBys keyed
+    by token digests; scoring is two hash joins of the eval bigram
+    stream against the count tables — the unigram side is
+    vocabulary-sized (broadcastable), the bigram side shuffles on
+    (w1, w2). The per-doc fold is bounded by document length. No Python
+    anywhere. Reference parity: no such surface in the reference
+    (SURVEY.md §2.10 X4 mandate).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 100
+        ).alias("bucket"),
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"),
+    )
+    train = toks.filter(F.col("bucket") < LM_TRAIN_BUCKET)
+    uni = (
+        train.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+    )
+    big = (
+        train.filter(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    eval_big = (
+        toks.filter((F.col("bucket") >= LM_TRAIN_BUCKET) & (F.size("ts") >= 2))
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    scored = (
+        eval_big.join(big, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.log(F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sort_array(F.collect_list("lp")).alias("lps"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.aggregate("lps", F.lit(0.0), lambda acc, x: acc + x)
+                / F.col("n_bigrams"),
+                6,
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
