@@ -606,6 +606,16 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS):
     used, and assign is (vec_id, emb, cluster_id, dist)."""
     emb = _t(spark, sf_dir, "embeddings")
     emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
+    return _lloyd(emb_dbl, k)
+
+
+def _lloyd(emb_dbl: DataFrame, k: int):
+    """KMEANS_ITERS deterministic Lloyd iterations over any (vec_id, emb)
+    frame — the shared trainer behind x_cluster_kmeans (full vectors) and
+    x_knn_pq (per-subspace codebooks). Same determinism contract
+    everywhere: seed centroids are the k lowest vec_ids, distances are
+    sequential index-order double folds, argmin ties break on cluster_id,
+    centroid means accumulate in DECIMAL(27,12)."""
     w0 = W.orderBy("vec_id")
     cents = (
         emb_dbl.orderBy("vec_id")
@@ -859,4 +869,184 @@ def x_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("verr").cast("double").alias("recon_err"),
         )
         .orderBy("label")
+    )
+
+
+PQ_M = 4  # product-quantization subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codebook size per subspace (codes are 2 bits here, 8 bits in prod)
+
+
+def _pq_subdist_sql(a: str, b: str) -> str:
+    """Sequential index-order squared-L2 fold over one PQ subspace."""
+    return (
+        f"list_aggregate(list_transform(range(1, {PQ_SUBDIM} + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+def _pq_ctes() -> list[str]:
+    """Per-subspace Lloyd training + encoding as DuckDB CTEs — the
+    _kmeans_ctes recipe instantiated PQ_M times over vector slices
+    (DuckDB list slices are 1-based inclusive; Spark's F.slice(lo, n)
+    matches)."""
+    d_expr = _pq_subdist_sql("d.emb", "c.cent")
+    ctes = [
+        "dbl AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+        " FROM embeddings)"
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        ctes.append(
+            f"sub{m} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM dbl)"
+        )
+        ctes.append(
+            f"cent0_{m} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cluster_id, emb AS cent FROM (SELECT vec_id, emb FROM sub{m}"
+            f" ORDER BY vec_id LIMIT {PQ_K}) s)"
+        )
+        for it in range(1, KMEANS_ITERS + 1):
+            ctes.append(
+                f"assign{it}_{m} AS (SELECT vec_id, emb, cluster_id FROM ("
+                f" SELECT d.vec_id, d.emb, c.cluster_id,"
+                f" row_number() OVER (PARTITION BY d.vec_id"
+                f" ORDER BY {d_expr} ASC, c.cluster_id ASC) AS rn"
+                f" FROM sub{m} d CROSS JOIN cent{it - 1}_{m} c) t WHERE rn = 1)"
+            )
+            if it < KMEANS_ITERS:
+                ctes.append(
+                    f"cent{it}_{m} AS (SELECT cluster_id, list(mean ORDER BY pos)"
+                    f" AS cent FROM (SELECT cluster_id, pos,"
+                    f" CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mean"
+                    f" FROM (SELECT cluster_id, unnest(emb) AS v,"
+                    f" unnest(range(1, len(emb) + 1)) AS pos FROM assign{it}_{m}) u"
+                    f" GROUP BY cluster_id, pos) m GROUP BY cluster_id)"
+                )
+    return ctes
+
+
+def _pq_oracle() -> str:
+    last = KMEANS_ITERS
+    quant = KMEANS_ITERS - 1  # codebook the final assignment used
+    code_cols = ", ".join(
+        f"a{m}.cluster_id AS c{m}" for m in range(PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN assign{last}_{m} a{m} ON a{m}.vec_id = a0.vec_id"
+        for m in range(1, PQ_M)
+    )
+    lut_ctes = ",\n".join(
+        f"lut{m} AS (SELECT p.probe_id, c.cluster_id,"
+        f" {_pq_subdist_sql('p.emb', 'c.cent')} AS dist"
+        f" FROM psub{m} p CROSS JOIN cent{quant}_{m} c)"
+        for m in range(PQ_M)
+    )
+    psub_ctes = ",\n".join(
+        f"psub{m} AS (SELECT probe_id, pemb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"
+        f" AS emb FROM pdbl)"
+        for m in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"l{m}.dist" for m in range(PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.probe_id = l0.probe_id"
+        f" AND l{m}.cluster_id = b.c{m}"
+        for m in range(1, PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_pq_ctes())
+        + f""",
+        codes AS (SELECT a0.vec_id, {code_cols} FROM assign{last}_0 a0 {code_joins}),
+        probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb
+                   FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
+        pdbl AS (SELECT probe_id, list_transform(probe_emb, x -> CAST(x AS DOUBLE))
+                 AS pemb FROM probes),
+        {psub_ctes},
+        {lut_ctes},
+        adc AS (
+            SELECT l0.probe_id, b.vec_id AS neighbor_id,
+                   round({adc_sum}, 6) AS adc_dist
+            FROM codes b JOIN lut0 l0 ON l0.cluster_id = b.c0 {lut_joins}
+            WHERE b.vec_id <> l0.probe_id
+        )
+        SELECT probe_id, neighbor_id, adc_dist, rnk FROM (
+            SELECT probe_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+            FROM adc
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """
+    )
+
+
+@register("x_knn_pq", tags=("EXT", "X3", "F4", "F5", "O3"), oracle=_pq_oracle())
+def x_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, public): the embedding
+    splits into PQ_M subspaces, each trained to a PQ_K-centroid codebook
+    by the shared _lloyd trainer; every base vector is encoded as PQ_M
+    small codes; a query scores candidates by Asymmetric Distance
+    Computation — its per-subspace distances to each codebook entry form
+    a (PQ_M x PQ_K) lookup table and a candidate's distance is the
+    fixed-order sum of its codes' table entries. Fully oracle-checked:
+    training, encoding, LUTs, and the explicit d0+d1+d2+d3 ADC sum are
+    all cross-engine deterministic (same recipes as x_cluster_kmeans).
+
+    100 TB design: PQ is THE memory-bound ANN layout — a 64-dim float
+    vector (256 B) compresses to PQ_M log2(PQ_K)-bit codes (1 B here,
+    8 B at production 8x256 codebooks), so a trillion-vector index fits
+    a modest cluster. Scoring is a map-only scan of the code table with
+    broadcast LUTs (N_PROBES x PQ_M x PQ_K doubles) and a per-partition
+    top-k window; training touches full vectors once per iteration with
+    broadcast centroids. In production this composes with IVF
+    (x_knn_ivf_trained) as IVF-PQ: coarse cell first, ADC within probed
+    cells. Reference parity: no vector surface in the reference
+    (SURVEY.md §2.10 X3 mandate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
+
+    codes = None
+    luts = []
+    probes = _probes(emb).select(
+        "probe_id", as_double_array("probe_emb").alias("pemb")
+    )
+    for m in range(PQ_M):
+        sub = emb_dbl.select(
+            "vec_id", F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        cents, assign = _lloyd(sub, PQ_K)
+        code_m = assign.select("vec_id", F.col("cluster_id").alias(f"c{m}"))
+        codes = code_m if codes is None else codes.join(code_m, "vec_id")
+        psub = probes.select(
+            "probe_id", F.slice("pemb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        lut = (
+            psub.crossJoin(F.broadcast(cents))
+            .select(
+                "probe_id",
+                F.col("cluster_id").alias(f"c{m}"),
+                _sq_dist(F.col("emb"), F.col("cent")).alias(f"d{m}"),
+            )
+        )
+        luts.append(lut)
+
+    scored = codes.join(F.broadcast(luts[0]), [f"c{0}"])
+    for m in range(1, PQ_M):
+        scored = scored.join(F.broadcast(luts[m]), ["probe_id", f"c{m}"])
+    adc = (
+        scored.filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+            ).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "adc_dist", "rnk")
+        .orderBy("probe_id", "rnk")
     )
