@@ -660,7 +660,12 @@ def _lloyd(emb_dbl: DataFrame, k: int):
                     F.transform("pm", lambda s: s["mean"]).alias("cent"),
                 )
             )
-    return cents, assign
+    # Materialize the trained quantizer and final assignment: every
+    # consumer (cluster rollup, IVF routing, PQ encode, ADC scoring)
+    # re-reads them several times, and without a persist each re-read
+    # replays the full iterative lineage. At 100 TB this is the
+    # write-the-model-to-parquet step between train and serve.
+    return cents.persist(), assign.persist()
 
 
 TRAINED_PROBE_CELLS = 2  # trained-IVF: cells searched per probe (of K_CLUSTERS)
@@ -1031,6 +1036,160 @@ def x_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         luts.append(lut)
 
     scored = codes.join(F.broadcast(luts[0]), [f"c{0}"])
+    for m in range(1, PQ_M):
+        scored = scored.join(F.broadcast(luts[m]), ["probe_id", f"c{m}"])
+    adc = (
+        scored.filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3"), 6
+            ).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "adc_dist", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """x_knn_ivfpq oracle: coarse k-means CTEs (cells) + PQ CTEs
+    (codebooks/codes) + probed-cell-restricted ADC scoring. _pq_ctes'
+    duplicate `dbl` CTE is dropped (the coarse CTEs already define it)."""
+    last_cent = f"cent{KMEANS_ITERS - 1}"
+    last_assign = f"assign{KMEANS_ITERS}"
+    pq_last = KMEANS_ITERS
+    pq_quant = KMEANS_ITERS - 1
+    code_cols = ", ".join(f"a{m}.cluster_id AS c{m}" for m in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN {pq_last and f'assign{pq_last}_{m}'} a{m} ON a{m}.vec_id = a0.vec_id"
+        for m in range(1, PQ_M)
+    )
+    psub_ctes = ",\n".join(
+        f"psub{m} AS (SELECT probe_id, pemb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"
+        f" AS emb FROM probes)"
+        for m in range(PQ_M)
+    )
+    lut_ctes = ",\n".join(
+        f"lut{m} AS (SELECT p.probe_id, c.cluster_id,"
+        f" {_pq_subdist_sql('p.emb', 'c.cent')} AS dist"
+        f" FROM psub{m} p CROSS JOIN cent{pq_quant}_{m} c)"
+        for m in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"l{m}.dist" for m in range(PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.probe_id = pc.probe_id"
+        f" AND l{m}.cluster_id = b.c{m}"
+        for m in range(1, PQ_M)
+    )
+    ctes = _kmeans_ctes() + _pq_ctes()[1:] + [
+        f"codes AS (SELECT a0.vec_id, {code_cols} FROM assign{pq_last}_0 a0 {code_joins})",
+        f"probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM dbl"
+        f" ORDER BY vec_id LIMIT {N_PROBES})",
+        f"pcells AS (SELECT probe_id, cluster_id FROM ("
+        f" SELECT p.probe_id, c.cluster_id,"
+        f" row_number() OVER (PARTITION BY p.probe_id"
+        f" ORDER BY {_sqdist_sql('p.pemb', 'c.cent')} ASC, c.cluster_id ASC) AS crnk"
+        f" FROM probes p CROSS JOIN {last_cent} c) t WHERE crnk <= {TRAINED_PROBE_CELLS})",
+        psub_ctes,
+        lut_ctes,
+        f"adc AS (SELECT pc.probe_id, b.vec_id AS neighbor_id,"
+        f" round({adc_sum}, 6) AS adc_dist"
+        f" FROM pcells pc"
+        f" JOIN {last_assign} ca ON ca.cluster_id = pc.cluster_id"
+        f" JOIN codes b ON b.vec_id = ca.vec_id"
+        f" JOIN lut0 l0 ON l0.probe_id = pc.probe_id AND l0.cluster_id = b.c0"
+        f" {lut_joins}"
+        f" WHERE b.vec_id <> pc.probe_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT probe_id, neighbor_id, adc_dist, rnk FROM (
+            SELECT probe_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+            FROM adc
+        ) t WHERE rnk <= {TOP_K}
+        ORDER BY probe_id, rnk
+    """
+    )
+
+
+@register("x_knn_ivfpq", tags=("EXT", "X3", "F4", "F5", "O3"), oracle=_ivfpq_oracle())
+def x_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production trillion-vector ANN layout (FAISS's
+    IVFADC, Jegou et al. 2011): a trained coarse quantizer
+    (x_cluster_kmeans cells) routes each query to its
+    TRAINED_PROBE_CELLS nearest cells, and candidates inside those
+    cells are scored by PQ asymmetric distance (x_knn_pq codebooks) —
+    compressed codes, never full vectors, in the scan. The entire
+    train -> encode -> route -> ADC pipeline is cross-engine
+    deterministic and value-hash-checked against a composed oracle.
+
+    100 TB design: the index is (cell_id, pq_codes) — ~1 byte/vector
+    here, 9 at production scale — partitioned BY cell_id, so a probe
+    touches TRAINED_PROBE_CELLS partitions (partition pruning on the
+    routing key) and streams codes against a broadcast
+    (probe x subspace x code) LUT. Both stages' selectivity is tunable
+    (cells probed, codebook size) without changing the plan shape.
+    Composes x_cluster_kmeans (coarse) + x_knn_pq (fine); exact rerank
+    of the ADC top-k against full vectors (x_knn's scan) is the
+    standard optional third stage. Reference parity: no vector surface
+    in the reference (SURVEY.md §2.10 X3 mandate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
+
+    coarse_cents, coarse_assign = _kmeans_fit(spark, sf_dir)
+    cell_of = coarse_assign.select("vec_id", F.col("cluster_id").alias("cell"))
+
+    codes = None
+    luts = []
+    probes = _probes(emb).select(
+        "probe_id", as_double_array("probe_emb").alias("pemb")
+    )
+    for m in range(PQ_M):
+        sub = emb_dbl.select(
+            "vec_id", F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        cents, assign = _lloyd(sub, PQ_K)
+        code_m = assign.select("vec_id", F.col("cluster_id").alias(f"c{m}"))
+        codes = code_m if codes is None else codes.join(code_m, "vec_id")
+        psub = probes.select(
+            "probe_id", F.slice("pemb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        luts.append(
+            psub.crossJoin(F.broadcast(cents)).select(
+                "probe_id",
+                F.col("cluster_id").alias(f"c{m}"),
+                _sq_dist(F.col("emb"), F.col("cent")).alias(f"d{m}"),
+            )
+        )
+
+    pcells = (
+        probes.crossJoin(F.broadcast(coarse_cents))
+        .select(
+            "probe_id",
+            "cluster_id",
+            _sq_dist(F.col("pemb"), F.col("cent")).alias("cdist"),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(F.asc("cdist"), F.asc("cluster_id"))
+            ),
+        )
+        .filter(F.col("crnk") <= TRAINED_PROBE_CELLS)
+        .select("probe_id", F.col("cluster_id").alias("cell"))
+    )
+
+    indexed = codes.join(cell_of, "vec_id")
+    scored = indexed.join(F.broadcast(pcells), "cell")
+    scored = scored.join(F.broadcast(luts[0]), ["probe_id", "c0"])
     for m in range(1, PQ_M):
         scored = scored.join(F.broadcast(luts[m]), ["probe_id", f"c{m}"])
     adc = (
