@@ -600,16 +600,18 @@ def x_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS):
+def _kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, materialize: bool = True
+):
     """Run KMEANS_ITERS Lloyd iterations; returns (cents, assign) where
     cents is the trained quantizer (cluster_id, cent) the final assignment
     used, and assign is (vec_id, emb, cluster_id, dist)."""
     emb = _t(spark, sf_dir, "embeddings")
     emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
-    return _lloyd(emb_dbl, k)
+    return _lloyd(emb_dbl, k, materialize=materialize)
 
 
-def _lloyd(emb_dbl: DataFrame, k: int):
+def _lloyd(emb_dbl: DataFrame, k: int, materialize: bool = True):
     """KMEANS_ITERS deterministic Lloyd iterations over any (vec_id, emb)
     frame — the shared trainer behind x_cluster_kmeans (full vectors) and
     x_knn_pq (per-subspace codebooks). Same determinism contract
@@ -665,7 +667,11 @@ def _lloyd(emb_dbl: DataFrame, k: int):
     # re-reads them several times, and without a persist each re-read
     # replays the full iterative lineage. At 100 TB this is the
     # write-the-model-to-parquet step between train and serve.
-    return cents.persist(), assign.persist()
+    # materialize=False exposes the raw iterative plan (used by the
+    # plan-shape test asserting broadcast centroids per iteration).
+    if materialize:
+        return cents.persist(), assign.persist()
+    return cents, assign
 
 
 TRAINED_PROBE_CELLS = 2  # trained-IVF: cells searched per probe (of K_CLUSTERS)

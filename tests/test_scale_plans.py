@@ -129,14 +129,14 @@ def test_dedup_lines_shuffles_digests_not_text(spark):
 
 def test_kmeans_broadcasts_centroids_every_iteration(spark):
     """Every Lloyd iteration must broadcast the K-centroid side into the
-    assignment join — never shuffle the corpus against it."""
-    from music_database_spark.registry import load_all
+    assignment join — never shuffle the corpus against it. Built with
+    materialize=False: the registered query persists the trained frames,
+    which hides the iteration joins behind InMemoryTableScan in the
+    executed plan."""
+    from music_database_spark.operators.knn import KMEANS_ITERS, _kmeans_fit
 
-    reg = load_all()
-    df = reg["x_cluster_kmeans"].build(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    from music_database_spark.operators.knn import KMEANS_ITERS
-
+    _cents, assign = _kmeans_fit(spark, SF, materialize=False)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS, plan
 
 
