@@ -168,3 +168,90 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pr_unit"), "nationkey")
     )
+
+
+@register(
+    "x_triangle_count",
+    tags=("EXT", "J1", "J6", "A1"),
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+                   GREATEST(c_nationkey, s_nationkey) AS b
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            WHERE c_nationkey <> s_nationkey
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        per_node AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri) u
+            GROUP BY n
+        )
+        SELECT p.n AS nationkey, n_name AS nation, p.n_triangles
+        FROM per_node p JOIN nation ON n_nationkey = p.n
+        ORDER BY n_triangles DESC, nationkey
+    """,
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (the clustering-coefficient numerator)
+    on the undirected nation trade graph. Uses the canonical
+    ordered-edge enumeration — every undirected edge is stored once as
+    (a < b), and a triangle {x<y<z} is found exactly once by joining
+    e1=(x,y), e2=(y,z), e3=(x,z) — so no triangle is double-counted and
+    no orientation heuristic is needed. Integer counts; fully
+    oracle-checked.
+
+    100 TB design: edge canonicalization (LEAST/GREATEST + DISTINCT) is
+    a map + one dedup shuffle; the two triangle joins are equi-joins on
+    single node keys, the textbook distributed triangle enumeration.
+    For skewed degree distributions production adds the degree-ordering
+    refinement (orient edges low-degree -> high-degree so hub nodes
+    never appear as join build keys); the 25-node nation graph needs no
+    such refinement but the join shape is identical. Reference parity:
+    no graph surface in the reference (SURVEY.md §2 EXT mandate).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()  # one dedup shuffle; reused three times by the joins
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        per_node.join(F.broadcast(nation), per_node.n == nation.n_nationkey)
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            "n_triangles",
+        )
+        .orderBy(F.desc("n_triangles"), "nationkey")
+    )

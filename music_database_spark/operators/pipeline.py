@@ -901,3 +901,74 @@ def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+WSAMPLE_K = 20  # weighted sample size per source
+
+
+@register(
+    "x_weighted_sample",
+    tags=("EXT", "X4", "F3", "F4", "O3"),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                             + 1) / 16777217.0) / n_chars, 12) AS skey
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY skey DESC, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM ranked WHERE rnk <= {WSAMPLE_K}
+        GROUP BY source ORDER BY source
+    """,
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    public): each doc draws a deterministic uniform u from its id's md5
+    and gets key ln(u)/w with weight w = n_chars; the WSAMPLE_K largest
+    keys per source are the sample — longer documents are
+    proportionally likelier, yet the draw is exactly reproducible
+    across runs, partitionings, and engines (u is a pure function of
+    doc_id; the key is two float ops rounded to 12 dp with a doc_id
+    tie-break). Reports per-source kept counts, the kept-id checksum
+    pinning WHICH docs survived, and kept chars.
+
+    100 TB design: the ES transform is map-only; selection is one
+    row_number window on the source shuffle key (same single-exchange
+    shape as x_domain_cap, and the same two-phase pre-cap refinement
+    applies for pathologically hot sources). This is the
+    length-weighted variant of x_stratified_sample's per-stratum
+    uniform draw. Reference parity: no sampling surface in the
+    reference (SURVEY.md §2.10 X4 mandate)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(16777217.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("skey"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("skey"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WSAMPLE_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -30,6 +30,9 @@ DRIVER_TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.ts physical-type probe cache, keyed by sf_dir (see load_table)
+_EVENTS_TS_TYPE: dict[str, str] = {}
+
 # SparkContexts that already ship the package to their workers, keyed by
 # applicationId: unique per context, unlike id(sc), which CPython can
 # reuse after an old stopped context is garbage-collected (a reused id
@@ -123,7 +126,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet timestamp[us] (read as TIMESTAMP_NTZ). Normalize either to
         # session-zone TIMESTAMP (session tz is pinned UTC above, so NTZ →
         # LTZ is the identity wall-clock mapping DuckDB's oracle also uses).
-        ts_type = dict(raw.dtypes)["ts"]
+        # The dtype probe is a py4j round-trip; cache it per sf_dir so the
+        # many events queries don't each pay it at plan-build time.
+        ts_type = _EVENTS_TS_TYPE.get(sf_dir)
+        if ts_type is None:
+            ts_type = _EVENTS_TS_TYPE[sf_dir] = dict(raw.dtypes)["ts"]
         if ts_type == "bigint":
             # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa, so
             # float division would round the microsecond off by one.
