@@ -530,3 +530,156 @@ def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return folded.select("lang", "n_tokens", "vocab", ent.alias("entropy")).orderBy("lang")
+
+
+BM25_K1 = "1.2"  # SQL literals so both engines see identical doubles
+BM25_B = "0.75"
+BM25_NQ = 8  # query terms: top-N by collection frequency
+BM25_TOPK = 20  # result depth
+
+
+@register(
+    "x_bm25_search",
+    tags=("EXT", "X4", "F3", "F4", "A1", "O3"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        avgdl AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE)
+                AS avgdl
+            FROM dl
+        ),
+        stats AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term
+        ),
+        qterms AS (
+            SELECT term, df FROM stats, nd
+            WHERE df * 20 >= n AND df * 2 <= n
+            ORDER BY cf DESC, term LIMIT {BM25_NQ}
+        ),
+        scored AS (
+            SELECT t.doc_id, q.term,
+                   ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+                       AS s
+            FROM tf t JOIN qterms q ON q.term = t.term
+            JOIN dl ON dl.doc_id = t.doc_id, nd, avgdl
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   round(list_aggregate(list_sort(list(s)), 'sum'), 6) AS score
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, score, rnk FROM (
+            SELECT doc_id, n_terms, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM per_doc
+        ) t WHERE rnk <= {BM25_TOPK}
+        ORDER BY rnk
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, public): the
+    standard lexical search scorer over the documents table, queried
+    with a DATA-DERIVED term set — the BM25_NQ highest
+    collection-frequency terms whose document frequency sits in
+    [5%, 50%] of the corpus (informative but not rare; exact integer
+    bounds df*20 >= N, df*2 <= N). Per (doc, term):
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75;
+    per-doc score folds the SORTED term-score array (the x_token_entropy
+    recipe) and rounds to 6 dp; top BM25_TOPK docs by (score DESC,
+    doc_id). Fully oracle-checked — idf's ln is the only libm call and
+    every other float op is a fixed IEEE expression tree.
+
+    100 TB design: tf/df/dl are map-combinable groupBys on term/doc
+    digests; the query-term table is BM25_NQ rows (broadcast); scoring
+    is one hash join of the posting stream against it plus a per-doc
+    fold bounded by |query|. This is the batch shape of an inverted-
+    index search tier — the posting list join IS the index scan, and
+    the same plan serves any externally-supplied query-term list.
+    Composes with x_tfidf (per-doc top terms) and x_knn (dense
+    retrieval) as the hybrid-retrieval pair. Reference parity: no
+    search surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    avgdl = dl.crossJoin(F.broadcast(nd)).agg(
+        (F.sum("dl").cast("double") / F.first("n").cast("double")).alias("avgdl")
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    qterms = (
+        stats.crossJoin(F.broadcast(nd))
+        .filter((F.col("df") * 20 >= F.col("n")) & (F.col("df") * 2 <= F.col("n")))
+        .orderBy(F.desc("cf"), "term")
+        .limit(BM25_NQ)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf").cast("double") * F.expr(f"{BM25_K1} + 1.0"))
+                / (
+                    F.col("tf").cast("double")
+                    + F.expr(
+                        f"{BM25_K1} * (1.0 - {BM25_B}"
+                        f" + {BM25_B} * CAST(dl AS DOUBLE) / avgdl)"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = W.orderBy(F.desc("score"), "doc_id")
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("doc_id", "n_terms", "score", "rnk")
+        .orderBy("rnk")
+    )
