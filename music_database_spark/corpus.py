@@ -163,6 +163,197 @@ class CorpusPipeline:
             ),
         )
 
+    def decontaminate(
+        self, bench: DataFrame, ngram: int = 4, min_overlap: int = 5
+    ) -> DataFrame:
+        """Flag documents sharing >= min_overlap distinct ngram-word
+        shingles with a benchmark corpus (x_decontaminate semantics, but
+        against ANY user-supplied benchmark frame with the same id/text
+        columns). Returns (id, n_overlap, contaminated) for every doc
+        with any overlap. The benchmark shingle-digest set broadcasts;
+        swap in the Bloom prefilter (x_bloom_decontaminate) when it
+        outgrows the broadcast threshold."""
+
+        def shingles(d: DataFrame) -> DataFrame:
+            toks = F.expr(f"filter(split({self.text_col}, ' '), t -> t != '')")
+            n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
+            arr = F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
+            )
+            return d.select(
+                F.col(self.id_col).alias("id"), F.explode(arr).alias("sh_hash")
+            ).dropDuplicates(["id", "sh_hash"])
+
+        bench_sh = shingles(bench).select("sh_hash").distinct()
+        return (
+            shingles(self.docs)
+            .join(F.broadcast(bench_sh), "sh_hash")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .select(
+                F.col("id").alias(self.id_col),
+                "n_overlap",
+                (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+            )
+        )
+
+    def lm_score(self, train: DataFrame | None = None) -> DataFrame:
+        """Bigram-LM negative log-likelihood per document
+        (x_ngram_lm_score semantics). With train=None the corpus's md5
+        train split (bucket < 80) trains the counts and the held-out
+        buckets are scored; with an explicit train frame, every doc of
+        this corpus is scored against it. Returns (id, n_bigrams, nll);
+        docs with < 2 tokens are skipped."""
+        if train is None:
+            train = self.docs.filter(self._bucket() < 80)
+            evaldf = self.docs.filter(self._bucket() >= 80)
+        else:
+            evaldf = self.docs
+        toks = self._toks()
+        bigrams = F.expr(
+            f"transform(sequence(1, size(filter(split({self.text_col}, ' '),"
+            f" t -> t != '')) - 1),"
+            f" i -> struct(element_at(filter(split({self.text_col}, ' '),"
+            f" t -> t != ''), i) AS w1,"
+            f" element_at(filter(split({self.text_col}, ' '), t -> t != ''),"
+            f" i + 1) AS w2))"
+        )
+        uni = (
+            train.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        )
+        vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        big = (
+            train.filter(F.size(toks) >= 2)
+            .select(F.explode(bigrams).alias("b"))
+            .select("b.w1", "b.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        )
+        scored = (
+            evaldf.filter(F.size(toks) >= 2)
+            .select(F.col(self.id_col).alias("id"), F.explode(bigrams).alias("b"))
+            .select("id", "b.w1", "b.w2")
+            .join(big, ["w1", "w2"], "left")
+            .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "id",
+                (
+                    F.log(F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ).alias("lp"),
+            )
+        )
+        return (
+            scored.groupBy("id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sort_array(F.collect_list("lp")).alias("lps"),
+            )
+            .select(
+                F.col("id").alias(self.id_col),
+                "n_bigrams",
+                F.round(
+                    -F.aggregate("lps", F.lit(0.0), lambda acc, x: acc + x)
+                    / F.col("n_bigrams"),
+                    6,
+                ).alias("nll"),
+            )
+        )
+
+    def weighted_sample(
+        self, k: int, weight_col: str, group_col: str | None = None
+    ) -> DataFrame:
+        """Efraimidis-Spirakis weighted sample without replacement
+        (x_weighted_sample semantics): keep the k docs (per group when
+        group_col is given) with the largest ln(u)/w keys, u drawn
+        deterministically from the id's md5 — reproducible across runs
+        and partitionings."""
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 6), 16, 10
+            ).cast("bigint")
+            + 1
+        ) / F.lit(16777217.0)
+        skey = F.round(F.log(u) / F.col(weight_col), 12)
+        # Global (ungrouped) selection funnels through one window
+        # partition — fine for modest k, use a group_col at corpus scale
+        # (the registered query groups by source).
+        part = W.partitionBy(group_col) if group_col else W.partitionBy()
+        w = part.orderBy(skey.desc(), self.id_col)
+        return (
+            self.docs.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k)
+            .drop("__rnk")
+        )
+
+    def bm25(
+        self, query_terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 20
+    ) -> DataFrame:
+        """BM25 ranked retrieval for a user-supplied query-term list
+        (x_bm25_search semantics with external terms). Returns the top_k
+        (id, n_terms, score) by (score DESC, id)."""
+        tok = self.docs.select(
+            F.col(self.id_col).alias("id"), F.explode(self._toks()).alias("term")
+        )
+        tf = tok.groupBy("id", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        dl = tf.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        nd = self.docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        avgdl = dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+        qt = tf.sparkSession.createDataFrame(
+            [(t,) for t in query_terms], ["term"]
+        )
+        df_t = (
+            tf.join(F.broadcast(qt), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        )
+        scored = (
+            tf.join(F.broadcast(df_t), "term")
+            .join(dl, "id")
+            .crossJoin(F.broadcast(nd))
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                "id",
+                (
+                    F.log(
+                        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+                        / (F.col("df").cast("double") + 0.5)
+                        + 1.0
+                    )
+                    * (F.col("tf").cast("double") * (k1 + 1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                ).alias("s"),
+            )
+        )
+        w = W.orderBy(F.desc("score"), "id")
+        return (
+            scored.groupBy("id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                F.round(
+                    F.aggregate(
+                        F.sort_array(F.collect_list("s")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("score"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(F.col("id").alias(self.id_col), "n_terms", "score", "rnk")
+        )
+
     # ---- batch preparation ------------------------------------------------
 
     def pack_sequences(self, window_tokens: int = 2048, shards: int = 8) -> DataFrame:

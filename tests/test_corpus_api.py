@@ -124,3 +124,68 @@ def test_sample_is_subset_and_split_is_total(docs, pipe):
         r["split"]: r["count"] for r in pipe.with_split().groupBy("split").count().collect()
     }
     assert sum(split_counts.values()) == n  # exactly one split per doc
+
+
+def test_decontaminate_matches_registered_query(spark, docs, pipe):
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.registry import load_all
+
+    reg = {
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in load_all()["x_decontaminate"].build(spark, SF_SMOKE).collect()
+    }
+    corpus = CorpusPipeline(docs.filter(F.col("doc_id") % 50 != 0))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    api = {
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in corpus.decontaminate(bench).collect()
+    }
+    assert api == reg
+
+
+def test_lm_score_matches_registered_query(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        (r["doc_id"], r["n_bigrams"], r["nll"])
+        for r in load_all()["x_ngram_lm_score"].build(spark, SF_SMOKE).collect()
+    }
+    api = {
+        (r["doc_id"], r["n_bigrams"], r["nll"]) for r in pipe.lm_score().collect()
+    }
+    assert api == reg
+
+
+def test_weighted_sample_matches_registered_query(spark, pipe):
+    from music_database_spark.operators.pipeline import WSAMPLE_K
+    from music_database_spark.registry import load_all
+
+    reg = {
+        (r["source"], r["n_kept"], r["kept_id_sum"], r["kept_chars"])
+        for r in load_all()["x_weighted_sample"].build(spark, SF_SMOKE).collect()
+    }
+    api_rows = (
+        pipe.weighted_sample(WSAMPLE_K, "n_chars", group_col="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .collect()
+    )
+    api = {
+        (r["source"], r["n_kept"], r["kept_id_sum"], r["kept_chars"])
+        for r in api_rows
+    }
+    assert api == reg
+
+
+def test_bm25_external_terms_are_deterministic_and_ranked(pipe):
+    terms = ["the", "of", "data", "model"]
+    a = pipe.bm25(terms, top_k=10).collect()
+    b = pipe.bm25(terms, top_k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) <= 10 and all(r["score"] > 0 for r in a)
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
