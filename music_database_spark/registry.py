@@ -76,7 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_effective_date",     # F7
     "ddl_roundtrip",          # S1,S2,S3
     "fk_violations",          # S4
-    "pk_uniqueness",          # S4
+    "x_pagerank",             # EXT graph: integer-exact iterative PageRank
     "x_sql_frontdoor",        # P1,S5
     "x_null_partition",       # P4
     "j_large_large",          # J6
@@ -98,11 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_exact",          # X1
     "x_dedup_minhash_md5",    # X2
     "x_dedup_ngram_jaccard",  # X2
-    "x_dedup_incremental_band",  # X2
+    "x_knn_pq",               # X3: product-quantization ADC search
     "x_dedup_simhash_det",    # X2 (engine-portable SimHash)
     "x_doc_join",             # X5
     "x_multimodal_features",  # X5,D1
-    "x_quality_score",        # X4
+    "x_bm25_search",          # X4: BM25 ranked retrieval
     "x_tfidf",                # X4
     "x_corpus_prep_e2e",      # X1,X4,S6
     "x_format_roundtrip",     # S5,S6
