@@ -495,3 +495,55 @@ def x_null_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("linestatus")
     )
+
+
+@register(
+    "x_lateral_topk",
+    tags=("EXT", "J3", "J9", "O2"),
+    oracle="""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+             LATERAL (SELECT l_linenumber, l_extendedprice
+                      FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber
+                      LIMIT 2) t
+        WHERE o.o_orderpriority = '1-URGENT'
+        ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber
+    """,
+)
+def x_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 4 front door): the two highest-value lineitems per urgent
+    order, written as `FROM orders, LATERAL (... WHERE correlated ORDER
+    BY ... LIMIT 2)`. Spark's DecorrelateInnerQuery rewrites the
+    correlated limit into the same ranked-window join a hand-written
+    top-k-per-group would use — the front door is syntax, not a new
+    execution strategy, which is exactly why it's safe at scale.
+    Deterministic: the LIMIT's ORDER BY carries the unique
+    l_linenumber tie-break.
+
+    100 TB design: decorrelation turns the per-row subquery into one
+    equi-join on l_orderkey plus a partition-ranked filter — no
+    nested-loop re-execution per outer row; the urgent-priority filter
+    prunes the outer side at the scan. Reference parity: subqueries in
+    the reference are Q4's uncorrelated INs (Queries:22-27); the
+    correlated form extends SURVEY.md §2.3 J3."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    orders.filter(F.col("o_orderpriority") == "1-URGENT").createOrReplaceTempView(
+        "lat_orders"
+    )
+    li.createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM lat_orders o,
+             LATERAL (SELECT l_linenumber, l_extendedprice
+                      FROM lat_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber
+                      LIMIT 2) t
+        ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber
+        """
+    )

@@ -208,3 +208,61 @@ def x_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf, LATERAL chunk_counter(text) c
         GROUP BY c.chunk_id ORDER BY c.chunk_id
     """)
+
+
+@register(
+    "x_sql_udf",
+    tags=("EXT", "D1", "F4", "F7"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * (1.0 + l_tax), 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS net_revenue,
+               CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bulk
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`, SQL UDF SPIP — public): the net-price and bulk-flag logic is
+    declared ONCE as catalog functions and reused by name. Unlike
+    Python UDFs, SQL UDFs inline into the plan at analysis time —
+    Catalyst sees plain expressions, so whole-stage codegen, pushdown
+    and partial aggregation all still apply; this is the zero-cost way
+    to share business logic across queries. The oracle writes the same
+    expressions longhand; decimal accumulation over the 2-dp-rounded
+    net price keeps the double deterministic.
+
+    100 TB design: pure map-side expressions + one partial-agg groupBy
+    on a 3-value key — the cheapest possible shape; the function
+    indirection erases at plan time so there is nothing Python-side to
+    scale. Reference parity: the reference's "required Python
+    functions" application layer (music_db.pdf p.8) as catalog
+    functions instead (SURVEY.md §2.9 D1)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_net_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN round(p * (1.0 - d) * (1.0 + t), 2)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_is_bulk(q DOUBLE) "
+        "RETURNS BOOLEAN RETURN q >= 30"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(sqludf_net_price(l_extendedprice, l_discount,
+                                              l_tax) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS net_revenue,
+               CAST(SUM(CASE WHEN sqludf_is_bulk(l_quantity) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bulk
+        FROM li_sqludf
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )

@@ -121,7 +121,7 @@ def load_all() -> dict[str, QuerySpec]:
     followed by the rest in registration order."""
     from .plans import analytics, ddl, relational, scalar, scale, setops, udf_surface, windows  # noqa: F401
     from .operators import constraints, dedup, graph, knn, linkage, multimodal, pipeline, quality, textops  # noqa: F401
-    from .sources import formats  # noqa: F401
+    from .sources import formats, pydatasource  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401
 
     ordered = {name: REGISTRY[name] for name in DRIVER_PRIORITY if name in REGISTRY}

@@ -1,0 +1,156 @@
+"""Custom Python data source (Spark 4 `pyspark.sql.datasource` API,
+public SPIP): the engine's extensibility story for sources Spark has no
+built-in reader for (internal telemetry feeds, bespoke binary logs,
+service APIs). The exhibit source is a deterministic synthetic telemetry
+generator — every value is a pure function of the row index, so the
+DuckDB oracle reproduces the whole pipeline with generate_series and the
+driver's value-hash check covers the source, not just the query on top.
+
+Scale design: the reader declares `partitions()`, so Spark schedules one
+Python task per split exactly like a file source — the generator shape
+is (total rows / P) per task with zero skew, and a real feed would
+partition on its native sharding (file ranges, topic partitions, time
+windows). Rows stream from the reader as Arrow batches; nothing is
+driver-side.
+
+Reference parity: the reference reads fixture INSERTs only
+(music_db.sql:111-191); custom sources extend SURVEY.md §2.1 S5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+
+SENSOR_ROWS = 20_000  # default generator size
+SENSOR_SPLITS = 8  # reader partitions
+N_SENSORS = 50
+# LCG-ish mix constants (Knuth multiplicative hash; public)
+MIX_MUL, MIX_ADD, MIX_MOD = 2654435761, 104729, 1000003
+
+
+class SensorGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", SENSOR_ROWS))
+        self.splits = int(options.get("partitions", SENSOR_SPLITS))
+
+    def partitions(self):
+        per = (self.n + self.splits - 1) // self.splits
+        return [
+            InputPartition((lo, min(lo + per, self.n)))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, i % N_SENSORS, (i * MIX_MUL + MIX_ADD) % MIX_MOD)
+
+
+class SensorGenSource(DataSource):
+    """`spark.read.format("sensorgen").option("n", ...)` — deterministic
+    synthetic telemetry: reading_id, sensor_id, raw (integer milli-unit
+    measurement)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensorgen"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("reading_id", LongType()),
+                StructField("sensor_id", IntegerType()),
+                StructField("raw", LongType()),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SensorGenReader(self.options)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_sensorgen(spark: SparkSession) -> None:
+    # The reader classes unpickle by module reference on Python workers,
+    # so the package zip must be shipped even though this query never
+    # touches a driver table (the usual ensure_worker_imports trigger).
+    from .loader import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(SensorGenSource)
+        _REGISTERED.add(app)
+
+
+@register(
+    "x_python_datasource",
+    tags=("EXT", "S5", "A1", "A7"),
+    oracle=f"""
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(raw) AS BIGINT) AS sum_raw,
+               CAST(CAST(SUM(raw) AS DOUBLE)
+                    / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS DOUBLE) AS avg_value
+        FROM (
+            SELECT CAST(i % {N_SENSORS} AS INTEGER) AS sensor_id,
+                   (i * {MIX_MUL} + {MIX_ADD}) % {MIX_MOD} AS raw
+            FROM (SELECT unnest(generate_series(0, {SENSOR_ROWS - 1})) AS i) g
+        ) s
+        GROUP BY sensor_id ORDER BY sensor_id
+    """,
+)
+def x_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query whose SOURCE is a custom Python DataSource (Spark 4
+    `pyspark.sql.datasource`): the sensorgen generator streams
+    SENSOR_ROWS deterministic telemetry rows from SENSOR_SPLITS
+    parallel reader partitions, then a per-sensor rollup aggregates
+    them. Every value is a pure integer function of the row index, so
+    the DuckDB oracle regenerates the identical feed with
+    generate_series — the differential check certifies the source
+    machinery end-to-end (partition planning, per-split reads, Arrow
+    transfer), not just the aggregation.
+
+    100 TB design: `partitions()` is the scale contract — Spark
+    schedules one task per split with no driver materialization, so a
+    real custom feed parallelizes exactly like a file scan; the rollup
+    is a map-side-combinable groupBy on a N_SENSORS-value key. The avg
+    divides once at the end (integer sum, one double division —
+    cross-engine exact)."""
+    register_sensorgen(spark)
+    df = (
+        spark.read.format("sensorgen")
+        .option("n", str(SENSOR_ROWS))
+        .option("partitions", str(SENSOR_SPLITS))
+        .load()
+    )
+    return (
+        df.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("raw").cast("bigint").alias("sum_raw"),
+        )
+        .select(
+            "sensor_id",
+            "n",
+            "sum_raw",
+            (
+                F.col("sum_raw").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000.0))
+            ).alias("avg_value"),
+        )
+        .orderBy("sensor_id")
+    )
