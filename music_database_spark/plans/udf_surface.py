@@ -216,9 +216,9 @@ def x_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
-                                   * (1.0 + l_tax), 2) AS DECIMAL(18,2)))
-                    AS DOUBLE) AS net_revenue,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * (1.0 + l_tax) * 100.0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS net_revenue,
                CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_bulk
         FROM lineitem
@@ -233,8 +233,12 @@ def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst sees plain expressions, so whole-stage codegen, pushdown
     and partial aggregation all still apply; this is the zero-cost way
     to share business logic across queries. The oracle writes the same
-    expressions longhand; decimal accumulation over the 2-dp-rounded
-    net price keeps the double deterministic.
+    expressions longhand. Determinism: the UDF floors the charged
+    amount to integer CENTS — floor of a bit-identical double is exact
+    in both engines (round() is not: Spark rounds half-up, DuckDB
+    half-even, and sf0.01 has rows landing exactly on the half-cent) —
+    then the bigint sum is order-independent and one final division
+    renders dollars.
 
     100 TB design: pure map-side expressions + one partial-agg groupBy
     on a 3-value key — the cheapest possible shape; the function
@@ -243,9 +247,9 @@ def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions" application layer (music_db.pdf p.8) as catalog
     functions instead (SURVEY.md §2.9 D1)."""
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_net_price("
-        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
-        "RETURN round(p * (1.0 - d) * (1.0 + t), 2)"
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_net_cents("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(floor(p * (1.0 - d) * (1.0 + t) * 100.0) AS BIGINT)"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_is_bulk(q DOUBLE) "
@@ -257,9 +261,9 @@ def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(sqludf_net_price(l_extendedprice, l_discount,
-                                              l_tax) AS DECIMAL(18,2)))
-                    AS DOUBLE) AS net_revenue,
+               CAST(SUM(sqludf_net_cents(l_extendedprice, l_discount,
+                                         l_tax)) AS DOUBLE) / 100.0
+                   AS net_revenue,
                CAST(SUM(CASE WHEN sqludf_is_bulk(l_quantity) THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_bulk
         FROM li_sqludf
