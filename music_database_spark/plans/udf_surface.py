@@ -270,3 +270,88 @@ def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+def _conversion_cogroup(key, ev: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped merge: for one user, count orders preceded by any event
+    in the 7 days before (half-open on the order date's day). Vectorized
+    numpy broadcast per key — both frames are one user's rows."""
+    (user_id,) = key
+    n_ev, n_ord = len(ev), len(orders)
+    n_conv = 0
+    if n_ord and n_ev:
+        ts = ev["ts"].to_numpy(dtype="datetime64[us]")
+        od = orders["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        lo = od - np.timedelta64(7, "D")
+        hi = od + np.timedelta64(1, "D")
+        # orders x events comparison; per-user cardinalities are tiny
+        hits = (ts[None, :] >= lo[:, None]) & (ts[None, :] < hi[:, None])
+        n_conv = int(hits.any(axis=1).sum())
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n_ev],
+            "n_orders": [n_ord],
+            "n_conversions": [n_conv],
+        }
+    )
+
+
+@register(
+    "x_cogroup_conversions",
+    tags=("EXT", "D2", "J8", "A1"),
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        ords AS (
+            SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        conv AS (
+            SELECT o.o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.user_id = o.o_custkey
+                  AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                  AND e.ts <  o.o_orderdate + INTERVAL 1 DAY)
+            GROUP BY o.o_custkey
+        )
+        SELECT COALESCE(ev.user_id, ords.user_id) AS user_id,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_conversions, 0) AS n_conversions
+        FROM ev FULL OUTER JOIN ords ON ev.user_id = ords.user_id
+        LEFT JOIN conv ON conv.user_id = COALESCE(ev.user_id, ords.user_id)
+        ORDER BY user_id
+    """,
+)
+def x_cogroup_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the D2 surface's two-frame form): the
+    event stream and the order history cogroup on user key, and one
+    Python function sees BOTH frames for each user — the general shape
+    for per-entity merges that SQL joins express awkwardly
+    (sessionized attribution, per-user feature assembly, trajectory
+    alignment). Here it counts orders preceded by any event in the 7
+    prior days; integers only, and the DuckDB oracle recomputes the
+    same semantics with an EXISTS range join over the FULL OUTER key
+    union, so the cogroup machinery is value-hash-checked.
+
+    100 TB design: cogroup shuffles each side ONCE on the user key —
+    the same exchange a join would pay — then streams each key's pair
+    of Arrow batches through Python; per-key work is bounded by a
+    user's own history (the orders x events broadcast is per-user, not
+    global). Columns are pruned to (key, ts)/(key, date) before the
+    exchange so payloads never cross. Reference parity: no procedural
+    surface in the reference (SURVEY.md §2.9 D2 mandate)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = ev.groupBy("user_id").cogroup(orders.groupBy("user_id")).applyInPandas(
+        _conversion_cogroup,
+        "user_id bigint, n_events bigint, n_orders bigint, n_conversions bigint",
+    )
+    return out.orderBy("user_id")
