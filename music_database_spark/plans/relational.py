@@ -547,3 +547,101 @@ def x_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber
         """
     )
+
+
+@register(
+    "x_pipe_syntax",
+    tags=("EXT", "P1", "P2", "A1", "O1"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def x_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 `|>` operators, public SPIP) with
+    NAMED PARAMETER binding (`:year` via spark.sql args) — the same
+    pricing rollup q12 writes as nested SQL, restated as a linear
+    dataflow: FROM |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY.
+    Pipe stages desugar to the identical logical plan (same scan
+    pushdown, same partial aggregation — this is syntax, not a new
+    executor), so the plain-SQL DuckDB oracle applies unchanged, and
+    the parameter binds server-side without string interpolation.
+
+    100 TB design: identical plan to the classic form — sargable
+    half-open date range reaches the parquet scan, decimal-exact SUM.
+    Reference parity: front-door variety for the reference's Queries
+    surface (SURVEY.md §3.2); the reference has a single SQL dialect.
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= make_timestamp(:year, 1, 1, 0, 0, 0)
+                 AND l_shipdate < make_timestamp(:year + 1, 1, 1, 0, 0, 0)
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        args={"year": 1997},
+    )
+
+
+@register(
+    "x_sql_table_udf",
+    tags=("EXT", "D3", "F4", "A1"),
+    oracle="""
+        WITH bins AS (
+            SELECT i AS bin,
+                   CAST(i AS DOUBLE) * 10000.0 AS lo,
+                   CAST(i + 1 AS DOUBLE) * 10000.0 AS hi
+            FROM (SELECT unnest(generate_series(0, 11)) AS i) g
+        )
+        SELECT b.bin, b.lo, b.hi,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM bins b LEFT JOIN orders o
+             ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.bin, b.lo, b.hi
+        ORDER BY b.bin
+    """,
+)
+def x_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table-valued function (Spark 4 `CREATE FUNCTION ... RETURNS
+    TABLE`): a catalog-declared bin generator drives an order-value
+    histogram — the declarative cousin of the Python UDTF
+    (x_python_udtf), inlined at analysis time like the scalar SQL UDF.
+    The bin table LEFT-joins orders on a half-open range so empty bins
+    survive with zero counts; bin edges are exact integer-derived
+    doubles, so the oracle's generate_series bins match bitwise.
+
+    100 TB design: the function body is a constant 12-row relation —
+    broadcast side of a range join against the orders scan, one
+    partial-aggregable rollup; the histogram never shuffles the fact
+    table. Reference parity: no function-catalog surface in the
+    reference (SURVEY.md §2.9 D3 mandate)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tf_price_bins(n INT) "
+        "RETURNS TABLE(bin INT, lo DOUBLE, hi DOUBLE) RETURN "
+        "SELECT i AS bin, CAST(i AS DOUBLE) * 10000.0 AS lo, "
+        "CAST(i + 1 AS DOUBLE) * 10000.0 AS hi "
+        "FROM (SELECT explode(sequence(0, n - 1)) AS i)"
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tudf_orders")
+    return spark.sql(
+        """
+        SELECT b.bin, b.lo, b.hi,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM tf_price_bins(12) b LEFT JOIN tudf_orders o
+             ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.bin, b.lo, b.hi
+        ORDER BY b.bin
+        """
+    )
