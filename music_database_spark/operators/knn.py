@@ -1219,3 +1219,125 @@ def x_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "adc_dist", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+def _ann_recall_oracle() -> str:
+    """x_ann_recall oracle: the x_knn (exact) and x_knn_lsh_det (LSH)
+    pipelines composed, then per-probe recall@k as the fraction of the
+    exact top-k the LSH top-k recovered."""
+    planes_rows = ",\n                ".join(
+        f"({t}, {b}, [{', '.join(str(int(v)) for v in plane)}])"
+        for t, table in enumerate(_det_planes())
+        for b, plane in enumerate(table)
+    )
+    cos = (
+        f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> p.emb[i] * n.emb[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))), 6)"
+    )
+    return f"""
+        WITH dbl AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}
+        ),
+        bscored AS (
+            SELECT pr.probe_id, n.vec_id AS neighbor_id, {cos} AS cosine
+            FROM probes pr JOIN dbl p ON p.vec_id = pr.probe_id
+            CROSS JOIN dbl n WHERE n.vec_id <> pr.probe_id
+        ),
+        btop AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM bscored) t WHERE rnk <= {TOP_K}
+        ),
+        planes AS (
+            SELECT * FROM (VALUES
+                {planes_rows}
+            ) AS v(t, b, plane)
+        ),
+        proj AS (
+            SELECT d.vec_id, p.t, p.b,
+                   list_aggregate(list_transform(range(1, {EMB_DIM} + 1),
+                                                 i -> d.emb[i] * p.plane[i]), 'sum') AS pr
+            FROM dbl d CROSS JOIN planes p
+        ),
+        buckets AS (
+            SELECT vec_id, t AS table_id,
+                   CAST(SUM(CASE WHEN pr >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT pr.probe_id, bc.vec_id AS neighbor_id
+            FROM probes pr
+            JOIN buckets bp ON bp.vec_id = pr.probe_id
+            JOIN buckets bc ON bc.table_id = bp.table_id AND bc.bucket = bp.bucket
+                           AND bc.vec_id <> pr.probe_id
+        ),
+        lscored AS (
+            SELECT c.probe_id, c.neighbor_id, {cos} AS cosine
+            FROM cand c
+            JOIN dbl p ON p.vec_id = c.probe_id
+            JOIN dbl n ON n.vec_id = c.neighbor_id
+        ),
+        ltop AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM lscored) t WHERE rnk <= {TOP_K}
+        ),
+        hits AS (
+            SELECT b.probe_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits
+            FROM btop b LEFT JOIN ltop l
+                 ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
+            GROUP BY b.probe_id
+        )
+        SELECT probe_id, n_hits,
+               CAST(n_hits AS DOUBLE) / {TOP_K}.0 AS recall_at_k
+        FROM hits ORDER BY probe_id
+    """
+
+
+@register("x_ann_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_ann_recall_oracle())
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation IN the engine: per-probe recall@k of
+    the deterministic LSH index (x_knn_lsh_det) against the exact
+    brute-force top-k (x_knn) — the continuous-monitoring job a
+    production vector store runs to catch index drift/degradation
+    before users do. Composes the two registered pipelines verbatim and
+    LEFT-joins their top-k sets, so a probe the LSH missed entirely
+    still reports recall 0. Fully oracle-checked (both sub-pipelines
+    are engine-portable; the recall division is one exact double op).
+
+    100 TB design: evaluation cost is dominated by the brute-force arm
+    over the PROBE SAMPLE only (broadcast probes x corpus scan, the
+    sanctioned J9 baseline) — the index arm reuses the bucket joins.
+    Recall on the driver's isotropic-noise embeddings is low by
+    construction (the LSH worst case, ~0.2 at 2x4 bits); the harness
+    exists to MEASURE that honestly, and the same query monitors any
+    (tables, bits) configuration unchanged."""
+    brute = x_knn(spark, sf_dir).select("probe_id", F.col("neighbor_id").alias("b_n"))
+    lsh = x_knn_lsh_det(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("l_n")
+    )
+    hits = (
+        brute.join(
+            lsh,
+            (brute.probe_id == lsh.probe_id) & (F.col("b_n") == F.col("l_n")),
+            "left",
+        )
+        .select(brute.probe_id, "l_n")
+        .groupBy("probe_id")
+        .agg(F.count("l_n").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "probe_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias("recall_at_k"),
+    ).orderBy("probe_id")
