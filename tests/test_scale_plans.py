@@ -135,6 +135,11 @@ def test_kmeans_broadcasts_centroids_every_iteration(spark):
     executed plan."""
     from music_database_spark.operators.knn import KMEANS_ITERS, _kmeans_fit
 
+    # Cache substitution would also hide the joins: if an earlier test
+    # in the shared session persisted the identical Lloyd sub-plan, the
+    # cache manager swaps in its InMemoryRelation even for this
+    # unmaterialized build.
+    spark.catalog.clearCache()
     _cents, assign = _kmeans_fit(spark, SF, materialize=False)
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == KMEANS_ITERS, plan
