@@ -190,3 +190,83 @@ def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("returnflag").asc_nulls_first(), F.col("linestatus").asc_nulls_first())
     )
+
+
+@register(
+    "x_except_all",
+    tags=("EXT", "U3", "A1"),
+    oracle="""
+        WITH d AS (
+            SELECT custkey FROM (
+                SELECT o_custkey AS custkey FROM orders
+                EXCEPT ALL
+                SELECT o_custkey AS custkey FROM orders
+                WHERE o_orderstatus = 'F'
+            ) t
+        )
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM d GROUP BY custkey ORDER BY custkey
+    """,
+)
+def x_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, SQL:1999 multiset semantics): each
+    customer's key survives max(n_total - n_finished, 0) times — the
+    multiplicity-preserving form x_except's DISTINCT variant discards.
+    Summarized as (custkey, multiplicity) so the oracle hash pins the
+    bag, not just the support set.
+
+    100 TB design: Spark plans exceptAll as a counted aggregation
+    (sum of +1/-1 tags per key, generate surviving rows) — one shuffle
+    on the key, no join; identical shape to the groupBy both sides
+    would need anyway. Reference parity: no set-op keywords in the
+    reference (SURVEY.md §2.6 U3 EXT)."""
+    orders = _t(spark, sf_dir, "orders")
+    all_keys = orders.select(F.col("o_custkey").alias("custkey"))
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        all_keys.exceptAll(f_keys)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "x_intersect_all",
+    tags=("EXT", "U1", "A1"),
+    oracle="""
+        WITH d AS (
+            SELECT custkey FROM (
+                SELECT o_custkey AS custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                INTERSECT ALL
+                SELECT o_custkey AS custkey FROM orders
+                WHERE o_orderstatus = 'F'
+            ) t
+        )
+        SELECT custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM d GROUP BY custkey ORDER BY custkey
+    """,
+)
+def x_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection): each key appears
+    min(n_urgent, n_finished) times. Same counted-aggregation plan
+    shape as x_except_all; summarized to (custkey, multiplicity) for
+    the hash check. Reference parity: Q4's INTERSECT is the DISTINCT
+    form (Queries:22-27); the multiset form completes SURVEY.md §2.6
+    U1."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        urgent.intersectAll(finished)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .orderBy("custkey")
+    )
