@@ -78,10 +78,25 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(tracked, "stateful", output_mode="update")
 
 
-@register("x_stream_stateful", tags=("EXT", "T5", "D2"), oracle=None, bench=False)
+@register(
+    "x_stream_stateful",
+    tags=("EXT", "T5", "D2"),
+    bench=False,
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible run of the applyInPandasWithState operator.
-    Rows-only; batch-equivalence of the final counts is asserted in
+    """Driver-visible run of the applyInPandasWithState operator, fully
+    oracle-checked: the projected column is each user's FINAL running
+    count — an integer independent of microbatch boundaries (every
+    batching folds the same rows into the same total), so the drained
+    stream equals the batch COUNT(*) per user exactly. value_sum stays
+    internal: its float accumulation order DOES depend on batch
+    boundaries, the textbook reason sums-of-doubles aren't part of the
+    cross-engine contract (registry docstring §determinism).
+    Batch-equivalence is additionally asserted in
     tests/test_streaming.py."""
     from pyspark.sql import functions as F
 
@@ -91,6 +106,6 @@ def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy("user_id")
         .agg(F.max(F.struct("n", "value_sum")).alias("s"))
-        .select("user_id", F.col("s.n").alias("n"))
+        .select("user_id", F.col("s.n").cast("bigint").alias("n"))
         .orderBy("user_id")
     )
