@@ -1133,3 +1133,62 @@ def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("vsum").cast("double").alias("value_sum"),
     ).orderBy("day")
+
+
+@register(
+    "x_skyline",
+    tags=("EXT", "O4", "O1", "P2"),
+    oracle="""
+        WITH scan AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate,
+                   MAX(o_orderdate) OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_prior_date
+            FROM orders WHERE o_orderstatus = 'O'
+        )
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM scan
+        WHERE best_prior_date IS NULL OR o_orderdate > best_prior_date
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Borzsony et al. 2001, public): the
+    open orders not dominated on (totalprice high, orderdate recent) —
+    an order survives iff no higher-priced order (price ties broken by
+    orderkey scan order) is also at least as recent. One sort + one
+    running-MAX window implements the classic sort-filter skyline: after
+    ordering by price descending, a row is on the frontier exactly when
+    its date beats every earlier (higher-priced) date. The same
+    frontier shape curates training corpora (e.g. maximize quality
+    score, minimize toxicity) — this is the relational form of that
+    selection.
+
+    100 TB design: a single global sort is the textbook skyline
+    tradeoff; the distributed refinement is pre-filtering by
+    per-partition local skylines (each partition's dominated rows can
+    never join the global frontier — a map-side 99%+ reduction) before
+    one small global pass. The window here IS the global pass;
+    range-partitioned sort keeps it parallel until the final frontier
+    merge. Deterministic: integer cents/dates, total ordering with
+    orderkey tie-break."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    w = (
+        W.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scan = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_prior_date"),
+    )
+    return (
+        scan.filter(
+            F.col("best_prior_date").isNull()
+            | (F.col("o_orderdate") > F.col("best_prior_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
