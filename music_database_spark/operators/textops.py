@@ -683,3 +683,143 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_terms", "score", "rnk")
         .orderBy("rnk")
     )
+
+
+BPE_MERGES = 3  # trained merge rules, unrolled identically in the oracle
+
+
+def _bpe_oracle() -> str:
+    """x_bpe_train oracle: BPE_MERGES unrolled merge rounds. Token
+    strings use a DOUBLE-space interior separator so one left-to-right
+    replace() pass merges every non-overlapping occurrence — adjacent
+    matches share no characters (' a  b  a  b ' merges both), and both
+    engines' replace() scan identically."""
+    ctes = [
+        "tok AS (SELECT unnest(list_filter(string_split(text, ' '),"
+        " t -> t <> '')) AS term FROM documents)",
+        "words AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS w"
+        " FROM tok GROUP BY term)",
+        "seg0 AS (SELECT term, w,"
+        " ' ' || array_to_string(string_split(term, ''), '  ') || ' ' AS seg"
+        " FROM words)",
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        p = r - 1
+        ctes.append(
+            f"ts{r} AS (SELECT w, list_filter(string_split(seg, ' '),"
+            f" t -> t <> '') AS ts FROM seg{p})"
+        )
+        ctes.append(
+            f"pc{r} AS (SELECT ts[i] AS a, ts[i + 1] AS b,"
+            f" CAST(SUM(w) AS BIGINT) AS cnt FROM ("
+            f" SELECT w, ts, unnest(generate_series(1, len(ts) - 1)) AS i"
+            f" FROM ts{r} WHERE len(ts) >= 2) t GROUP BY ts[i], ts[i + 1])"
+        )
+        ctes.append(
+            f"best{r} AS (SELECT a, b, cnt FROM pc{r}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"seg{r} AS (SELECT term, w,"
+            f" replace(seg, ' ' || a || '  ' || b || ' ',"
+            f" ' ' || a || b || ' ') AS seg FROM seg{p}, best{r})"
+        )
+        ctes.append(
+            f"after{r} AS (SELECT CAST(SUM(w * len(list_filter("
+            f"string_split(seg, ' '), t -> t <> ''))) AS BIGINT)"
+            f" AS tokens_after FROM seg{r})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_tok, b AS right_tok,"
+        f" cnt AS pair_count, tokens_after FROM best{r}, after{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT merge_rank, left_tok, right_tok, pair_count, tokens_after
+        FROM ({selects}) u ORDER BY merge_rank
+    """
+    )
+
+
+@register("x_bpe_train", tags=("EXT", "X4", "F3", "A1", "A7"), oracle=_bpe_oracle())
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING in the engine (Sennrich et al. 2016,
+    public): BPE_MERGES rounds of (count adjacent token pairs over the
+    word-frequency dict, adopt the most frequent pair as a merge rule,
+    re-segment). Returns the learned merge table — (rank, left, right,
+    pair frequency, corpus tokens after the merge) — the artifact a
+    tokenizer pipeline ships. Fully oracle-checked: counts are integer,
+    the argmax breaks ties on (count DESC, pair lexicographic), and
+    re-segmentation is ONE string replace() per round on a
+    double-space-separated token string, a formulation chosen because
+    both engines' replace() scans left-to-right over non-overlapping
+    matches identically (adjacent pair occurrences share no characters
+    under the double-space separator, so a single pass merges them all
+    exactly like the classic per-word greedy fold).
+
+    100 TB design: classic map-reduce BPE — the pair-count stage is a
+    map-side-combinable groupBy over the (already tiny relative to the
+    corpus) word-frequency dict, the chosen rule broadcasts as a 1-row
+    frame into a map-only re-segmentation, and each round adds one such
+    cycle: shuffle volume is bounded by vocabulary, never corpus size.
+    Production BPE with thousands of merges batches rules per pass the
+    same way x_bpe_tokens applies them. Complements x_bpe_tokens
+    (application) and x_vocab_coverage (evaluation) — together the
+    train/apply/evaluate tokenizer lifecycle. Reference parity: no text
+    surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    seg = words.select(
+        "term",
+        "w",
+        F.concat(
+            F.lit(" "), F.concat_ws("  ", F.split("term", "")), F.lit(" ")
+        ).alias("seg"),
+    ).persist()  # the dict is re-read every round; bound its lineage
+    rows = []
+    for r in range(1, BPE_MERGES + 1):
+        toks = F.expr("filter(split(seg, ' '), t -> t != '')")
+        pair_arr = F.expr(
+            "transform(sequence(1, size(filter(split(seg, ' '), t -> t != '')) - 1),"
+            " i -> struct(element_at(filter(split(seg, ' '), t -> t != ''), i) AS a,"
+            " element_at(filter(split(seg, ' '), t -> t != ''), i + 1) AS b))"
+        )
+        pc = (
+            seg.filter(F.size(toks) >= 2)
+            .select("w", F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("w").cast("bigint").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).persist()
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "term",
+            "w",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("seg"),
+        ).persist()
+        after = seg.agg(
+            F.sum(F.col("w") * F.size(toks)).cast("bigint").alias("tokens_after")
+        )
+        rows.append(
+            best.crossJoin(after).select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.col("cnt").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionAll(r_df)
+    return out.orderBy("merge_rank")
