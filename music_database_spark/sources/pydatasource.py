@@ -23,7 +23,12 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -154,3 +159,137 @@ def x_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sensor_id")
     )
+
+
+STREAM_ROWS = 5_000  # total rows the stream source emits
+STREAM_CHUNK = 1_000  # rows per micro-batch read
+
+
+class SensorStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read over the same deterministic
+    generator: offsets are {"i": next_row}, each read() hands back up to
+    STREAM_CHUNK rows and the advanced offset, and readBetweenOffsets
+    replays any committed range bit-identically — the exactly-once
+    replay contract a real feed (Kafka offsets, file positions) must
+    honor."""
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + STREAM_CHUNK, STREAM_ROWS)
+        return (self._rows(lo, hi), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # A LIST, not a generator: the streaming runner caches and
+        # copy.copy()s the returned iterator for offset replay, and
+        # generators are neither copyable nor picklable.
+        return [
+            (i, i % N_SENSORS, (i * MIX_MUL + MIX_ADD) % MIX_MOD)
+            for i in range(lo, hi)
+        ]
+
+
+class SensorStreamSource(DataSource):
+    """`spark.readStream.format("sensorstream")` — the streaming twin of
+    sensorgen."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensorstream"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("reading_id", LongType()),
+                StructField("sensor_id", IntegerType()),
+                StructField("raw", LongType()),
+            ]
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SensorStreamReader()
+
+
+def register_sensorstream(spark: SparkSession) -> None:
+    from .loader import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    app = spark.sparkContext.applicationId
+    key = f"stream:{app}"
+    if key not in _REGISTERED:
+        spark.dataSource.register(SensorStreamSource)
+        _REGISTERED.add(key)
+
+
+@register(
+    "x_stream_python_source",
+    tags=("EXT", "S5", "T5", "A1", "A7"),
+    bench=False,
+    oracle=f"""
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(raw) AS BIGINT) AS sum_raw
+        FROM (
+            SELECT CAST(i % {N_SENSORS} AS INTEGER) AS sensor_id,
+                   (i * {MIX_MUL} + {MIX_ADD}) % {MIX_MOD} AS raw
+            FROM (SELECT unnest(generate_series(0, {STREAM_ROWS - 1})) AS i) g
+        ) s
+        GROUP BY sensor_id ORDER BY sensor_id
+    """,
+)
+def x_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRUE STREAM whose source is a custom Python
+    SimpleDataSourceStreamReader: the generator feed arrives in
+    offset-tracked micro-batches (STREAM_ROWS / STREAM_CHUNK of them
+    under availableNow), flows through a streaming aggregation, and
+    drains into the memory sink; the batch oracle regenerates the same
+    feed with generate_series, so offset bookkeeping, micro-batch
+    chunking, and replay are all value-hash-checked. Combines the two
+    rarest surfaces — Python data sources and Structured Streaming —
+    in one driver-visible query.
+
+    100 TB design: offsets are the source's native positions (here a
+    row index; in production Kafka offsets / file byte ranges), state
+    is the streaming agg's (N_SENSORS keys), and readBetweenOffsets
+    gives failure replay without reprocessing from zero. Integer
+    counts/sums only — microbatch-boundary independent."""
+    import time
+    import uuid
+
+    register_sensorstream(spark)
+    stream = spark.readStream.format("sensorstream").load()
+    agg = stream.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("raw").cast("bigint").alias("sum_raw"),
+    )
+    # availableNow over a Simple Python stream reader drains only the
+    # prefetched first chunk, so run with a continuous micro-batch
+    # trigger and stop once every offset has been consumed (total count
+    # reaches STREAM_ROWS) — this is what actually exercises multi-batch
+    # offset advance + commit.
+    table = f"py_stream_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            total = spark.sql(f"SELECT SUM(n) AS t FROM {table}").collect()[0]["t"]
+            if total == STREAM_ROWS:
+                break
+            time.sleep(0.2)
+        else:  # pragma: no cover - only on stream stall
+            raise TimeoutError("python stream source did not drain")
+    finally:
+        q.stop()
+    return spark.table(table).orderBy("sensor_id")
