@@ -439,3 +439,131 @@ def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_hour")
     )
+
+
+@register(
+    "x_interpolate",
+    tags=("EXT", "O4", "O5", "F1"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id, day
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM daily) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(day) FROM daily),
+                    (SELECT MAX(day) FROM daily),
+                    INTERVAL 1 DAY)) AS day
+            ) d
+        ),
+        joined AS (
+            SELECT s.user_id, s.day, daily.n
+            FROM spine s LEFT JOIN daily
+                 ON daily.user_id = s.user_id AND daily.day = s.day
+        ),
+        bounds AS (
+            SELECT user_id, day, n,
+                   MAX(CASE WHEN n IS NOT NULL THEN day END) OVER w_prev AS prev_day,
+                   MAX(CASE WHEN n IS NOT NULL THEN day END) OVER w_next AS next_day
+            FROM joined
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING),
+                   w_next AS (PARTITION BY user_id ORDER BY day DESC
+                              ROWS UNBOUNDED PRECEDING)
+        ),
+        vals AS (
+            SELECT b.user_id, b.day, b.n, b.prev_day, b.next_day,
+                   pv.n AS prev_n, nv.n AS next_n
+            FROM bounds b
+            LEFT JOIN daily pv ON pv.user_id = b.user_id AND pv.day = b.prev_day
+            LEFT JOIN daily nv ON nv.user_id = b.user_id AND nv.day = b.next_day
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CASE
+                   WHEN n IS NOT NULL THEN CAST(n * 1000 AS BIGINT)
+                   WHEN prev_n IS NULL OR next_n IS NULL THEN NULL
+                   ELSE CAST(prev_n * 1000
+                        + ((next_n - prev_n) * 1000
+                           * date_diff('day', prev_day, day))
+                          // date_diff('day', prev_day, next_day) AS BIGINT)
+               END AS n_milli
+        FROM vals
+        ORDER BY user_id, day
+    """,
+)
+def x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap interpolation: each user's daily event count on a
+    complete calendar spine, with missing days LINEARLY interpolated
+    between the nearest observed neighbors (boundary gaps stay NULL) —
+    the resampling step a feature pipeline runs before modeling.
+    Emitted in integer milli-units with integer `div`, so the
+    interpolation arithmetic is exact and engine-portable (the
+    x_pagerank micro-unit recipe); interior points use the standard
+    (prev + (next-prev) * gap_pos / gap_len) form.
+
+    Plan shape: the spine is distinct-users x calendar crossJoin (tiny
+    dim side), one LEFT join against observed days, then two running-MAX
+    windows (forward and reverse) locate each gap's bracketing
+    observations without self-joins — all on the user_id shuffle key,
+    so the whole query is ONE exchange plus broadcast joins of the
+    day-bounds lookups. At 100 TB the spine partitions by user exactly
+    like the observations; nothing grows super-linearly. Reference
+    parity: no time-series surface in the reference (SURVEY.md §2.5
+    O4/O5 EXT)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    users = daily.select("user_id").distinct()
+    cal = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    spine = users.crossJoin(F.broadcast(cal))
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_next = W.partitionBy("user_id").orderBy(F.desc("day")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    bounds = joined.select(
+        "user_id",
+        "day",
+        "n",
+        F.max(obs_day).over(w_prev).alias("prev_day"),
+        F.max(obs_day).over(w_next).alias("next_day"),
+    )
+    pv = daily.select(
+        F.col("user_id").alias("user_id"),
+        F.col("day").alias("prev_day"),
+        F.col("n").alias("prev_n"),
+    )
+    nv = daily.select(
+        F.col("user_id").alias("user_id"),
+        F.col("day").alias("next_day"),
+        F.col("n").alias("next_n"),
+    )
+    vals = bounds.join(pv, ["user_id", "prev_day"], "left").join(
+        nv, ["user_id", "next_day"], "left"
+    )
+    interp = F.expr(
+        "CAST(prev_n * 1000 + ((next_n - prev_n) * 1000"
+        " * datediff(day, prev_day)) div datediff(next_day, prev_day) AS BIGINT)"
+    )
+    return (
+        vals.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.when(F.col("n").isNotNull(), (F.col("n") * 1000).cast("bigint"))
+            .when(F.col("prev_n").isNull() | F.col("next_n").isNull(), F.lit(None))
+            .otherwise(interp)
+            .alias("n_milli"),
+        )
+        .orderBy("user_id", "day")
+    )
