@@ -109,7 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dynamic_partition_pruning",  # S5,P5,J5
     "x_tumbling",             # T1
     "x_sliding",              # T2
-    "x_session",              # T3
+    "x_stream_session",       # T3,T4 as a TRUE stream (batch twin x_session follows)
     "x_stream_stream_join",   # T6,T4
     "x_stream_dedup",         # T5,T4,X1 — stateful dedup, fully oracle-backed
 )
