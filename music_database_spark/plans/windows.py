@@ -567,3 +567,88 @@ def x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "x_window_ignore_nulls",
+    tags=("EXT", "O4", "O5"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id, day
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM daily) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(day) FROM daily),
+                    (SELECT MAX(day) FROM daily),
+                    INTERVAL 1 DAY)) AS day
+            ) d
+        ),
+        joined AS (
+            SELECT s.user_id, s.day, daily.n
+            FROM spine s LEFT JOIN daily
+                 ON daily.user_id = s.user_id AND daily.day = s.day
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+               last_value(n IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS locf,
+               first_value(n IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS first_obs,
+               nth_value(n, 2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS second_obs
+        FROM joined
+        ORDER BY user_id, day
+    """,
+)
+def x_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (SQL:2011): LOCF forward-fill via
+    last_value ignorenulls over a running frame — the step-function
+    fill to x_interpolate's linear fill — plus first_value/nth_value
+    with null skipping over the full-partition frame. All integer
+    counts on the same sparse per-user calendar spine, so the oracle is
+    exact.
+
+    100 TB design: same single user-keyed exchange as every window in
+    this module; the spine join is a broadcast of the calendar dim.
+    LOCF is THE standard sensor/telemetry densification and pairs with
+    as-of joins (x_asof_join) — this registers the windowed form.
+    Reference parity: no window surface in the reference (SURVEY.md
+    §2.5 O4/O5 EXT)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    users = daily.select("user_id").distinct()
+    cal = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    joined = users.crossJoin(F.broadcast(cal)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    w_run = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_full = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.last("n", ignorenulls=True).over(w_run).alias("locf"),
+            F.first("n", ignorenulls=True).over(w_full).alias("first_obs"),
+            F.nth_value("n", 2, ignoreNulls=True).over(w_full).alias("second_obs"),
+        )
+        .orderBy("user_id", "day")
+    )
