@@ -645,3 +645,59 @@ def x_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.bin
         """
     )
+
+
+@register(
+    "x_null_safe_join",
+    tags=("EXT", "J1", "P4", "F7"),
+    oracle="""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   NULLIF(o_orderstatus, 'F') AS k
+            FROM orders
+        ),
+        dim AS (SELECT DISTINCT k FROM keyed),
+        plain AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM keyed a JOIN dim d ON a.k = d.k
+        ),
+        nullsafe AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM keyed a JOIN dim d ON a.k IS NOT DISTINCT FROM d.k
+        )
+        SELECT (SELECT n FROM plain) AS n_plain_eq,
+               (SELECT n FROM nullsafe) AS n_null_safe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed WHERE k IS NULL)
+                   AS n_null_keys
+    """,
+)
+def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / SQL IS NOT DISTINCT FROM): the
+    same equi-join run with plain `=` (null keys silently drop — the
+    classic missing-rows bug) and with null-safe equality (null matches
+    null), plus the null-key count that exactly explains the gap:
+    n_null_safe = n_plain_eq + n_null_keys. The nullable key is
+    NULLIF(status, 'F'), so finished orders carry NULL.
+
+    100 TB design: `<=>` stays a hash-joinable equality (Spark plans
+    EqualNullSafe as a regular join key — no fallback to nested-loop),
+    so the fix for dropped null rows costs nothing in plan shape; all
+    three counts partial-aggregate. Reference parity: the reference's
+    joins are all non-null PK/FK equalities (music_db.sql FK columns);
+    the null-semantics corner extends SURVEY.md §2.3 J1 / §2.2 P4."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderstatus, 'F')").alias("k"),
+    )
+    dim = keyed.select("k").distinct()
+    plain = keyed.alias("a").join(
+        dim.alias("d"), F.col("a.k") == F.col("d.k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_plain_eq"))
+    nullsafe = keyed.alias("a").join(
+        dim.alias("d"), F.col("a.k").eqNullSafe(F.col("d.k"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_null_safe"))
+    nullkeys = keyed.filter(F.col("k").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_null_keys")
+    )
+    return plain.crossJoin(nullsafe).crossJoin(nullkeys)
