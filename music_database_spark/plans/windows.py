@@ -652,3 +652,90 @@ def x_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "x_resample_ohlc",
+    tags=("EXT", "O4", "A4", "A7", "F1"),
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT user_id, day, value,
+                   row_number() OVER (PARTITION BY user_id, day
+                                      ORDER BY ts, event_id) AS rn_open,
+                   row_number() OVER (PARTITION BY user_id, day
+                                      ORDER BY ts DESC, event_id DESC) AS rn_close
+            FROM pts
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks,
+               CAST(MIN(CASE WHEN rn_open = 1 THEN CAST(value AS DECIMAL(18,6))
+                        END) AS DOUBLE) AS open,
+               CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS high,
+               CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS low,
+               CAST(MIN(CASE WHEN rn_close = 1 THEN CAST(value AS DECIMAL(18,6))
+                        END) AS DOUBLE) AS close
+        FROM ranked
+        GROUP BY user_id, day
+        ORDER BY user_id, day
+    """,
+)
+def x_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the canonical time-series resample): per
+    (user, day), the first/highest/lowest/last event value, with
+    (ts, event_id) total-order tie-breaks so "first" and "last" are
+    well-defined under duplicate timestamps. MIN/MAX are exact over
+    DECIMAL-cast values; open/close select the rank-1 row of each
+    direction's ordering — no floats are accumulated, so the oracle is
+    exact.
+
+    Plan shape: two ranking windows + one groupBy, all partitioned on
+    (user, day) — a single exchange; at 100 TB the window key is the
+    resample bucket itself so parallelism scales with users x days.
+    min_by/max_by would express open/close in one aggregation but
+    break ties arbitrarily; the rank-1 formulation pins determinism
+    (SURVEY.md §7.4.5). Reference parity: no time-series surface in
+    the reference (SURVEY.md §2.5 O4 EXT)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_close = W.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    ranked = pts.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.min(F.when(F.col("rn_open") == 1, dec)).cast("double").alias("open"),
+            F.max(dec).cast("double").alias("high"),
+            F.min(dec).cast("double").alias("low"),
+            F.min(F.when(F.col("rn_close") == 1, dec)).cast("double").alias("close"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("user_id", "day")
+    )
