@@ -739,3 +739,93 @@ def x_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+NEAREST_TOL_S = 3600  # nearest-asof tolerance (seconds each way)
+
+
+@register(
+    "x_asof_nearest",
+    tags=("EXT", "J8", "O3"),
+    oracle=f"""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        errors AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'error'
+        ),
+        cand AS (
+            SELECT p.event_id,
+                   e.event_id AS err_event_id,
+                   abs(epoch_us(p.ts) - epoch_us(e.ts)) AS gap_us,
+                   CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END AS fwd,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+                                CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END,
+                                e.event_id) AS rnk
+            FROM purchases p JOIN errors e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL {NEAREST_TOL_S} SECOND
+             AND e.ts <= p.ts + INTERVAL {NEAREST_TOL_S} SECOND
+        )
+        SELECT event_id, err_event_id, gap_us // 1000 AS gap_ms
+        FROM cand WHERE rnk = 1
+        ORDER BY event_id
+    """,
+)
+def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest', public API shape): each purchase matched to
+    the temporally closest error event of the same user within a
+    ±NEAREST_TOL_S tolerance, ties broken backward-first then by event
+    id — the lookup a diagnostics pipeline runs when the cause may be
+    logged slightly after the symptom. Unlike the backward-only
+    x_asof_join (range-frame window, no join), nearest-direction needs
+    both sides of the probe, so it is authored as the bounded range
+    join + per-probe rank-1: candidates are limited to the tolerance
+    window, which is what keeps the join linear.
+
+    100 TB design: the equi-key (user_id) carries the shuffle; the
+    tolerance bound makes per-user candidate fan-out O(events within
+    ±tol), the same bucketing argument as j_event_window — production
+    adds coarse time-bucket keys (floor(ts/tol)) to prune before the
+    range predicate, an optimization that changes no results. Integer
+    microsecond gaps — exact."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    tol = F.expr(f"INTERVAL {NEAREST_TOL_S} SECOND")
+    cand = purchases.join(
+        errors,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("ts") - tol)
+        & (F.col("e_ts") <= F.col("ts") + tol),
+    )
+    gap_us = F.abs(
+        F.unix_micros("ts") - F.unix_micros("e_ts")
+    )
+    fwd = F.when(F.col("e_ts") <= F.col("ts"), F.lit(0)).otherwise(F.lit(1))
+    w = W.partitionBy("event_id").orderBy(
+        gap_us.asc(), fwd.asc(), F.col("err_event_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_id",
+            "err_event_id",
+            F.expr(
+                "abs(unix_micros(ts) - unix_micros(e_ts)) div 1000"
+            ).alias("gap_ms"),
+        )
+        .orderBy("event_id")
+    )
