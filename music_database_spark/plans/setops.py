@@ -270,3 +270,63 @@ def x_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
         .orderBy("custkey")
     )
+
+
+@register(
+    "x_union_by_name",
+    tags=("EXT", "U2", "F7"),
+    oracle="""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_qty,
+               CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_price
+        FROM (
+            SELECT 'li' AS source, l_orderkey AS okey,
+                   CAST(l_quantity AS DOUBLE) AS qty, NULL AS price
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL BY NAME
+            SELECT 'ord' AS source, o_orderkey AS okey,
+                   o_totalprice AS price
+            FROM orders
+        ) u
+        GROUP BY source ORDER BY source
+    """,
+)
+def x_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible union (`unionByName(allowMissingColumns=True)` /
+    SQL UNION ALL BY NAME): two feeds with overlapping-but-different
+    columns stack by COLUMN NAME, absent columns null-filled — the
+    union a multi-source ingest actually needs, where positional UNION
+    would silently misalign or reject. Rolled up per source with
+    null-fill counts so the oracle pins exactly which columns were
+    missing where.
+
+    100 TB design: pure map-side projection + one partial-agg groupBy;
+    union is plan concatenation, not an operator with a shuffle.
+    Reference parity: no set-op keywords in the reference (SURVEY.md
+    §2.6 U2 EXT)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.lit("li").alias("source"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.lit("ord").alias("source"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    u = li.unionByName(ords, allowMissingColumns=True)
+    return (
+        u.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("qty").isNull().cast("bigint")).cast("bigint").alias("n_null_qty"),
+            F.sum(F.col("price").isNull().cast("bigint")).cast("bigint").alias("n_null_price"),
+        )
+        .orderBy("source")
+    )
