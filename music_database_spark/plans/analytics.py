@@ -1192,3 +1192,73 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+@register(
+    "x_event_transitions",
+    tags=("EXT", "O4", "A1", "F4"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ordered WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ),
+        totals AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM pairs GROUP BY prev_type
+        )
+        SELECT p.prev_type, p.next_type, p.n,
+               CAST(p.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS prob
+        FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+        ORDER BY p.prev_type, p.next_type
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    each user's events in (ts, event_id) total order yield
+    (prev_type -> next_type) pairs; counts and row-normalized
+    transition probabilities come out per ordered pair — the behavioral
+    model behind next-action prediction, anomaly scoring, and funnel
+    discovery. The probability is ONE division of two exact integer
+    counts (never an accumulated float), so the oracle is exact.
+
+    100 TB design: one lag window on the user-keyed exchange (the same
+    shuffle every sessionization query pays), then a
+    map-side-combinable groupBy on the tiny (type x type) key space;
+    the row-total join broadcasts. Nothing scales with more than the
+    event count. Reference parity: no sequence surface in the
+    reference (SURVEY.md §2.5 O4 EXT)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
