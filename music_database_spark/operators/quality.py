@@ -16,7 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.relational import _t
@@ -321,3 +321,66 @@ def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x_gini_concentration",
+    tags=("EXT", "X4", "A1", "A7", "O3"),
+    oracle="""
+        WITH per_source AS (
+            SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY lang, source
+        ),
+        ranked AS (
+            SELECT lang, chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY chars, source) AS i
+            FROM per_source
+        ),
+        sums AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(i * chars) AS BIGINT) AS weighted
+            FROM ranked GROUP BY lang
+        )
+        SELECT lang, n_sources, total_chars,
+               CAST(2 * weighted - (n_sources + 1) * total_chars AS DOUBLE)
+                   / CAST(n_sources * total_chars AS DOUBLE) AS gini
+        FROM sums ORDER BY lang
+    """,
+)
+def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration Gini coefficient per language — the
+    corpus-diversity dial a mixture owner watches: 0 = every source
+    contributes equal characters, ->1 = one source dominates (and
+    x_domain_cap is the intervention). Uses the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-
+    sorted shares: every term is an exact integer (ranks tie-break on
+    source name; equal shares make sum(i*x_i) permutation-invariant),
+    and the single final division is the only float op — oracle-exact.
+
+    100 TB design: per-(lang, source) partial-agg collapse first (the
+    corpus scan), then a rank window over the SOURCE list (thousands of
+    rows, not documents) and a per-lang rollup — the heavy key is
+    aggregated away before any window. Reference parity: no corpus
+    surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    w = W.partitionBy("lang").orderBy("chars", "source")
+    ranked = per_source.select(
+        "lang", "chars", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("i") * F.col("chars")).cast("bigint").alias("weighted"),
+    )
+    gini = (
+        2 * F.col("weighted") - (F.col("n_sources") + 1) * F.col("total_chars")
+    ).cast("double") / (F.col("n_sources") * F.col("total_chars")).cast("double")
+    return sums.select(
+        "lang", "n_sources", "total_chars", gini.alias("gini")
+    ).orderBy("lang")
