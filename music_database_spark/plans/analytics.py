@@ -1262,3 +1262,94 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "x_abtest_lift",
+    tags=("EXT", "A1", "A5", "F4"),
+    oracle="""
+        WITH assign AS (
+            SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM assign GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+            FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+               round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+               round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                     / sqrt(GREATEST((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1), 1e-300)), 6) AS z_stat
+        FROM wide
+    """,
+)
+def x_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned by id
+    parity (the hash-bucket assignment of x_hash_split, collapsed to 2
+    arms), per-arm conversion = any purchase over value 100, and the pooled
+    two-proportion z-statistic for the lift — the ship/no-ship number
+    an experimentation platform serves. Counts are exact integers;
+    rates and z are fixed IEEE expression trees over them (divisions,
+    one sqrt) rounded to 6 dp, so the oracle hash-matches.
+
+    100 TB design: per-user conversion is one map-combinable groupBy on
+    the user key, arm rollup is 2 groups, and the z computation is a
+    2-row pivot — nothing after the first aggregation scales with
+    data. Assignment-by-hash means no assignment table join at all.
+    Reference parity: no experimentation surface in the reference
+    (SURVEY.md §2.4 EXT)."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 100)).cast("int")
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    # GREATEST floor: a degenerate pool (every user converted) would
+    # otherwise divide by exactly zero under ANSI mode.
+    z = (r1 - r0) / F.sqrt(
+        F.greatest(
+            pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")),
+            F.lit(1e-300),
+        )
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(r0, 6).alias("rate0"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+    )
