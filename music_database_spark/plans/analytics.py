@@ -1353,3 +1353,96 @@ def x_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("rate1"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+
+
+def _corr_oracle() -> str:
+    blocks = []
+    for x, y in CORR_PAIRS:
+        blocks.append(
+            f"SELECT '{x}~{y}' AS pair,"
+            f" CAST(COUNT(*) AS BIGINT) AS n,"
+            f" round((CAST(SUM(CAST({x} * {y} AS DECIMAL(38,12))) AS DOUBLE)"
+            f"        - CAST(SUM(CAST({x} AS DECIMAL(27,12))) AS DOUBLE)"
+            f"          * CAST(SUM(CAST({y} AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*))"
+            f" / sqrt(GREATEST(CAST(SUM(CAST({x} * {x} AS DECIMAL(38,12))) AS DOUBLE)"
+            f"        - CAST(SUM(CAST({x} AS DECIMAL(27,12))) AS DOUBLE)"
+            f"          * CAST(SUM(CAST({x} AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*),"
+            f"        1e-300))"
+            f" / sqrt(GREATEST(CAST(SUM(CAST({y} * {y} AS DECIMAL(38,12))) AS DOUBLE)"
+            f"        - CAST(SUM(CAST({y} AS DECIMAL(27,12))) AS DOUBLE)"
+            f"          * CAST(SUM(CAST({y} AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*),"
+            f"        1e-300)), 6) AS corr"
+            f" FROM lineitem"
+        )
+    return " UNION ALL ".join(blocks) + " ORDER BY pair"
+
+
+@register("x_corr_matrix", tags=("EXT", "A5", "F4"), oracle=_corr_oracle())
+def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the lineitem measures in ONE
+    aggregation pass — the feature-screening matrix a modeling pipeline
+    computes before training. Each correlation uses the sums identity
+    corr = (Sxy - SxSy/n) / sqrt(Sxx - Sx^2/n) / sqrt(Syy - Sy^2/n)
+    with every moment accumulated in DECIMAL (exact, order-independent)
+    and collapsed to double once, so the downstream arithmetic is a
+    fixed IEEE tree the oracle reproduces bitwise (the x_outliers /
+    x_regression recipe, extended to the cross-moment).
+
+    100 TB design: ONE partial-aggregable pass computes all nine
+    moments for the three pairs simultaneously — no per-pair re-scan,
+    no shuffle beyond the single-row final agg; adding columns grows
+    the moment vector, never the pass count. Built-in F.corr would be
+    float-accumulation-order dependent across partitionings — exactly
+    what the decimal moments avoid. Reference parity: no statistics
+    surface in the reference (SURVEY.md §2.4 A5 EXT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = sorted({c for p in CORR_PAIRS for c in p})
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(27,12)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for x, y in CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"sxy_{x}_{y}")
+        )
+    wide = li.agg(*aggs)
+    rows = []
+    for x, y in CORR_PAIRS:
+        num = F.col(f"sxy_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}") / F.col("n")
+        dx = F.sqrt(
+            F.greatest(
+                F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}") / F.col("n"),
+                F.lit(1e-300),
+            )
+        )
+        dy = F.sqrt(
+            F.greatest(
+                F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}") / F.col("n"),
+                F.lit(1e-300),
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(f"{x}~{y}").alias("pair"),
+                F.col("n").alias("n"),
+                F.round(num / dx / dy, 6).alias("corr"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("pair")
+    )
