@@ -290,8 +290,9 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. coarse quantizer: N_CELLS deterministic seed centroids (lowest
        vec_ids stand in for trained k-means centroids);
-    2. assignment: every corpus vector joins its argmax-cosine centroid
-       (a broadcast join against the tiny centroid set — one scan);
+    2. assignment: every corpus vector folds the literal centroid array
+       map-side (array_max over (cos, id) structs) — one scan, ZERO
+       shuffle; the embeddings never cross an exchange;
     3. search: each probe visits only its N_PROBE_CELLS nearest cells,
        exact cosine rerank inside those cells.
 
@@ -308,14 +309,38 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
     )
+    # The whole quantizer packed into ONE row holding an array of
+    # (id, cent) structs — crossJoin(broadcast) against a 1-row side is a
+    # map-side nested-loop that merely appends the array column to every
+    # corpus row; the embeddings never cross an exchange.
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cent_id").alias("id"),
+                    as_double_array("cent_emb").alias("cent"),
+                )
+            )
+        ).alias("cents")
+    )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb"))
-    cent_cos = cosine_similarity(as_double_array("emb"), as_double_array("cent_emb"))
-    # argmax-cosine assignment: max over (cos, cent_id) structs
-    assign = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select("neighbor_id", "emb", F.struct(cent_cos.alias("c"), F.col("cent_id").alias("id")).alias("sc"))
-        .groupBy("neighbor_id")
-        .agg(F.max("sc").getField("id").alias("cell"), F.first("emb").alias("emb"))
+    # argmax-cosine assignment, MAP-SIDE: fold the packed centroid array
+    # per row (array_max over (cos, cent_id) structs — ties to the larger
+    # cent_id, same as the former groupBy(max) formulation). The old
+    # crossJoin(broadcast)->groupBy(neighbor_id) put every embedding array
+    # through an exchange just to compute a per-row argmax (round-3
+    # verdict finding #1); this shape has zero wide dependencies.
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                cosine_similarity(as_double_array("emb"), ct["cent"]).alias("c"),
+                ct["id"].alias("id"),
+            ),
+        )
+    )
+    assign = corpus.crossJoin(F.broadcast(cent_arr)).select(
+        "neighbor_id", "emb", best.getField("id").alias("cell")
     )
     probes = _probes(emb)
     probe_cent_cos = cosine_similarity(as_double_array("probe_emb"), as_double_array("cent_emb"))
