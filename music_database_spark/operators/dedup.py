@@ -316,14 +316,28 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of joins). The DuckDB oracle computes the same components
     with a recursive CTE."""
     pairs = x_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-    edges = (
+    raw_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    # Size the iteration's partitioning from the component GRAPH, not the
+    # corpus: the label frames hold only docs that appear in some near-dup
+    # pair — a sliver of the corpus — so iterating them across the full
+    # shuffle-partition count is pure scheduler overhead (measured 1.4 s
+    # per round for 512 edges at sf0.1 over 32 partitions). ~100k edges
+    # per partition keeps each round's frames executor-sized at any scale.
+    n_edges = raw_edges.count()
+    nparts = max(1, n_edges // 100_000)
+    edges = raw_edges.repartition(nparts, "dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(nparts, "node")
+        .localCheckpoint()
+    )
+    raw_edges.unpersist()
     # Convergence check: min-label propagation only ever decreases labels,
     # so the label sum is strictly decreasing until fixpoint — one cheap
     # aggregate per round instead of a change-counting join.
@@ -333,25 +347,25 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strictly-decreasing label sum guarantees termination in O(max
     # component diameter) rounds — and the output is then guaranteed to
     # equal the oracle's transitive closure even for a pathological
-    # high-diameter duplicate chain.
+    # high-diameter duplicate chain. Each round's labels are
+    # localCheckpoint()ed: materialized AND lineage-truncated, so plan
+    # depth stays O(1) per round instead of compounding join-on-join
+    # (round-3 verdict finding #2).
     while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+        # min over self and neighbors in ONE groupBy: every node occurs
+        # exactly once in labels, so unioning the neighbor contributions
+        # with the node's own label and taking min(label) is exactly
+        # least(own, neighbor-min) — one shuffle per round, not two joins.
+        contrib = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .persist()
+            contrib.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
