@@ -367,7 +367,19 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_csv_malformed", tags=("EXT", "S5", "F7"), oracle=None)
+@register(
+    "x_csv_malformed",
+    tags=("EXT", "S5", "F7"),
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id % 97 IN (3, 5) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quarantined,
+               CAST(SUM(CASE WHEN doc_id % 97 = 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_id
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
 def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record quarantine on CSV ingest: a file seeded with
     deterministic corruption (wrong arity, bad types) read under
@@ -376,22 +388,28 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the job never dies. DROPMALFORMED and FAILFAST are the other two
     contract points, asserted in tests. At 100 TB ingest this is the
     difference between losing a task to one bad line and accounting for
-    it. Rows-only: engines disagree on CSV error taxonomy, so the
-    numbers are pinned by construction in tests instead."""
+    it. Oracle-checked by construction: the corruption arms are keyed on
+    doc_id % 97 (==3 wrong arity -> quarantined with a partial parse,
+    ==5 bad type -> quarantined with a null id), so DuckDB computes the
+    expected per-class counts straight from the documents table and the
+    check pins Spark's PERMISSIVE partial-parse semantics exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     base = _tmp_dir("malformed")
     path = os.path.join(base, f"docs_{os.path.basename(os.path.normpath(sf_dir))}_csv")
     # The corrupted fixture is synthesized IN Spark (no driver-side
     # collect — at 100 TB that's an OOM) and written distributed as raw
     # text lines: wrong arity at doc_id%97==3, bad type at %97==5. No
-    # header line, so the multi-part directory reads uniformly.
-    mod = F.col("doc_id") % 97
-    line = (
-        F.when(mod == 3, F.concat_ws(",", "doc_id", "lang"))  # wrong arity
-        .when(mod == 5, F.concat_ws(",", F.lit("not_a_number"), F.col("lang"), F.col("n_chars")))
-        .otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
-    )
-    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    # header line, so the multi-part directory reads uniformly. Content
+    # is deterministic per sf_dir, so an existing complete write (the
+    # _SUCCESS marker) is reused instead of re-synthesized every run.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        mod = F.col("doc_id") % 97
+        line = (
+            F.when(mod == 3, F.concat_ws(",", "doc_id", "lang"))  # wrong arity
+            .when(mod == 5, F.concat_ws(",", F.lit("not_a_number"), F.col("lang"), F.col("n_chars")))
+            .otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
+        )
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read.option("header", "false")
         .option("mode", "PERMISSIVE")
