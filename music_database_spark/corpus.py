@@ -210,30 +210,33 @@ class CorpusPipeline:
             evaldf = self.docs.filter(self._bucket() >= 80)
         else:
             evaldf = self.docs
-        toks = self._toks()
+        # Materialize the token array ONCE per row and derive both the
+        # unigram and bigram vocabularies from that single column — a
+        # future change to _toks (e.g. lowercasing) then applies to both
+        # sides of the score by construction (x_ngram_lm_score's 'ts'
+        # pattern).
+        train_ts = train.withColumn("__ts", self._toks())
+        eval_ts = evaldf.withColumn("__ts", self._toks())
         bigrams = F.expr(
-            f"transform(sequence(1, size(filter(split({self.text_col}, ' '),"
-            f" t -> t != '')) - 1),"
-            f" i -> struct(element_at(filter(split({self.text_col}, ' '),"
-            f" t -> t != ''), i) AS w1,"
-            f" element_at(filter(split({self.text_col}, ' '), t -> t != ''),"
-            f" i + 1) AS w2))"
+            "transform(sequence(1, size(__ts) - 1),"
+            " i -> struct(element_at(__ts, i) AS w1,"
+            " element_at(__ts, i + 1) AS w2))"
         )
         uni = (
-            train.select(F.explode(toks).alias("w"))
+            train_ts.select(F.explode("__ts").alias("w"))
             .groupBy("w")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
         )
         vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
         big = (
-            train.filter(F.size(toks) >= 2)
+            train_ts.filter(F.size("__ts") >= 2)
             .select(F.explode(bigrams).alias("b"))
             .select("b.w1", "b.w2")
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
         )
         scored = (
-            evaldf.filter(F.size(toks) >= 2)
+            eval_ts.filter(F.size("__ts") >= 2)
             .select(F.col(self.id_col).alias("id"), F.explode(bigrams).alias("b"))
             .select("id", "b.w1", "b.w2")
             .join(big, ["w1", "w2"], "left")
@@ -271,7 +274,11 @@ class CorpusPipeline:
         (x_weighted_sample semantics): keep the k docs (per group when
         group_col is given) with the largest ln(u)/w keys, u drawn
         deterministically from the id's md5 — reproducible across runs
-        and partitionings."""
+        and partitionings. Weights must be > 0 (the E-S key is undefined
+        otherwise); non-positive-weight docs are excluded up front rather
+        than silently mis-sorting on a sign-flipped or divide-by-zero key.
+        """
+        docs = self.docs.filter(F.col(weight_col) > 0)
         u = (
             F.conv(
                 F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 6), 16, 10
@@ -285,7 +292,7 @@ class CorpusPipeline:
         part = W.partitionBy(group_col) if group_col else W.partitionBy()
         w = part.orderBy(skey.desc(), self.id_col)
         return (
-            self.docs.withColumn("__rnk", F.row_number().over(w))
+            docs.withColumn("__rnk", F.row_number().over(w))
             .filter(F.col("__rnk") <= k)
             .drop("__rnk")
         )
@@ -352,6 +359,7 @@ class CorpusPipeline:
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= top_k)
             .select(F.col("id").alias(self.id_col), "n_terms", "score", "rnk")
+            .orderBy("rnk")
         )
 
     # ---- batch preparation ------------------------------------------------

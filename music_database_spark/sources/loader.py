@@ -30,8 +30,9 @@ DRIVER_TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.ts physical-type probe cache, keyed by sf_dir (see load_table)
-_EVENTS_TS_TYPE: dict[str, str] = {}
+# events.ts physical-type probe cache, keyed by (sf_dir, file mtime) so a
+# regenerated testdata drop re-probes (see load_table)
+_EVENTS_TS_TYPE: dict[tuple[str, float], str] = {}
 
 # SparkContexts that already ship the package to their workers, keyed by
 # applicationId: unique per context, unlike id(sc), which CPython can
@@ -127,10 +128,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-zone TIMESTAMP (session tz is pinned UTC above, so NTZ →
         # LTZ is the identity wall-clock mapping DuckDB's oracle also uses).
         # The dtype probe is a py4j round-trip; cache it per sf_dir so the
-        # many events queries don't each pay it at plan-build time.
-        ts_type = _EVENTS_TS_TYPE.get(sf_dir)
+        # many events queries don't each pay it at plan-build time. Keyed
+        # on the parquet file's mtime too, so a regenerated testdata drop
+        # that flips the ts encoding mid-process re-probes instead of
+        # applying the other generation's normalization.
+        try:
+            mtime = os.path.getmtime(f"{sf_dir}/{name}.parquet")
+        except OSError:
+            mtime = -1.0
+        cache_key = (sf_dir, mtime)
+        ts_type = _EVENTS_TS_TYPE.get(cache_key)
         if ts_type is None:
-            ts_type = _EVENTS_TS_TYPE[sf_dir] = dict(raw.dtypes)["ts"]
+            ts_type = _EVENTS_TS_TYPE[cache_key] = dict(raw.dtypes)["ts"]
         if ts_type == "bigint":
             # `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa, so
             # float division would round the microsecond off by one.
