@@ -98,21 +98,44 @@ def main() -> int:
             indent=1,
             sort_keys=True,
         )
-    # Compact final line: slowest-20 map only, so the whole JSON object
-    # always fits inside the driver's 2000-char tail capture.
-    slowest = dict(
-        sorted(results.items(), key=lambda kv: kv[1], reverse=True)[:20]
-    )
+    # Compact final line, guaranteed well under the driver's 2000-char
+    # tail capture (round-2 parsed null, round-3 truncated): total,
+    # counts, geomean vs the BASELINE.md §3 v1 ratchets, and only the
+    # worst-3 ratio queries. The complete per-query map lives in
+    # BENCH_FULL.json.
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    geomean = None
+    worst3: dict[str, float] = {}
+    try:
+        from benchcmp import load_baseline
+
+        base = load_baseline()
+        ratios = {
+            n: results[n] / base[n]
+            for n in results
+            if results[n] >= 0 and base.get(n, 0) > 0
+        }
+        if ratios:
+            geomean = round(
+                statistics.geometric_mean(list(ratios.values())), 3
+            )
+            worst3 = {
+                n: round(r, 2)
+                for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+            }
+    except Exception as e:  # baseline table absent/unparseable: still report times
+        print(f"# baseline compare skipped: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_median_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
                 "sf": sf,
                 "n_queries": len(results),
                 "n_errors": len(errors),
+                "geomean_vs_v1": geomean,
+                "worst3_vs_v1": worst3,
                 "queries_file": os.path.basename(full_path),
             },
             separators=(",", ":"),
