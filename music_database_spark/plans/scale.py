@@ -121,6 +121,98 @@ def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_aqe_skew_join",
+    tags=("EXT", "J6"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM (SELECT CASE WHEN l_orderkey % 16 <> 0 THEN 1 ELSE l_orderkey END AS k,
+                     l_quantity
+              FROM lineitem) l
+        JOIN orders ON k = o_orderkey
+        GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def x_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join split — the AUTOMATIC treatment x_salted_join does by
+    hand: ~94% of lineitem is deliberately remapped onto ONE join key
+    (l_orderkey % 16 <> 0 -> key 1), so the sort-merge shuffle's hot
+    partition is ~4x its stage median. With
+    spark.sql.adaptive.skewJoin enabled and the size thresholds scaled to
+    the test data (at 100 TB the 256 MB defaults fire untouched), AQE's
+    OptimizeSkewedJoin splits the hot partition into advisory-sized
+    chunks and replicates the matching right-side rows per chunk — the
+    hot key fans out across tasks with no manual salting and identical
+    semantics (full DuckDB oracle).
+
+    Two locality accommodations, both absent on a real cluster: the left
+    input is repartitioned to 16 map tasks first, because a skewed
+    partition can only split at MAPPER granularity and this testdata's
+    single-row-group parquet otherwise feeds every hot row from one
+    mapper (unsplittable); and the thresholds are lowered because 600k
+    near-constant rows lz4-compress to ~100 KB of shuffle data. The
+    query executes under the pinned confs at build time (AQE re-plans
+    DURING execution, so a plan-freeze alone would not hold); the final
+    adaptive plan — asserted in tests to carry SortMergeJoin(skew=true)
+    — is exposed via aqe_skew_join_plan."""
+    agg, _ = _aqe_skew_join_run(spark, sf_dir)
+    return agg
+
+
+def aqe_skew_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Final (post-execution) adaptive plan string of the skew-join demo,
+    for the plan-shape test and PLANS.md evidence."""
+    _, plan = _aqe_skew_join_run(spark, sf_dir)
+    return plan
+
+
+def _aqe_skew_join_run(spark: SparkSession, sf_dir: str):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 16 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        .repartition(16)  # many mappers: skew splits at mapper granularity
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    pins = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+    }
+    saved: dict[str, str | None] = {}
+    for k in pins:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        agg = _agg(li.join(od, li.k == od.o_orderkey))
+        # Execute NOW, under the pins: localCheckpoint materializes the
+        # 5-row aggregate through this DataFrame's own query execution,
+        # so the adaptive plan finalizes (and splits the skewed
+        # partition) while the thresholds are in force.
+        ck = agg.localCheckpoint()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return ck, plan
+
+
+@register(
     "x_runtime_bloom_filter",
     tags=("EXT", "J6", "J5", "P5"),
     oracle="""

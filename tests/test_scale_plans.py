@@ -80,6 +80,26 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_aqe_skew_join_splits_hot_partition_and_restores_confs(spark):
+    """x_aqe_skew_join's executed adaptive plan must show the automatic
+    skew treatment firing — SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead — and the threshold pins must be restored afterwards.
+    Runs at sf0.1: the sf0.001 smoke data's hot partition is smaller than
+    any sane detection threshold."""
+    from music_database_spark.plans.scale import aqe_skew_join_plan
+
+    keys = (
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    plan = aqe_skew_join_plan(spark, "/root/testdata/sf0.1")
+    assert "skew=true" in plan, plan[:2000]
+    assert "skewed" in plan, plan[:2000]
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
 def test_runtime_bloom_filter_is_injected_and_confs_restored(spark):
     """The x_runtime_bloom_filter plan must carry the injected runtime
     filter (bloom_filter_agg creation + might_contain application on the
