@@ -972,3 +972,67 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+N_DATA_SHARDS = 16  # training-order shuffle: output shard count
+
+
+@register(
+    "x_dataset_shard",
+    tags=("EXT", "X4", "F3", "S6"),
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hval,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, hval, n_tok, hval % {N_DATA_SHARDS} AS shard FROM h
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(MIN(hval) AS BIGINT) AS min_hash,
+               CAST(MAX(hval) AS BIGINT) AS max_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def x_dataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle + shard: every doc gets a
+    pseudo-random but REPRODUCIBLE position (the first 48 bits of
+    md5(doc_id) — engine-portable, unlike xxhash64, and content- and
+    partitioning-independent), shard = hash % N_DATA_SHARDS, and within a
+    shard the training order is the hash order. Emits per-shard manifest
+    stats (docs, tokens, hash range) — the summary a writer job would
+    record next to each shard file.
+
+    This is how a 100 TB corpus is globally shuffled for training
+    WITHOUT a global sort: the map-only hash assigns both shard and
+    intra-shard key in one narrow pass, the write is
+    repartition(shard)+sortWithinPartitions(hash) — per-shard local
+    sorts, never a total order across the corpus. Re-running over an
+    incrementally grown corpus keeps every old doc's (shard, position)
+    stable, so training-order reproducibility survives ingests."""
+    docs = _t(spark, sf_dir, "documents")
+    hval = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    sharded = docs.select(
+        "doc_id",
+        hval.alias("hval"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (hval % N_DATA_SHARDS).alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("hval").alias("min_hash"),
+            F.max("hval").alias("max_hash"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -1446,3 +1446,169 @@ def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("pair")
     )
+
+
+@register(
+    "x_cdc_apply",
+    tags=("EXT", "O2", "O3", "F7", "S6"),
+    oracle="""
+        WITH log AS (
+            SELECT o_custkey AS key, o_orderdate, o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS val, o_orderpriority AS priority
+            FROM orders
+        ),
+        last AS (
+            SELECT key, op, val, priority FROM (
+                SELECT key, op, val, priority,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM log
+            ) t WHERE rn = 1
+        )
+        SELECT priority,
+               CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+               CAST(SUM(CASE WHEN op = 'U'
+                             THEN CAST(val AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_live_val
+        FROM last GROUP BY priority ORDER BY priority
+    """,
+)
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / change-data-feed apply with TOMBSTONES — the MERGE arm
+    x_merge_upsert doesn't cover (WHEN MATCHED THEN DELETE): a change log
+    (synthesized deterministically from orders: every o_orderkey%10==0
+    change is a delete, the rest are upserts, ordered per key by
+    (o_orderdate, o_orderkey)) collapses to its last-writer-wins final
+    state; keys whose final change is a delete survive only as
+    tombstones. Summarized per priority of the final change (live keys,
+    tombstoned keys, exact-decimal sum of live values).
+
+    Scale shape: ONE shuffle on the entity key with a WindowGroupLimit
+    (rank-1 pushdown stops each key at its newest change before the full
+    sort materializes), then a tiny agg — the same plan a Delta/iceberg
+    CDF apply compiles to. At 100 TB the change log is a fraction of the
+    snapshot, and the key shuffle is the only wide dependency."""
+    orders = _t(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("key"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    w = W.partitionBy("key").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "val", "priority")
+    )
+    return (
+        last.groupBy("priority")
+        .agg(
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("bigint").alias("n_live"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("bigint").alias("n_tombstoned"),
+            F.sum(F.when(F.col("op") == "U", F.col("val").cast("decimal(18,4)")))
+            .cast("double")
+            .alias("sum_live_val"),
+        )
+        .orderBy("priority")
+    )
+
+
+INCR_CUTOFF = "2024-01-21 00:00:00"  # events before: stored state; after: delta
+
+
+@register(
+    "x_incremental_agg",
+    tags=("EXT", "A1", "A5", "A7", "T5"),
+    oracle=f"""
+        WITH state AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                   MIN(ts) AS mn, MAX(ts) AS mx
+            FROM events WHERE ts < TIMESTAMP '{INCR_CUTOFF}'
+            GROUP BY event_type
+        ),
+        delta AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS s,
+                   MIN(ts) AS mn, MAX(ts) AS mx
+            FROM events WHERE ts >= TIMESTAMP '{INCR_CUTOFF}'
+            GROUP BY event_type
+        ),
+        merged AS (
+            SELECT COALESCE(st.event_type, d.event_type) AS event_type,
+                   COALESCE(st.n, 0) + COALESCE(d.n, 0) AS n,
+                   COALESCE(st.s, 0) + COALESCE(d.s, 0) AS s,
+                   LEAST(COALESCE(st.mn, d.mn), COALESCE(d.mn, st.mn)) AS mn,
+                   GREATEST(COALESCE(st.mx, d.mx), COALESCE(d.mx, st.mx)) AS mx
+            FROM state st FULL OUTER JOIN delta d ON st.event_type = d.event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(s AS DOUBLE) AS sum_val,
+               CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS avg_val,
+               strftime(mn, '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(mx, '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM merged ORDER BY event_type
+    """,
+)
+def x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-event-type
+    aggregate is kept as an ALGEBRAIC state (count, exact-decimal sum,
+    min/max ts) computed over the old data (ts < cutoff), then a delta
+    batch (ts >= cutoff) is aggregated alone and MERGED into the state —
+    count and decimal sum add, min/max take least/greatest, avg derives
+    at read time. The oracle recomputes the same pipeline, and because
+    the states are algebraic (associative + commutative, decimal-exact)
+    the merged result is bit-identical to a from-scratch aggregate no
+    matter how the data is split.
+
+    This is the core trick behind every streaming aggregation and
+    incremental ETL at 100 TB: the nightly run scans ONLY the delta
+    partition and merges fixed-size per-group states — never the full
+    history. Both branches here come from one table for oracle
+    determinism; in production the state side is the stored MV. The
+    merge is a tiny full-outer join on the (low-cardinality) group key;
+    the only full-data pass is the delta scan with partition pruning on
+    the cutoff."""
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    state = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    st, d = state.alias("st"), delta.alias("d")
+    merged = st.join(d, F.col("st.event_type") == F.col("d.event_type"), "full_outer").select(
+        F.coalesce(F.col("st.event_type"), F.col("d.event_type")).alias("event_type"),
+        (F.coalesce(F.col("st.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("st.s"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,6)"))
+        ).alias("s"),
+        F.least(
+            F.coalesce(F.col("st.mn"), F.col("d.mn")), F.coalesce(F.col("d.mn"), F.col("st.mn"))
+        ).alias("mn"),
+        F.greatest(
+            F.coalesce(F.col("st.mx"), F.col("d.mx")), F.coalesce(F.col("d.mx"), F.col("st.mx"))
+        ).alias("mx"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("double").alias("sum_val"),
+        (F.col("s").cast("double") / F.col("n")).cast("double").alias("avg_val"),
+        F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    ).orderBy("event_type")
