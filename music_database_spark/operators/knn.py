@@ -654,20 +654,36 @@ def _lloyd(emb_dbl: DataFrame, k: int, materialize: bool = True):
     )
     assign = None
     for it in range(1, KMEANS_ITERS + 1):
-        dist = _sq_dist(F.col("emb"), F.col("cent"))
-        scored = emb_dbl.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "emb",
-            F.struct(dist.alias("dist"), F.col("cluster_id").alias("cid")).alias("sc"),
+        # Assignment is MAP-SIDE: the k centroids pack into ONE row
+        # holding an array of (cluster_id, cent) structs, the
+        # crossJoin(broadcast) against that 1-row side merely appends
+        # the array to every vector row, and array_min over
+        # (dist, cluster_id) structs is the argmin — the embeddings
+        # never cross an exchange for assignment (the former
+        # groupBy(vec_id) put the full corpus' vectors through a
+        # shuffle once per iteration). Same (dist, cid) lexicographic
+        # tie-break, bit-identical distances, so results are unchanged.
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster_id", F.col("cent").alias("cent")))
+            ).alias("cents")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _sq_dist(F.col("emb"), c["cent"]).alias("dist"),
+                    c["cluster_id"].alias("cid"),
+                ),
+            )
         )
         assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min("sc").alias("sc"), F.first("emb").alias("emb"))
+            emb_dbl.crossJoin(F.broadcast(packed))
             .select(
                 "vec_id",
                 "emb",
-                F.col("sc.cid").alias("cluster_id"),
-                F.col("sc.dist").alias("dist"),
+                best.getField("cid").alias("cluster_id"),
+                best.getField("dist").alias("dist"),
             )
         )
         if it < KMEANS_ITERS:
