@@ -51,25 +51,31 @@ def test_flagship_runs_and_returns_rows(spark):
     assert df.count() > 0
 
 
-def test_first_50_registrations_cover_every_survey_family():
-    """The driver's correctness pass samples the first 50 queries()
-    entries; the curated DRIVER_PRIORITY order must keep at least one
-    representative of every SURVEY.md §2 operator row inside that
-    window (round 2 shipped zero driver-verified rows for X1-X5 and all
-    streaming because registration order front-loaded one family)."""
+def test_driver_window_rotated_to_unverified_queries():
+    """Round-4 contract: rounds 1-3 driver-verified 50 distinct queries;
+    the rotated DRIVER_PRIORITY must point the driver's 50-query window
+    at queries that have NEVER received a driver correctness row, so
+    every registry entry eventually earns a pass-D anchor. (Supersedes
+    the round-3 invariant that the window spans every §2 family — that
+    coverage was achieved in CORRECTNESS_r03 and stays on record.)"""
+    import json
+
     reg = load_all()
-    seen: set[str] = set()
-    for name in list(reg)[:50]:
-        seen.update(reg[name].tags)
-    need = {
-        f"{fam}{i}"
-        for fam, k in [
-            ("S", 6), ("P", 6), ("J", 9), ("A", 9), ("O", 5),
-            ("U", 3), ("F", 7), ("T", 6), ("D", 3), ("X", 5),
-        ]
-        for i in range(1, k + 1)
-    }
-    assert need - seen == set(), f"families outside driver window: {sorted(need - seen)}"
+    window = list(reg)[:50]
+    already = set()
+    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        path = os.path.join(REPO_ROOT, rec)
+        if os.path.exists(path):
+            with open(path) as f:
+                already.update(json.load(f))
+    fresh = [n for n in window if n not in already]
+    assert len(fresh) >= 45, (len(fresh), sorted(set(window) & already))
+    # Every curated priority name must actually exist in the registry —
+    # a typo would silently shrink the window.
+    from music_database_spark.registry import DRIVER_PRIORITY
+
+    missing = [n for n in DRIVER_PRIORITY if n not in reg]
+    assert missing == [], missing
 
 
 def test_approx_distinct_tracks_exact(spark):
