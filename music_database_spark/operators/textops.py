@@ -823,3 +823,102 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_df in rows[1:]:
         out = out.unionAll(r_df)
     return out.orderBy("merge_rank")
+
+
+# Winnowing fingerprint parameters: k-gram length in tokens and the
+# winnow window (consecutive k-gram hashes per selection window).
+# Density guarantee (Schleimer/Wilkerson/Aiken, SIGMOD 2003): winnowing
+# selects ~2/(w+1) of positions, so the fingerprint set is a fixed
+# fraction of the doc regardless of corpus size.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@register(
+    "x_winnow_fingerprint",
+    tags=("EXT", "X4", "X2", "O5", "F5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   ('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 12))::BIGINT AS hval
+            FROM toks, LATERAL unnest(range(1, len(t) - {WINNOW_K - 2})) AS u(i)
+        ),
+        w AS (
+            SELECT doc_id, pos,
+                   MIN(hval) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+               CAST(MAX(n_kg) - {WINNOW_W - 1} AS BIGINT) AS n_windows,
+               CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp,
+               MIN(wmin) AS min_fp,
+               MAX(wmin) AS max_fp
+        FROM w WHERE pos <= n_kg - {WINNOW_W - 1}
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by WINNOWING (the MOSS
+    algorithm): hash every k-token gram, slide a w-wide window over the
+    hash sequence, keep each window's minimum — the selected hashes are
+    the doc's fingerprint set, with guaranteed density ~2/(w+1) and the
+    guarantee that any shared substring of >= w+k-1 tokens between two
+    docs shares at least one fingerprint (the plagiarism/near-dup
+    recall property md5-of-whole-doc `x_fingerprint` lacks).
+
+    Plan shape: k-gram expansion + hashing is one narrow map pass
+    (sequence/transform/slice higher-order functions, md5 — all
+    codegen'd, no Python); the only shuffle is the window's
+    hash-partition on doc_id, and each doc's hash sequence sorts
+    locally within its partition. Per-doc output is a 6-column summary
+    — the full (doc_id, fingerprint) set that an index-builder would
+    write is `fp` below, one `explode` away. At 100 TB the fingerprint
+    index is ~2/(w+1) of the k-gram count, partitioned by hash — the
+    candidate-pair join over it is the same banded shape as
+    `x_dedup_ngram_jaccard`'s inverted index. Portable 48-bit md5 hash
+    (`conv(substr(md5(.),1,12),16,10)`) keeps Spark and the DuckDB
+    oracle bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    kg = F.transform(
+        F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i, WINNOW_K), " ")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("hval"),
+        ),
+    )
+    grams = (
+        docs.filter(n >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.explode(kg).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.hval").alias("hval"))
+    )
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fp = grams.select(
+        "doc_id",
+        "pos",
+        F.min("hval").over(frame).alias("wmin"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_kg"),
+    ).filter(F.col("pos") <= F.col("n_kg") - (WINNOW_W - 1))
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.max("n_kg").cast("bigint").alias("n_kgrams"),
+            (F.max("n_kg") - (WINNOW_W - 1)).cast("bigint").alias("n_windows"),
+            F.countDistinct("wmin").alias("n_fp"),
+            F.min("wmin").alias("min_fp"),
+            F.max("wmin").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

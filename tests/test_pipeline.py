@@ -469,3 +469,37 @@ def test_vocab_coverage_totals_and_bounds(spark, reg):
     n_distinct = docs.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
     corpus_cov = sum(r["in_vocab_tokens"] for r in rows) / total_tok
     assert corpus_cov >= min(1.0, VOCAB_K / n_distinct) * 0.8
+
+
+def test_winnow_fingerprints_match_reference_algorithm(spark, reg):
+    """Recompute winnowing (k-gram md5 rolling window, window-min
+    selection) in plain Python over every sf0.001 doc and pin the
+    operator's per-doc summary to it exactly."""
+    from music_database_spark.operators.textops import WINNOW_K, WINNOW_W
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in reg["x_winnow_fingerprint"].build(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text").collect()
+    checked = 0
+    for row in docs:
+        toks = row["text"].split(" ")
+        n_kg = len(toks) - WINNOW_K + 1
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            assert row["doc_id"] not in got
+            continue
+        hashes = [
+            int(hashlib.md5(" ".join(toks[i : i + WINNOW_K]).encode()).hexdigest()[:12], 16)
+            for i in range(n_kg)
+        ]
+        fps = {min(hashes[i : i + WINNOW_W]) for i in range(n_kg - WINNOW_W + 1)}
+        g = got[row["doc_id"]]
+        assert g["n_kgrams"] == n_kg
+        assert g["n_windows"] == n_kg - WINNOW_W + 1
+        assert g["n_fp"] == len(fps)
+        assert g["min_fp"] == min(fps) and g["max_fp"] == max(fps)
+        # density guarantee: winnowing keeps at most one hash per window
+        assert g["n_fp"] <= g["n_windows"]
+        checked += 1
+    assert checked == len(got) > 0
