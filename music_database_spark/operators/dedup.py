@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
+from ..sources.loader import scan_wide
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to defaultParallelism before a
+    compute-heavy narrow stage (single-row-group testdata reads as ONE
+    task; no-op once the scan is already wide). Applied per query by
+    A/B measurement at sf0.1 — queries whose first exchange comes
+    early keep the plain narrow scan (PLANS.md "Scan parallelism")."""
+    return scan_wide(spark, sf_dir, "documents")
 
 N_MINHASH = 32  # minhash permutations
 N_BANDS = 8  # LSH bands (4 rows/band) -> catches Jaccard >~ 0.6
@@ -637,7 +647,7 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task), and verification is JVM-side bit_count(xor).
     Integer votes, integer chunks, integer Hamming -> exact DuckDB
     oracle, unlike the weighted/numpy variant."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -838,7 +848,7 @@ def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     by exact shingle-Jaccard via integer cross-multiplication
     (5*|inter| >= 3*|union|, i.e. J >= 0.6) — no float compares.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     shset = shingle_frame(docs, "doc_id", "text").persist()
     bands = md5_band_frame(shset)
     w = W.partitionBy("band_id", "band_hash")
@@ -995,7 +1005,7 @@ def x_dedup_incremental_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces. Engine-portable md5 hash family -> fully value-hash-checked
     (pairs + exact Jaccard counts), with the index-side hot-bucket cap
     mirrored in the oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     shset = shingle_frame(docs, "doc_id", "text").persist()
     bands = md5_band_frame(shset)
     w = W.partitionBy("band_id", "band_hash")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
+from ..sources.loader import scan_wide
 
 PR_UNIT = 1_000_000_000  # 1.0 in integer billionths
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as a ratio
@@ -114,7 +115,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint loop; convergence-to-tolerance would swap the loop bound
     for the same scalar-aggregate check used there.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -217,7 +218,7 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     such refinement but the join shape is identical. Reference parity:
     no graph surface in the reference (SURVEY.md §2 EXT mandate).
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

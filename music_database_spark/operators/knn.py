@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double_array, cosine_similarity
 from ..plans.relational import _t
+from ..sources.loader import scan_wide
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan spread to defaultParallelism before per-row
+    distance math (single-row-group testdata reads as ONE task; no-op
+    once the scan is already wide). Applied per query by A/B
+    measurement at sf0.1 (PLANS.md "Scan parallelism")."""
+    return scan_wide(spark, sf_dir, "embeddings")
 from ..registry import register
 
 N_PROBES = 10  # fixed probe set: the N lowest vec_ids
@@ -99,7 +108,7 @@ def x_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: 10 probe vectors against the whole corpus.
     Probe side is broadcast, so the crossJoin is a single corpus scan with
     per-partition top-k (the window) — the distributed brute-force shape."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     probes = _probes(emb)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb"))
     cos = F.round(
@@ -303,7 +312,7 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks: assignment ties to the LARGEST cent_id via struct-max, probe
     cells to the smallest), so the DuckDB oracle mirrors the same
     approximate algorithm and the query is fully value-hash-checked."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     centroids = (
         emb.orderBy("vec_id")
         .limit(N_CELLS)
@@ -1054,7 +1063,7 @@ def x_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x_knn_ivf_trained) as IVF-PQ: coarse cell first, ADC within probed
     cells. Reference parity: no vector surface in the reference
     (SURVEY.md §2.10 X3 mandate)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     emb_dbl = emb.select("vec_id", as_double_array("embedding").alias("emb"))
 
     codes = None

@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
+from ..sources.loader import scan_wide
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to defaultParallelism before a
+    compute-heavy narrow stage (single-row-group testdata reads as ONE
+    task; no-op once the scan is already wide). Applied per query by
+    A/B measurement at sf0.1 — queries whose first exchange comes
+    early keep the plain narrow scan (PLANS.md "Scan parallelism")."""
+    return scan_wide(spark, sf_dir, "documents")
 
 
 @register(
@@ -123,7 +133,7 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok) per row is cheaper at any scale. Thresholds are integer
     cross-multiplications — no float compares to drift between engines.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     m = docs.select(
         "lang",
         F.expr("filter(split(text, ' '), t -> t != '')").alias("toks"),
@@ -209,7 +219,7 @@ def x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-lang summary. Patterns use explicit [0-9]/[a-z0-9] classes,
     which mean the same thing in Java regex (Spark) and RE2 (DuckDB).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
     phone_re = r"[0-9]{3}-[0-9]+"
     aug = docs.select(
@@ -414,7 +424,7 @@ def x_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     document once per alias reference — 16 copies of filter(split(...))
     in one Filter node, a measured 7x slowdown, invisible at small scale
     but fatal at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = docs.select(
         "doc_id",
         "lang",
@@ -537,7 +547,7 @@ def x_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed shuffle of (seg_idx, text) pairs. Reference parity: no such
     surface in the reference (pipeline mandate, SURVEY.md §2.10 X1/X4).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(SEG_WORDS))).cast("int")
     seg_arr = F.transform(
@@ -631,7 +641,7 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor). Reference parity: no such surface in the reference
     (pipeline mandate, SURVEY.md §2.10 X1/X4).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
     sh_arr = F.transform(
@@ -852,7 +862,7 @@ def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shuffle join that guarantees exactness. Reference parity: no
     such surface in the reference (pipeline mandate, SURVEY.md §2.10).
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
     sh_arr = F.transform(

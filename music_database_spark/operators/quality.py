@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.relational import _t
 from ..registry import register
+from ..sources.loader import scan_wide
 
 # (column, kind) pairs profiled over orders; kind picks the min/max
 # string rendering that is bit-identical across Spark and DuckDB.
@@ -83,7 +84,7 @@ def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop; at 100 TB the exact COUNT(DISTINCT x5) becomes
     approx_count_distinct to avoid the Expand blowup, everything else is
     identical (see module docstring)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = scan_wide(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for col, kind in PROFILE_COLS:
         aggs.append(F.sum(F.col(col).isNull().cast("bigint")).alias(f"null_{col}"))

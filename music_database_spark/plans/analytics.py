@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .relational import _t, dsum, ts_range
+from ..sources.loader import scan_wide
 
 
 @register(
@@ -259,7 +260,7 @@ def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal power sums — the cross-engine-deterministic way to do
     stddev/corr-class aggregates (built-in stddev would fold doubles in
     partition order and flake the hash)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = scan_wide(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
     sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
@@ -907,7 +908,7 @@ def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in regr_* fold doubles in partition order, which flakes
     cross-engine hashes; the decimal-moment form is bit-deterministic
     and still one aggregation pass (5 accumulators)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = scan_wide(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
     sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
@@ -1402,7 +1403,7 @@ def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-accumulation-order dependent across partitionings — exactly
     what the decimal moments avoid. Reference parity: no statistics
     surface in the reference (SURVEY.md §2.4 A5 EXT)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = scan_wide(spark, sf_dir, "lineitem")
     cols = sorted({c for p in CORR_PAIRS for c in p})
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for c in cols:

@@ -150,6 +150,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# parallel_scan's partition-count probe, memoized: the probe is a py4j
+# plan-conversion round-trip (~0.1 s), and bench rebuilds every plan per
+# run — per-(app, path, mtime) caching makes repeat builds free while a
+# regenerated testdata drop still re-probes.
+_SCAN_IS_NARROW: dict[tuple[str, str, float], bool] = {}
+
+
+def parallel_scan(df: DataFrame, min_ratio: int = 2, memo_path: str | None = None) -> DataFrame:
+    """Spread a coarse-grained scan across the cluster before a
+    compute-heavy narrow stage (md5 shingling, per-row distance math,
+    array higher-order passes).
+
+    Parquet splits at row-group granularity; the driver's testdata ships
+    ONE row group per table, so every scan is a single task and a
+    map-heavy pipeline runs on one core of local[32]. A round-robin
+    repartition to defaultParallelism (a few-MB exchange here) buys a
+    32x-wide compute stage. Gated on the actual scan partition count so
+    it is a NO-OP at cluster scale, where a 100 TB table arrives as
+    thousands of splits already >= cores — the expensive full-input
+    shuffle is never added when the scan is already parallel."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if memo_path is not None:
+        try:
+            mtime = os.path.getmtime(memo_path)
+        except OSError:
+            mtime = -1.0
+        key = (sess.sparkContext.applicationId, memo_path, mtime)
+        narrow = _SCAN_IS_NARROW.get(key)
+        if narrow is None:
+            narrow = _SCAN_IS_NARROW[key] = (
+                df.rdd.getNumPartitions() * min_ratio <= target
+            )
+    else:  # no memo key supplied: probe the plan directly each time
+        narrow = df.rdd.getNumPartitions() * min_ratio <= target
+    return df.repartition(target) if narrow else df
+
+
+def scan_wide(spark: SparkSession, sf_dir: str, name: str, cols: list[str] | None = None) -> DataFrame:
+    """`load_table` + `parallel_scan` with the probe memoized on the
+    backing parquet file, so repeated plan builds (bench reruns, composed
+    queries loading the same table several times) skip the py4j
+    partition-count probe entirely."""
+    df = load_table(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    return parallel_scan(df, memo_path=f"{sf_dir}/{name}.parquet")
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register each table as a temp view so both the DataFrame API and
     spark.sql can address them (reference entry point 1, SURVEY.md §3.1)."""
