@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
+from ..sources.loader import scan_wide
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to defaultParallelism before a
+    compute-heavy narrow stage (single-row-group testdata reads as ONE
+    task; no-op once the scan is already wide). Applied per query by
+    A/B measurement at sf0.1 — queries whose first exchange comes
+    early keep the plain narrow scan (PLANS.md "Scan parallelism")."""
+    return scan_wide(spark, sf_dir, "documents")
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Public knowledge (most frequent function words per language).
@@ -114,7 +124,7 @@ def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetic ratio), averaged per language. The same arithmetic expression
     tree is written on both engines; per-doc scores are rounded then
     decimal-averaged for hash stability."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tokens = F.split("text", " ")
     n_tokens = F.size(tokens)
     stop_list = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]])
@@ -200,7 +210,7 @@ def x_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (doc_id, chunk_idx, n_tokens, md5). One narrow pass: the token
     array is sliced by higher-order functions and exploded; no shuffle
     until the (optional) downstream dedup of chunk hashes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_chunks = F.greatest(
         F.lit(1),
@@ -396,7 +406,7 @@ def x_lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this form beats the Arrow round-trip, which is why a real
     pipeline keeps the UDF path only for genuinely procedural models.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = docs.select(
         "lang", F.expr("filter(split(text, ' '), t -> t != '')").alias("toks")
     )
@@ -873,52 +883,125 @@ def x_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs shares at least one fingerprint (the plagiarism/near-dup
     recall property md5-of-whole-doc `x_fingerprint` lacks).
 
-    Plan shape: k-gram expansion + hashing is one narrow map pass
-    (sequence/transform/slice higher-order functions, md5 — all
-    codegen'd, no Python); the only shuffle is the window's
-    hash-partition on doc_id, and each doc's hash sequence sorts
-    locally within its partition. Per-doc output is a 6-column summary
-    — the full (doc_id, fingerprint) set that an index-builder would
-    write is `fp` below, one `explode` away. At 100 TB the fingerprint
-    index is ~2/(w+1) of the k-gram count, partitioned by hash — the
+    Plan shape: ZERO shuffle — winnowing is doc-local, so the whole
+    algorithm stays in the array domain (sequence/transform/slice/
+    array_min higher-order functions, md5 — all codegen'd, no Python):
+    hash sequence, per-window minima, and the distinct fingerprint set
+    are each one nested array expression, never an explode + window
+    re-sort on doc_id. The final orderBy is the only exchange, and
+    only because the driver hashes ordered output. At 100 TB this is a
+    pure narrow map over the corpus; the full (doc_id, fingerprint)
+    index an index-builder would write is `explode(fps)` away, and the
     candidate-pair join over it is the same banded shape as
     `x_dedup_ngram_jaccard`'s inverted index. Portable 48-bit md5 hash
     (`conv(substr(md5(.),1,12),16,10)`) keeps Spark and the DuckDB
     oracle bit-identical."""
-    docs = _t(spark, sf_dir, "documents")
+    fp = _winnow_fps(_docs(spark, sf_dir))
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        (F.col("n_kgrams") - (WINNOW_W - 1)).cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    ).orderBy("doc_id")
+
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_kgrams, fps) — the winnowed fingerprint set per doc,
+    computed entirely in the array domain (zero shuffle, see
+    x_winnow_fingerprint's docstring for the plan rationale)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    kg = F.transform(
+    hs = F.transform(
         F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.conv(
-                F.substring(F.md5(F.array_join(F.slice(toks, i, WINNOW_K), " ")), 1, 12), 16, 10
-            )
-            .cast("bigint")
-            .alias("hval"),
-        ),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, WINNOW_K), " ")), 1, 12), 16, 10
+        ).cast("bigint"),
     )
-    grams = (
-        docs.filter(n >= WINNOW_K + WINNOW_W - 1)
-        .select("doc_id", F.explode(kg).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.hval").alias("hval"))
+    per_doc = docs.filter(n >= WINNOW_K + WINNOW_W - 1).select("doc_id", hs.alias("hs"))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
     )
-    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    fp = grams.select(
+    return per_doc.select(
         "doc_id",
-        "pos",
-        F.min("hval").over(frame).alias("wmin"),
-        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n_kg"),
-    ).filter(F.col("pos") <= F.col("n_kg") - (WINNOW_W - 1))
+        F.size("hs").cast("bigint").alias("n_kgrams"),
+        F.array_distinct(wmins).alias("fps"),
+    )
+
+
+# Fingerprint-index candidate generation: a fingerprint held by more
+# than WINNOW_MAX_FP_FREQ docs is boilerplate (the stop-shingle of the
+# fingerprint domain) and is dropped before pairing — the same
+# hot-bucket cap as MAX_SHINGLE_FREQ/MAX_BAND_FREQ in dedup.py, which
+# is what keeps the self-join O(n) instead of O(n^2).
+WINNOW_MAX_FP_FREQ = 10
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "x_winnow_candidates",
+    tags=("EXT", "X2", "X4", "J1", "A1"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   ('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 12))::BIGINT AS hval
+            FROM toks, LATERAL unnest(range(1, len(t) - {WINNOW_K - 2})) AS u(i)
+        ),
+        w AS (
+            SELECT doc_id, pos,
+                   MIN(hval) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+            FROM g
+        ),
+        fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= n_kg - {WINNOW_W - 1}),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_FP_FREQ}),
+        f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """,
+)
+def x_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from the winnowed fingerprint index —
+    the MOSS match step: docs sharing >= WINNOW_MIN_SHARED rare
+    fingerprints are candidates, and any pair sharing a >= w+k-1-token
+    run is guaranteed to surface (winnowing's recall property), unlike
+    MinHash whose misses are probabilistic.
+
+    Plan shape: the fingerprint index is the zero-shuffle map pass of
+    `_winnow_fps` exploded to (doc_id, fp) — ~2/(w+1) the size of a
+    full shingle index by the density guarantee, which is the point of
+    winnowing at 100 TB: the inverted index (and therefore the shuffle
+    and the self-join) is 2.5x smaller than x_dedup_ngram_jaccard's at
+    equal recall for long matches. Frequency-capped (boilerplate
+    fingerprints dropped) so no bucket contributes more than
+    CAP^2/2 pairs to one shuffle key; the index frame is persisted so
+    frequency pass and pair pass scan the corpus once."""
+    fps = (
+        _winnow_fps(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .persist()
+    )
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= WINNOW_MAX_FP_FREQ
+    )
+    f = fps.join(rare.select("fp"), "fp")
     return (
-        fp.groupBy("doc_id")
-        .agg(
-            F.max("n_kg").cast("bigint").alias("n_kgrams"),
-            (F.max("n_kg") - (WINNOW_W - 1)).cast("bigint").alias("n_windows"),
-            F.countDistinct("wmin").alias("n_fp"),
-            F.min("wmin").alias("min_fp"),
-            F.max("wmin").alias("max_fp"),
+        f.alias("a")
+        .join(
+            f.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .orderBy("doc_id")
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
     )

@@ -503,3 +503,24 @@ def test_winnow_fingerprints_match_reference_algorithm(spark, reg):
         assert g["n_fp"] <= g["n_windows"]
         checked += 1
     assert checked == len(got) > 0
+
+
+def test_winnow_candidates_recall_minhash_verified_pairs(spark, reg):
+    """Winnowing guarantees any shared >= w+k-1-token run surfaces, so
+    every MinHash-verified near-dup pair (jaccard >= 0.6) must appear
+    among the fingerprint candidates, and with clearly more shared
+    fingerprints than the WINNOW_MIN_SHARED floor."""
+    from music_database_spark.operators.textops import WINNOW_MIN_SHARED
+
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in reg["x_dedup_minhash_md5"].build(spark, SF_SMOKE).collect()
+    }
+    wc = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in reg["x_winnow_candidates"].build(spark, SF_SMOKE).collect()
+    }
+    assert mh, "minhash baseline unexpectedly empty"
+    missed = [p for p in mh if p not in wc]
+    assert missed == [], missed
+    assert all(wc[p] >= WINNOW_MIN_SHARED + 1 for p in mh)
