@@ -28,6 +28,8 @@ exists for the LLM-pipeline north star.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -797,6 +799,67 @@ def x_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(pcells)
         .join(assign, "cluster_id")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+@register(
+    "x_ann_index_persist",
+    tags=("EXT", "X3", "S5", "S6", "J5"),
+    oracle=_ivf_trained_oracle(),
+)
+def x_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-database SERVING shape: persist the trained IVF index
+    to parquet PARTITIONED BY cluster_id, then answer probes from the
+    on-disk index with a partition-PRUNED scan — completing the
+    train -> index -> WRITE -> serve lifecycle that x_knn_ivf_trained
+    (same output, same oracle) executes in one job. The index write is
+    cached per scale factor (deterministic Lloyd output, so a reread is
+    bit-identical), which is exactly the production split: training is
+    a batch job, serving rereads only the index.
+
+    Plan evidence: the probe cells arrive as a runtime broadcast, so
+    Catalyst injects `dynamicpruningexpression(cluster_id IN ...)` into
+    the index scan's PartitionFilters (test_scale_plans pins it) — at
+    100 TB each probe batch reads TRAINED_PROBE_CELLS/K_CLUSTERS of the
+    index files and none of the rest, the IVF promise made physical in
+    the file layout rather than in a shuffle."""
+    from ..sources.formats import _tmp_dir
+
+    cents, assign = _kmeans_fit(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_tmp_dir("ann_index"), f"ivf_{sf_tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        assign.select("vec_id", "emb", "cluster_id").write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(path)
+    index = spark.read.parquet(path)
+    probes = (
+        index.orderBy("vec_id")
+        .limit(N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"))
+    )
+    pdist = _sq_dist(F.col("pemb"), F.col("cent"))
+    wp = W.partitionBy("probe_id").orderBy(F.asc("pdist"), F.asc("cluster_id"))
+    pcells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cents))
+        .select("probe_id", "pemb", "cluster_id", pdist.alias("pdist"))
+        .withColumn("crnk", F.row_number().over(wp))
+        .filter(F.col("crnk") <= TRAINED_PROBE_CELLS)
+        .select("probe_id", "pemb", "cluster_id")
+    )
+    cos = F.round(cosine_similarity(F.col("pemb"), F.col("emb")), 6)
+    scored = (
+        index.join(F.broadcast(pcells), "cluster_id")
         .filter(F.col("probe_id") != F.col("vec_id"))
         .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     )

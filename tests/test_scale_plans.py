@@ -270,3 +270,19 @@ def test_bloom_decontaminate_bitmap_is_bounded_and_prunes(spark):
         sh.filter(F.col("doc_id") % BENCH_MOD != 0).join(bench, "sh_hash").count()
     )
     assert true_overlap <= n_cand < corpus_n * 0.10
+
+
+def test_ann_index_serve_scan_is_partition_pruned(spark):
+    """x_ann_index_persist must answer probes from the on-disk IVF index
+    with dynamic partition pruning on cluster_id (the IVF promise made
+    physical), and its served results must be identical to the in-job
+    x_knn_ivf_trained pipeline."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["x_ann_index_persist"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cluster_id" in plan, plan[:2000]
+    served = [tuple(r) for r in df.collect()]
+    in_job = [tuple(r) for r in reg["x_knn_ivf_trained"].build(spark, SF).collect()]
+    assert served == in_job
