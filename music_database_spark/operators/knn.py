@@ -872,6 +872,89 @@ def x_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INGEST_MOD = 10  # incremental ingest demo: vec_id % MOD == ARM is "arriving"
+INGEST_ARM = 7
+
+
+def _ingest_oracle() -> str:
+    """x_ann_index_ingest oracle: train the quantizer (k-means CTEs),
+    then route ONLY the arriving batch through the frozen centroids —
+    same argmin, same tie-break, decimal-exact per-cell distance sums."""
+    last_cent = f"cent{KMEANS_ITERS - 1}"
+    d_expr = _sqdist_sql("b.emb", "c.cent")
+    ctes = _kmeans_ctes() + [
+        f"batch AS (SELECT vec_id, emb FROM dbl"
+        f" WHERE vec_id % {INGEST_MOD} = {INGEST_ARM})",
+        f"routed AS (SELECT vec_id, cluster_id, dist FROM ("
+        f" SELECT b.vec_id, c.cluster_id, {d_expr} AS dist,"
+        f" row_number() OVER (PARTITION BY b.vec_id"
+        f" ORDER BY {d_expr} ASC, c.cluster_id ASC) AS rn"
+        f" FROM batch b CROSS JOIN {last_cent} c) t WHERE rn = 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_new,
+               MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+               CAST(SUM(CAST(round(dist, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_dist
+        FROM routed GROUP BY cluster_id ORDER BY cluster_id
+    """
+    )
+
+
+@register("x_ann_index_ingest", tags=("EXT", "X3", "F4", "F5", "A1"), oracle=_ingest_oracle())
+def x_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index ingest: a newly-arriving vector batch
+    (vec_id % INGEST_MOD == INGEST_ARM stands in for the fresh drop) is
+    routed through the FROZEN trained coarse quantizer — no retraining,
+    no touch of the existing index — and summarized as the per-cell
+    ingest manifest (count, id range, decimal-exact distance mass) a
+    writer job would record while appending to the cell partitions of
+    the persisted index (x_ann_index_persist).
+
+    100 TB design: ingest cost is O(batch), the x_dedup_incremental_band
+    contract applied to vectors — centroids broadcast once (K x dim
+    doubles), cell assignment is the same map-side array_min argmin as
+    Lloyd's (embeddings never cross an exchange), and the only shuffle
+    is the per-cell manifest agg over <= K rows of partials. Periodic
+    retraining when cell occupancy drifts is the documented offline
+    path; serving reads are unaffected because appends land inside
+    existing cluster_id partitions."""
+    cents, _assign = _kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % INGEST_MOD == INGEST_ARM).select(
+        "vec_id", as_double_array("embedding").alias("emb")
+    )
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", F.col("cent").alias("cent")))
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col("emb"), c["cent"]).alias("dist"),
+                c["cluster_id"].alias("cid"),
+            ),
+        )
+    )
+    routed = batch.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        best.getField("cid").alias("cluster_id"),
+        best.getField("dist").alias("dist"),
+    )
+    return (
+        routed.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.sum(F.round("dist", 6).cast("decimal(24,6)")).cast("double").alias("sum_dist"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUANT_LEVELS = 255  # int8 scalar quantization: levels per dimension
 
 
