@@ -955,6 +955,96 @@ def x_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_embedding_drift",
+    tags=("EXT", "X3", "X4", "A5", "F4", "F5"),
+    oracle=f"""
+        WITH dbl AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90
+                        THEN 'validation' ELSE 'test' END AS split
+            FROM embeddings
+        ),
+        counts AS (SELECT split, COUNT(*) AS n FROM dbl GROUP BY split),
+        cent AS (
+            SELECT split, list(mean ORDER BY pos) AS cent FROM (
+                SELECT split, pos,
+                       CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mean
+                FROM (SELECT split, unnest(emb) AS v,
+                             unnest(range(1, len(emb) + 1)) AS pos FROM dbl) u
+                GROUP BY split, pos) m GROUP BY split
+        )
+        SELECT a.split || '~' || b.split AS pair,
+               CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+               round(sqrt({{_SQD}}), 6) AS l2,
+               round({{_COS}}, 6) AS cos
+        FROM cent a JOIN cent b ON a.split = 'train' AND b.split IN ('validation', 'test')
+        JOIN counts ca ON ca.split = a.split
+        JOIN counts cb ON cb.split = b.split
+        ORDER BY pair
+    """.replace("{_SQD}", _sqdist_sql("a.cent", "b.cent")).replace(
+        "{_COS}", _cos_sql("a.cent", "b.cent")
+    ),
+)
+def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift check — the two-sample monitoring
+    primitive a training pipeline runs per data drop: deterministic
+    80/10/10 hash split (the x_hash_split recipe on vec_id), per-split
+    mean embedding with DECIMAL-exact component sums, then L2 and
+    cosine between the train centroid and each held-out centroid. A
+    shifted validation/test distribution (new scraper, new dedup
+    policy) moves these numbers before it moves eval metrics.
+
+    100 TB design: one narrow pass tags splits map-side (md5, no
+    shuffle), the centroid agg ships one decimal per (split, pos) per
+    partition — O(3 x dim) rows through the exchange regardless of
+    corpus size — and the pairwise distance runs on a 3-row frame. The
+    sequential index-order fold over the mean arrays keeps both
+    engines' doubles bit-identical (the _sq_dist contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    dbl = emb.select(split.alias("split"), as_double_array("embedding").alias("emb"))
+    counts = dbl.groupBy("split").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cent = (
+        dbl.select("split", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("split", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))
+            ).alias("mean")
+        )
+        .groupBy("split")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+        .select("split", F.transform("pm", lambda s: s["mean"]).alias("cent"))
+        .join(counts, "split")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.split") == F.lit("train"))
+            & F.col("b.split").isin("validation", "test"),
+        )
+        .select(
+            F.concat_ws("~", "a.split", "b.split").alias("pair"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.sqrt(_sq_dist(F.col("a.cent"), F.col("b.cent"))), 6).alias("l2"),
+            F.round(cosine_similarity(F.col("a.cent"), F.col("b.cent")), 6).alias("cos"),
+        )
+        .orderBy("pair")
+    )
+
+
 QUANT_LEVELS = 255  # int8 scalar quantization: levels per dimension
 
 
