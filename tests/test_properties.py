@@ -110,3 +110,48 @@ def test_hashed_bow_partitions_token_mass(spark, docs):
     for r in out:
         assert all(v >= 0 for v in r["vec"])
         assert sum(r["vec"]) == r["n_tok"]
+
+
+def _winnow_py(tokens: list[str]) -> set[int]:
+    """Pure-Python mirror of the winnowing expression pipeline
+    (tests/test_pipeline.py pins the Spark operator to this exact
+    function at sf0.001, so properties proven here transfer)."""
+    import hashlib
+
+    from music_database_spark.operators.textops import WINNOW_K, WINNOW_W
+
+    n_kg = len(tokens) - WINNOW_K + 1
+    if len(tokens) < WINNOW_K + WINNOW_W - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(tokens[i : i + WINNOW_K]).encode()).hexdigest()[:12], 16)
+        for i in range(n_kg)
+    ]
+    return {min(hs[i : i + WINNOW_W]) for i in range(n_kg - WINNOW_W + 1)}
+
+
+words = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(words, min_size=0, max_size=20),
+    st.lists(words, min_size=0, max_size=20),
+    st.lists(words, min_size=6, max_size=12),  # >= WINNOW_K + WINNOW_W - 1
+)
+def test_winnowing_guarantees_shared_run_detection(prefix_a, prefix_b, shared):
+    """The MOSS recall guarantee: two docs sharing a run of
+    >= w+k-1 tokens ALWAYS share at least one fingerprint (the shared
+    run contains a full winnow window, whose minimum is selected in
+    both docs), and the fingerprint set is never larger than the
+    window count (density bound)."""
+    from music_database_spark.operators.textops import WINNOW_K, WINNOW_W
+
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    doc_a = prefix_a + shared
+    doc_b = prefix_b + shared
+    fa, fb = _winnow_py(doc_a), _winnow_py(doc_b)
+    assert fa & fb, (doc_a, doc_b)
+    for toks, fps in [(doc_a, fa), (doc_b, fb)]:
+        n_windows = len(toks) - WINNOW_K - WINNOW_W + 2
+        assert 1 <= len(fps) <= n_windows
