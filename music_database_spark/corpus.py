@@ -297,6 +297,53 @@ class CorpusPipeline:
             .drop("__rnk")
         )
 
+    def winnow_fingerprints(self) -> DataFrame:
+        """Winnowed rolling-hash fingerprint set per doc
+        (x_winnow_fingerprint semantics): (id, n_kgrams, fps). Zero
+        shuffle — the whole MOSS selection runs in the array domain."""
+        from .operators.textops import _winnow_fps
+
+        return _winnow_fps(self.docs, self.id_col, self.text_col).select(
+            F.col("doc_id").alias(self.id_col), "n_kgrams", "fps"
+        )
+
+    def winnow_candidates(
+        self, max_fp_freq: int = 10, min_shared: int = 2
+    ) -> DataFrame:
+        """Near-dup candidate pairs sharing >= min_shared rare winnow
+        fingerprints (x_winnow_candidates semantics): (id_a, id_b,
+        n_shared). Guaranteed to surface any pair sharing a run of
+        >= WINNOW_W + WINNOW_K - 1 tokens, unlike MinHash's
+        probabilistic recall; the fingerprint index is frequency-capped
+        so no bucket fans out more than max_fp_freq^2/2 pairs."""
+        from .operators.textops import _winnow_fps
+
+        fps = (
+            _winnow_fps(self.docs, self.id_col, self.text_col)
+            .select("doc_id", F.explode("fps").alias("fp"))
+            .persist()
+        )
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") <= max_fp_freq)
+        )
+        f = fps.join(rare.select("fp"), "fp")
+        return (
+            f.alias("a")
+            .join(
+                f.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .orderBy("id_a", "id_b")
+        )
+
     def bm25(
         self, query_terms: list[str], k1: float = 1.2, b: float = 0.75, top_k: int = 20
     ) -> DataFrame:

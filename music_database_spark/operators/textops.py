@@ -907,11 +907,11 @@ def x_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _winnow_fps(docs: DataFrame) -> DataFrame:
+def _winnow_fps(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_kgrams, fps) — the winnowed fingerprint set per doc,
     computed entirely in the array domain (zero shuffle, see
     x_winnow_fingerprint's docstring for the plan rationale)."""
-    toks = F.split(F.col("text"), " ")
+    toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     hs = F.transform(
         F.sequence(F.lit(1), n - (WINNOW_K - 1)),
@@ -919,7 +919,9 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
             F.substring(F.md5(F.array_join(F.slice(toks, i, WINNOW_K), " ")), 1, 12), 16, 10
         ).cast("bigint"),
     )
-    per_doc = docs.filter(n >= WINNOW_K + WINNOW_W - 1).select("doc_id", hs.alias("hs"))
+    per_doc = docs.filter(n >= WINNOW_K + WINNOW_W - 1).select(
+        F.col(id_col).alias("doc_id"), hs.alias("hs")
+    )
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
         lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),

@@ -189,3 +189,26 @@ def test_bm25_external_terms_are_deterministic_and_ranked(pipe):
     assert len(a) <= 10 and all(r["score"] > 0 for r in a)
     scores = [r["score"] for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_winnow_api_matches_registered_queries(spark, pipe):
+    """CorpusPipeline.winnow_candidates must return exactly the
+    x_winnow_candidates rows at default knobs, and winnow_fingerprints
+    the same per-doc counts as x_winnow_fingerprint."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    api_pairs = [tuple(r) for r in pipe.winnow_candidates().collect()]
+    reg_pairs = [
+        tuple(r) for r in reg["x_winnow_candidates"].build(spark, SF_SMOKE).collect()
+    ]
+    assert api_pairs == reg_pairs
+    api_fp = {
+        r["doc_id"]: (r["n_kgrams"], len(r["fps"]))
+        for r in pipe.winnow_fingerprints().collect()
+    }
+    reg_fp = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fp"])
+        for r in reg["x_winnow_fingerprint"].build(spark, SF_SMOKE).collect()
+    }
+    assert api_fp == reg_fp
