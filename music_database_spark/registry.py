@@ -57,35 +57,41 @@ def register(
 # The driver's correctness pass samples the FIRST 50 entries of queries()
 # in dict order. Rounds 1-3 verified 78 distinct queries; this round-4
 # window is 50 oracle-backed queries the driver has NEVER hash-checked
-# (CORRECTNESS_r01-r03), again spanning every family — window frames,
-# set-ops ALL, as-of/interpolate/OHLC, trained-IVF/PQ, the SQL-UDF
-# surface, the remaining true streams, the dedup/pipeline/text operators,
-# and the layout/source exhibits. Every entry was green in the round-3
-# full differential re-run, so the rotation trades no risk for coverage.
+# (CORRECTNESS_r01-r03): the nine round-4 additions first (the newest
+# code earns external verification first), then never-verified queries
+# spanning every family — window frames, set-ops ALL,
+# as-of/interpolate/OHLC, trained-IVF/PQ, the SQL-UDF surface, the
+# remaining true streams, the dedup/pipeline/text operators, and the
+# layout/source exhibits. Every entry is green in this round's full
+# differential runs, so the rotation trades no risk for coverage.
 # Everything else follows, oracle-backed first.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-4 additions — the newest code earns its pass-D first
+    "x_winnow_fingerprint",
+    "x_winnow_candidates",
+    "x_ann_index_persist",
+    "x_ann_index_ingest",
+    "x_embedding_drift",
+    "x_aqe_skew_join",
+    "x_cdc_apply",
+    "x_incremental_agg",
+    "x_dataset_shard",
     # window / analytic frames (O3-O5)
     "x_rank_per_group",
     "x_running_sum",
-    "x_lag_delta",
-    "x_moving_avg",
-    "x_time_range_frame",
     "x_window_ignore_nulls",
     # time-series: as-of, interpolation, intervals (J8,O4,O5)
     "x_interpolate",
     "x_resample_ohlc",
     "x_asof_nearest",
-    "x_interval_overlap",
     "x_scd2_history",
     # set ops ALL-variants + reshaping (U1-U3, A8)
     "x_except_all",
     "x_intersect_all",
     "x_union_by_name",
     "x_pivot",
-    "x_unpivot",
     # SQL front-door surface (P1, D3, F-family)
     "x_sql_udf",
-    "x_sql_table_udf",
     "x_python_udtf",
     "x_pipe_syntax",
     "x_lateral_topk",
@@ -94,9 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_knn_ivf_trained",
     "x_knn_ivfpq",
     "x_cluster_kmeans",
-    "x_ann_recall",
     # dedup family (X1, X2)
-    "x_dedup_hash_groups",
     "x_dedup_clusters",
     "x_dedup_corpus",
     "x_dedup_incremental_band",
@@ -108,7 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # corpus pipeline (X1, X4)
     "x_hash_split",
     "x_bloom_decontaminate",
-    "x_seq_packing",
     "x_stratified_sample",
     "x_weighted_sample",
     # text analysis (X4)
