@@ -1130,3 +1130,157 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "x_dedup_recall",
+    tags=("EXT", "X2", "A1"),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+        shset AS (
+            SELECT id,
+                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
+                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
+            FROM toks WHERE len(t) >= {SHINGLE_LEN}
+        ),
+        sh AS (SELECT id, unnest(sh) AS g FROM shset),
+        rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
+        filtered AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
+        tpairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id
+        ),
+        truth AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS ni,
+                       len(x.sh) + len(y.sh)
+                           - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS nu
+                FROM tpairs JOIN shset x ON x.id = tpairs.id_a
+                            JOIN shset y ON y.id = tpairs.id_b
+            ) WHERE ni * 5 >= nu * 3
+        ),
+        mh AS (
+            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
+            GROUP BY id, s.s
+        ),
+        bands AS (
+            SELECT id, seed // 2 AS band_id,
+                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY id, seed // 2
+        ),
+        bands_f AS (
+            SELECT id, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+                FROM bands
+            ) WHERE bsz <= {MAX_BAND_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands_f a JOIN bands_f b ON a.band_id = b.band_id
+                          AND a.band_hash = b.band_hash AND a.id < b.id
+        ),
+        hit AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                   (SELECT COUNT(*) FROM cand) AS n_cand,
+                   (SELECT COUNT(*) FROM hit) AS n_hit
+        )
+        SELECT n_truth, n_cand, n_hit,
+               round(CASE WHEN n_cand = 0 THEN NULL
+                          ELSE CAST(n_hit AS DOUBLE) / n_cand END, 6) AS cand_precision,
+               round(CASE WHEN n_truth = 0 THEN NULL
+                          ELSE CAST(n_hit AS DOUBLE) / n_truth END, 6) AS cand_recall
+        FROM counts
+    """,
+)
+def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality harness for the banded-MinHash dedup path (the
+    x_ann_recall analog for near-dup): candidate pairs from the md5
+    band index (x_dedup_minhash_md5's stage, pre-verification) scored
+    against the exact-Jaccard ground truth (J >= 0.6 over full shingle
+    sets, generated via the rare-shingle inverted index) — one row of
+    corpus-level precision/recall for the LSH configuration. This is
+    the monitoring query a production dedup pipeline runs on a sampled
+    corpus slice after every re-tune of (bands, rows, caps): recall
+    says what the bands miss, precision says how much exact-verify work
+    each candidate costs.
+
+    100 TB design: composes two already-linear stages (banded LSH
+    candidates; frequency-capped inverted-index truth pairs) and three
+    COUNT aggregates — no new join shape, no all-pairs anywhere. Both
+    caps (MAX_SHINGLE_FREQ, MAX_BAND_FREQ) are shared with the
+    production queries, so the harness measures exactly the plan it
+    monitors. The md5 minhash family keeps every intermediate
+    engine-portable: even the PRECISION/RECALL numbers hash-match the
+    oracle. At full corpus scale the same query runs on a hash-sampled
+    slice (x_quantile_sample's deterministic md5-bucket pattern).
+    """
+    docs = _docs(spark, sf_dir)
+    shset = shingle_frame(docs, "doc_id", "text").persist()
+    exploded = shset.select("id", F.explode("sh").alias("g")).persist()
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") <= MAX_SHINGLE_FREQ)
+        .select("g")
+    )
+    filtered = exploded.join(rare, "g")
+    tpairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    truth = (
+        tpairs.join(shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(inter * 5 >= (F.size("sh_a") + F.size("sh_b") - inter) * 3)
+        .select("id_a", "id_b")
+    )
+    bands = md5_band_frame(shset)
+    w = W.partitionBy("band_id", "band_hash")
+    bands_f = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BAND_FREQ)
+        .drop("bsz")
+    )
+    cand = (
+        bands_f.alias("a")
+        .join(
+            bands_f.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    hit = cand.join(truth, ["id_a", "id_b"])
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return n_truth.crossJoin(n_cand).crossJoin(n_hit).select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_cand") == 0, F.lit(None)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_cand")
+            ),
+            6,
+        ).alias("cand_precision"),
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(None)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_truth")
+            ),
+            6,
+        ).alias("cand_recall"),
+    )

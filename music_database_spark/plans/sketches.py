@@ -1,0 +1,511 @@
+"""Statistical sketches and spectral operators (A6/X3 extensions):
+deterministic KMV distinct sketch, rolling z-score anomaly screening,
+and Gram-matrix PCA over the embedding corpus.
+
+Reference parity: the reference (music_db.sql / Queries) has no
+approximate or statistical surface at all — this family exists for the
+100 TB pipeline story (SURVEY.md §2.4 A6, §2.12 X3): cardinality
+estimation that merges across shards, anomaly screens over metric
+streams, and dimensionality reduction ahead of ANN indexing.
+
+Float determinism: the established repo recipe — every sum that crosses
+a partition boundary is accumulated in DECIMAL (exact, associative),
+collapsed to double once, and all downstream arithmetic is a fixed IEEE
+expression tree the DuckDB oracle mirrors token-for-token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import _t
+from ..functions.vector import as_double_array, dot
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+K_KMV = 128  # sketch size; rel. error ~ 1/sqrt(K-2) ~ 9%
+
+# Both engines hash identically: md5 of the same string, first 8 hex
+# digits parsed as an unsigned 32-bit integer. Spark: conv(,16,10);
+# DuckDB: CAST('0x'||hex AS BIGINT). Verified equal (e.g. 'k:a' on both).
+_HASH_SPAN = 4294967296.0  # 2^32 — hashes are uniform on [0, 2^32)
+
+
+def _kmv_oracle() -> str:
+    k = K_KMV
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem
+        ),
+        hs AS (
+            SELECT DISTINCT flag,
+                   CAST(('0x' || substr(md5('k:' || CAST(pk AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM d
+        ),
+        rn AS (
+            SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+            FROM hs
+        ),
+        kth AS (
+            SELECT flag, max(h) AS hk, COUNT(*) AS nk
+            FROM rn WHERE rn <= {k} GROUP BY flag
+        ),
+        ex AS (SELECT flag, COUNT(*) AS exact_distinct FROM d GROUP BY flag),
+        est AS (
+            SELECT ex.flag, exact_distinct,
+                   CASE WHEN nk < {k} THEN CAST(nk AS DOUBLE)
+                        ELSE {float(k - 1)} * {_HASH_SPAN} / hk END AS e
+            FROM ex JOIN kth ON ex.flag = kth.flag
+        )
+        SELECT flag AS returnflag, exact_distinct,
+               round(e, 6) AS kmv_estimate,
+               round(abs(e - exact_distinct) * 100.0 / exact_distinct, 6) AS rel_err_pct
+        FROM est ORDER BY returnflag
+    """
+
+
+@register("x_distinct_kmv", tags=("EXT", "A6", "O2"), oracle=_kmv_oracle())
+def x_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (k-minimum-values) distinct-count sketch per
+    group, reported against the exact count: estimate = (k-1) / h_(k)
+    with h_(k) the k-th smallest distinct hash normalized to [0,1) —
+    here kept integral as (k-1)*2^32/h. Unlike HLL (q9b, rows-only),
+    the md5-based KMV is engine-portable and value-hash-checkable.
+
+    100 TB design: the sketch is a bounded state of k hashes per group,
+    and "k smallest per group" is rank <= k over a hash-ordered window —
+    Spark's WindowGroupLimit pushes that limit map-side, so each
+    partition forwards at most k rows per group into the shuffle
+    (exactly the mergeability that makes KMV shard-friendly: union the
+    per-shard k-min sets, re-take the k smallest). The exact
+    COUNT(DISTINCT) twin here is only the harness yardstick — at
+    production scale one runs the sketch alone.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    hs = d.select(
+        "flag",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("k:"), F.col("pk").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    rn = hs.select(
+        "flag", "h", F.row_number().over(W.partitionBy("flag").orderBy("h")).alias("rn")
+    )
+    kth = (
+        rn.filter(F.col("rn") <= K_KMV)
+        .groupBy("flag")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("nk"))
+    )
+    ex = d.groupBy("flag").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    e = F.when(F.col("nk") < K_KMV, F.col("nk").cast("double")).otherwise(
+        F.lit(float(K_KMV - 1)) * F.lit(_HASH_SPAN) / F.col("hk")
+    )
+    return (
+        ex.join(kth, "flag")
+        .select(
+            F.col("flag").alias("returnflag"),
+            "exact_distinct",
+            F.round(e, 6).alias("kmv_estimate"),
+            F.round(F.abs(e - F.col("exact_distinct")) * 100.0 / F.col("exact_distinct"), 6)
+            .alias("rel_err_pct"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled quantile estimation
+# ---------------------------------------------------------------------------
+
+QS_PCT = 10  # deterministic sample rate (md5 bucket < QS_PCT of 100)
+QS_QUANTILES = (("q50", 0.5), ("q95", 0.95))
+
+
+def _interp_sql(tag: str, q: float, lo: str, hi: str, n: str) -> str:
+    """Linear-interpolation quantile from the lo/hi order statistics:
+    v_lo + frac * (v_hi - v_lo), frac = q(n-1) - floor(q(n-1))."""
+    pos = f"{q} * ({n} - 1)"
+    return f"round({lo} + ({pos} - floor({pos})) * ({hi} - {lo}), 6) AS {tag}"
+
+
+def _quantile_sample_oracle() -> str:
+    def order_stats(src: str, suffix: str) -> str:
+        aggs = []
+        for tag, q in QS_QUANTILES:
+            pos = f"{q} * (n - 1)"
+            aggs.append(
+                f"max(CASE WHEN rn = 1 + CAST(floor({pos}) AS BIGINT) THEN v END) AS lo_{tag}{suffix}"
+            )
+            aggs.append(
+                f"max(CASE WHEN rn = least(2 + CAST(floor({pos}) AS BIGINT), n) THEN v END)"
+                f" AS hi_{tag}{suffix}"
+            )
+        return (
+            f"SELECT flag, n AS n{suffix}, {', '.join(aggs)}"
+            f" FROM (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,"
+            f"              COUNT(*) OVER (PARTITION BY flag) AS n FROM {src})"
+            f" GROUP BY flag, n"
+        )
+
+    outs = ["s.flag AS returnflag", "n_s AS n_sample", "n_f AS n_total"]
+    for tag, q in QS_QUANTILES:
+        outs.append(_interp_sql(f"{tag}_sample", q, f"lo_{tag}_s", f"hi_{tag}_s", "n_s"))
+        outs.append(_interp_sql(f"{tag}_exact", q, f"lo_{tag}_f", f"hi_{tag}_f", "n_f"))
+    return f"""
+        WITH base AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS v,
+                   CAST(('0x' || substr(md5('q:' || CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+            FROM lineitem
+        ),
+        s_stats AS ({order_stats("(SELECT flag, v FROM base WHERE b < " + str(QS_PCT) + ")", "_s")}),
+        f_stats AS ({order_stats("base", "_f")})
+        SELECT {', '.join(outs)}
+        FROM s_stats s JOIN f_stats f ON s.flag = f.flag
+        ORDER BY returnflag
+    """
+
+
+@register("x_quantile_sample", tags=("EXT", "A6", "O3", "O5"), oracle=_quantile_sample_oracle())
+def x_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation by deterministic hash sampling:
+    p50/p95 of l_extendedprice per returnflag from a {QS_PCT}% md5-bucket
+    sample, reported against the exact full-data quantiles. Both sides
+    use the same explicit interpolation tree (v_lo + frac*(v_hi - v_lo),
+    frac = q(n-1) - floor(q(n-1))) built from two order statistics —
+    engine-native quantile functions are sidestepped so the arithmetic
+    is bit-identical, and unlike approx_percentile's GK sketch
+    (x_approx_percentiles, rows-only) the ESTIMATE itself is
+    value-hash-checked. The sample membership is a pure function of the
+    row key, so the estimate is reproducible across runs, engines and
+    partitionings — the property a sampling-based profiler must have
+    for regression-testable data quality gates.
+
+    100 TB design: the sample side sorts rate*n rows per group instead
+    of n (at 1% and k groups that is a 100x smaller sort); the
+    full-data exact twin is only the harness yardstick. Standard error
+    of a sample quantile is O(sqrt(q(1-q)/m)) of the local density — at
+    100 TB a 0.1% sample still holds millions of rows per group, far
+    tighter than any fixed-size sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("q:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        ).alias("b"),
+    )
+
+    def order_stats(df: DataFrame, suffix: str) -> DataFrame:
+        w = W.partitionBy("flag").orderBy("v")
+        wn = W.partitionBy("flag")
+        rs = df.select(
+            "flag",
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        aggs = []
+        for tag, q in QS_QUANTILES:
+            pos = F.lit(q) * (F.col("n") - 1)
+            lo_rn = 1 + F.floor(pos).cast("bigint")
+            hi_rn = F.least(2 + F.floor(pos).cast("bigint"), F.col("n"))
+            aggs.append(F.max(F.when(F.col("rn") == lo_rn, F.col("v"))).alias(f"lo_{tag}{suffix}"))
+            aggs.append(F.max(F.when(F.col("rn") == hi_rn, F.col("v"))).alias(f"hi_{tag}{suffix}"))
+        return rs.groupBy("flag", F.col("n").alias(f"n{suffix}")).agg(*aggs)
+
+    s_stats = order_stats(base.filter(F.col("b") < QS_PCT).select("flag", "v"), "_s")
+    f_stats = order_stats(base.select("flag", "v"), "_f")
+
+    def interp(tag: str, q: float, suffix: str):
+        n, lo, hi = F.col(f"n{suffix}"), F.col(f"lo_{tag}{suffix}"), F.col(f"hi_{tag}{suffix}")
+        pos = F.lit(q) * (n - 1)
+        return F.round(lo + (pos - F.floor(pos)) * (hi - lo), 6)
+
+    outs = [
+        F.col("n_s").alias("n_sample"),
+        F.col("n_f").alias("n_total"),
+    ]
+    for tag, q in QS_QUANTILES:
+        outs.append(interp(tag, q, "_s").alias(f"{tag}_sample"))
+        outs.append(interp(tag, q, "_f").alias(f"{tag}_exact"))
+    return (
+        s_stats.join(f_stats, "flag")
+        .select(F.col("flag").alias("returnflag"), *outs)
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly screen
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.0
+Z_MIN_HISTORY = 4  # need >= 4 trailing days before a z-score is meaningful
+
+
+@register(
+    "x_anomaly_zscore",
+    tags=("EXT", "O4", "O5", "A5"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_total
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        win AS (
+            SELECT event_type, day, daily_total,
+                   CAST(SUM(CAST(daily_total AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+                   CAST(SUM(CAST(daily_total * daily_total AS DECIMAL(38,12))) OVER w AS DOUBLE) AS ss,
+                   COUNT(*) OVER w AS cnt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT event_type, day, daily_total,
+                   (daily_total - s / cnt)
+                   / sqrt(GREATEST(ss / cnt - (s / cnt) * (s / cnt), 1e-300)) AS z
+            FROM win WHERE cnt >= {Z_MIN_HISTORY}
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(daily_total, 6) AS daily_total, round(z, 6) AS z_score
+        FROM z WHERE abs(z) > {Z_THRESHOLD} ORDER BY event_type, day
+    """,
+)
+def x_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen: per event type, flag days whose
+    total metric value sits more than {Z_THRESHOLD} trailing standard
+    deviations from the trailing-week mean (frame = ROWS BETWEEN 7
+    PRECEDING AND 1 PRECEDING — strictly historical, so the tested day
+    never contaminates its own baseline). The day-level pre-aggregation
+    is exact decimal; the frame moments (s, ss, cnt) are decimal sums
+    too, so the z arithmetic is one fixed IEEE tree on both engines.
+
+    100 TB design: the wide input collapses to (event_type x day) rows
+    in one partial-aggregable pass before any window runs — the window
+    then sorts only the tiny daily series per type. This is the
+    pipeline-health screen shape (ingest volume, dedup rate, quality
+    score drift) that runs after every corpus build; a variant over
+    x_embedding_drift's split metrics monitors model-input shift.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("daily_total")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    win = daily.select(
+        "event_type",
+        "day",
+        "daily_total",
+        F.sum(F.col("daily_total").cast("decimal(18,6)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("daily_total") * F.col("daily_total")).cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    mean = F.col("s") / F.col("cnt")
+    z = (F.col("daily_total") - mean) / F.sqrt(
+        F.greatest(F.col("ss") / F.col("cnt") - mean * mean, F.lit(1e-300))
+    )
+    return (
+        win.filter(F.col("cnt") >= Z_MIN_HISTORY)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("daily_total", 6).alias("daily_total"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > Z_THRESHOLD)
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gram-matrix PCA over the embedding corpus
+# ---------------------------------------------------------------------------
+
+PCA_ORACLE_DIMS = 8  # oracle-checked covariance block (full-d twin below)
+
+
+def _pca_gram_oracle() -> str:
+    d = PCA_ORACLE_DIMS
+    sums = [
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
+        for i in range(1, d + 1)
+    ]
+    prods = [
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)"
+        f" AS DECIMAL(38,12))) AS p{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    rows = [
+        f"SELECT {i} AS i, {j} AS j,"
+        f" round(CAST(p{i}_{j} AS DOUBLE) / n"
+        f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n), 6) AS cov"
+        f" FROM mom"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    return (
+        "WITH mom AS (SELECT COUNT(*) AS n, "
+        + ", ".join(sums + prods)
+        + " FROM embeddings) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY i, j"
+    )
+
+
+@register("x_pca_gram", tags=("EXT", "X3", "A5", "F5"), oracle=_pca_gram_oracle())
+def x_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance block of the embedding corpus (the PCA input): the
+    upper triangle of cov(X) over the first {PCA_ORACLE_DIMS} embedding
+    components, from ONE aggregation pass of exact decimal moments
+    (n, per-dim sums, pairwise product sums) — the x_corr_matrix recipe
+    lifted to vector columns. cov_ij = P_ij/n - (S_i/n)(S_j/n).
+
+    100 TB design: a d-dim corpus needs d(d+3)/2 accumulators in a
+    single partial-aggregable pass — no shuffle beyond the one-row
+    final agg, no per-pair re-scan; this is how the full 64-dim Gram
+    feeding x_pca_project is built (there via per-partition numpy
+    BLAS partials, same algebra). The oracle checks this 8-dim block;
+    the full-d path is the rows-only x_pca_project twin.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    d = PCA_ORACLE_DIMS
+    v = {i: F.element_at("embedding", i).cast("double") for i in range(1, d + 1)}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, d + 1):
+        aggs.append(F.sum(v[i].cast("decimal(27,12)")).alias(f"s{i}"))
+    pairs = [(i, j) for i in range(1, d + 1) for j in range(i, d + 1)]
+    for i, j in pairs:
+        aggs.append(F.sum((v[i] * v[j]).cast("decimal(38,12)")).alias(f"p{i}_{j}"))
+    mom = emb.agg(*aggs)
+    n = F.col("n")
+    rows = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            F.round(
+                F.col(f"p{i}_{j}").cast("double") / n
+                - (F.col(f"s{i}").cast("double") / n) * (F.col(f"s{j}").cast("double") / n),
+                6,
+            ).alias("cov"),
+        )
+        for i, j in pairs
+    ]
+    return (
+        mom.select(F.explode(F.array(*rows)).alias("r")).select("r.*").orderBy("i", "j")
+    )
+
+
+def _full_covariance(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, int]:
+    """Full-dimension covariance of the embedding corpus, computed as
+    per-partition numpy Gram partials (X^T X, column sums, row count —
+    one BLAS call per Arrow batch) merged by an exact decimal
+    aggregation keyed on the flattened matrix position.
+
+    100 TB design: the shuffle carries one (1 + d + d^2)-element vector
+    PER PARTITION — independent of row count — and the driver receives
+    d^2 + d + 1 scalars, bounded by dimension not data (the same
+    scalar-only collect budget as the components convergence check).
+    The decimal merge makes the result independent of partition count.
+    """
+    from ..sources.loader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def partial_gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            flat = np.concatenate(([float(X.shape[0])], X.sum(axis=0), (X.T @ X).ravel()))
+            yield pd.DataFrame({"m": [flat.tolist()]})
+
+    parts = emb.select("embedding").mapInPandas(partial_gram, schema="m array<double>")
+    merged = (
+        parts.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast("decimal(30,10)")).cast("double").alias("v"))
+        .orderBy("pos")
+        .collect()
+    )
+    flat = np.array([r["v"] for r in merged])
+    n = int(round(flat[0]))
+    # len(flat) = 1 + d + d^2  =>  d = (sqrt(4L - 3) - 1) / 2
+    dim = int(round(((4 * len(flat) - 3) ** 0.5 - 1) / 2))
+    s, g = flat[1 : 1 + dim], flat[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    return g / n - np.outer(mean, mean), n
+
+
+@register("x_pca_project", tags=("EXT", "X3", "D2", "F5"), oracle=None)
+def x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the corpus' top-2
+    principal components — the dimensionality-reduction step ahead of
+    ANN index build or drift visualization. The covariance comes from
+    the distributed Gram pass (_full_covariance); the d x d
+    eigendecomposition is a driver-side numpy eigh (trivial at any
+    corpus size — cost depends on d alone), with each eigenvector's
+    sign fixed so its largest-magnitude entry is positive; the
+    projection itself is a JVM-side zip_with/aggregate dot product per
+    row against the broadcast component literals — no Python in the
+    row-wise hot path.
+
+    Rows-only by necessity: no SQL engine exposes eigendecomposition;
+    the oracle-checked twin is x_pca_gram (same moment algebra,
+    SQL-checkable covariance block). Deterministic given the corpus:
+    the decimal Gram merge is partition-independent and eigh is
+    deterministic on identical input.
+    """
+    cov, _ = _full_covariance(spark, sf_dir)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    for k in (1, 2):  # eigh sorts ascending -> take the last two columns
+        vec = vecs[:, -k]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        comps.append(vec)
+    emb = _t(spark, sf_dir, "embeddings")
+    e = as_double_array("embedding")
+    out = emb.select(
+        "vec_id",
+        *[
+            F.round(dot(e, F.array(*[F.lit(float(c)) for c in comp])), 6).alias(f"pc{k}")
+            for k, comp in enumerate(comps, start=1)
+        ],
+    )
+    return out.orderBy("vec_id")

@@ -57,7 +57,7 @@ def register(
 # The driver's correctness pass samples the FIRST 50 entries of queries()
 # in dict order. Rounds 1-3 verified 78 distinct queries; this round-4
 # window is 50 oracle-backed queries the driver has NEVER hash-checked
-# (CORRECTNESS_r01-r03): the nine round-4 additions first (the newest
+# (CORRECTNESS_r01-r03): the fourteen round-4 additions first (the newest
 # code earns external verification first), then never-verified queries
 # spanning every family — window frames, set-ops ALL,
 # as-of/interpolate/OHLC, trained-IVF/PQ, the SQL-UDF surface, the
@@ -67,6 +67,11 @@ def register(
 # Everything else follows, oracle-backed first.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # round-4 additions — the newest code earns its pass-D first
+    "x_distinct_kmv",
+    "x_anomaly_zscore",
+    "x_pca_gram",
+    "x_quantile_sample",
+    "x_dedup_recall",
     "x_winnow_fingerprint",
     "x_winnow_candidates",
     "x_ann_index_persist",
@@ -77,8 +82,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_incremental_agg",
     "x_dataset_shard",
     # window / analytic frames (O3-O5)
-    "x_rank_per_group",
-    "x_running_sum",
     "x_window_ignore_nulls",
     # time-series: as-of, interpolation, intervals (J8,O4,O5)
     "x_interpolate",
@@ -86,9 +89,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_asof_nearest",
     "x_scd2_history",
     # set ops ALL-variants + reshaping (U1-U3, A8)
-    "x_except_all",
-    "x_intersect_all",
-    "x_union_by_name",
     "x_pivot",
     # SQL front-door surface (P1, D3, F-family)
     "x_sql_udf",
@@ -130,6 +130,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_csv_malformed",
     # constraints (S4)
     "pk_uniqueness",
+    # past position 50 (the driver's window) but kept curated so a wider
+    # future window verifies oracle-backed queries first: these five are
+    # the most redundantly covered by pass-D cousins (x_window_family,
+    # x_union_releases, x_except, q4_intersect) and ceded their slots to
+    # the round-4 sketch/harness additions.
+    "x_rank_per_group",
+    "x_running_sum",
+    "x_union_by_name",
+    "x_except_all",
+    "x_intersect_all",
 )
 
 
@@ -137,7 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry
     reordered so DRIVER_PRIORITY comes first (driver correctness window),
     followed by the rest in registration order."""
-    from .plans import analytics, ddl, relational, scalar, scale, setops, udf_surface, windows  # noqa: F401
+    from .plans import analytics, ddl, relational, scalar, scale, setops, sketches, udf_surface, windows  # noqa: F401
     from .operators import constraints, dedup, graph, knn, linkage, multimodal, pipeline, quality, textops  # noqa: F401
     from .sources import formats, pydatasource  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401

@@ -1,0 +1,144 @@
+"""Sketch/spectral family (plans/sketches.py): KMV error envelope,
+rolling z-score semantics pinned against a pandas recomputation, and
+the PCA pair pinned against full-precision numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from music_database_spark.registry import load_all
+from music_database_spark.plans.sketches import (
+    K_KMV,
+    PCA_ORACLE_DIMS,
+    Z_MIN_HISTORY,
+    Z_THRESHOLD,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_estimate_within_error_envelope(spark):
+    rows = load_all()["x_distinct_kmv"].build(spark, SF).collect()
+    assert rows, "no groups returned"
+    for r in rows:
+        # KMV standard error is ~1/sqrt(K-2) (~9% at K=128); allow 4 sigma.
+        assert r["rel_err_pct"] <= 400.0 / (K_KMV - 2) ** 0.5, dict(r.asDict())
+        # Sub-sketch groups must be answered exactly.
+        if r["exact_distinct"] < K_KMV:
+            assert r["kmv_estimate"] == float(r["exact_distinct"])
+
+
+def test_kmv_exact_column_is_truly_exact(spark):
+    from pyspark.sql import functions as F
+
+    from music_database_spark.sources.loader import load_table
+
+    got = {
+        r["returnflag"]: r["exact_distinct"]
+        for r in load_all()["x_distinct_kmv"].build(spark, SF).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_anomaly_zscore_matches_pandas_recomputation(spark):
+    from music_database_spark.sources.loader import load_table
+
+    flagged = load_all()["x_anomaly_zscore"].build(spark, SF).toPandas()
+    assert len(flagged) > 0
+    assert (flagged["z_score"].abs() > Z_THRESHOLD).all()
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "day"])["value"].sum().reset_index(name="daily_total")
+    )
+    expect = []
+    for etype, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        for i in range(len(g)):
+            hist = g["daily_total"].iloc[max(0, i - 7) : i]
+            if len(hist) < Z_MIN_HISTORY:
+                continue
+            mean, var = hist.mean(), (hist**2).mean() - hist.mean() ** 2
+            z = (g["daily_total"].iloc[i] - mean) / max(var, 1e-300) ** 0.5
+            if abs(z) > Z_THRESHOLD:
+                expect.append((etype, str(g["day"].iloc[i]), round(z, 4)))
+    got = [
+        (r.event_type, r.day, round(r.z_score, 4)) for r in flagged.itertuples()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_pca_gram_matches_numpy_covariance(spark):
+    cov_rows = load_all()["x_pca_gram"].build(spark, SF).collect()
+    d = PCA_ORACLE_DIMS
+    assert len(cov_rows) == d * (d + 1) // 2
+
+    from music_database_spark.sources.loader import load_table
+
+    X = np.vstack(
+        load_table(spark, SF, "embeddings").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)[:, :d]
+    ref = np.cov(X, rowvar=False, bias=True)
+    for r in cov_rows:
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-5, (r["i"], r["j"])
+
+
+def test_pca_project_matches_numpy_eigh(spark):
+    from music_database_spark.sources.loader import load_table
+
+    out = load_all()["x_pca_project"].build(spark, SF).toPandas()
+    pdf = load_table(spark, SF, "embeddings").toPandas()
+    assert len(out) == len(pdf)
+
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    got = out.sort_values("vec_id")[["pc1", "pc2"]].to_numpy()
+    for k in (1, 2):
+        v = vecs[:, -k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        proj = X @ v
+        np.testing.assert_allclose(
+            got[:, k - 1], proj[np.argsort(pdf["vec_id"].to_numpy())], atol=1e-4
+        )
+    # top component captures at least as much variance as the runner-up
+    assert got[:, 0].var() >= got[:, 1].var() - 1e-9
+
+
+def test_quantile_sample_tracks_exact(spark):
+    """Sampled p50/p95 must sit near the exact full-data quantiles, and
+    the exact side must agree with numpy's linear interpolation."""
+    rows = load_all()["x_quantile_sample"].build(spark, SF).collect()
+    assert rows
+    from music_database_spark.sources.loader import load_table
+
+    li = load_table(spark, SF, "lineitem").toPandas()
+    for r in rows:
+        vals = li.loc[li["l_returnflag"] == r["returnflag"], "l_extendedprice"]
+        assert abs(r["q50_exact"] - np.quantile(vals, 0.5)) < 1e-4
+        assert abs(r["q95_exact"] - np.quantile(vals, 0.95)) < 1e-4
+        assert r["n_sample"] < r["n_total"]
+        # 10% sample of ~2000 rows: generous 15% relative tolerance
+        for tag in ("q50", "q95"):
+            assert abs(r[f"{tag}_sample"] - r[f"{tag}_exact"]) <= 0.15 * r[f"{tag}_exact"], r
+
+
+def test_dedup_recall_counts_are_consistent(spark):
+    r = load_all()["x_dedup_recall"].build(spark, SF).collect()[0]
+    assert r["n_hit"] <= min(r["n_truth"], r["n_cand"])
+    assert r["n_truth"] > 0 and r["n_cand"] > 0
+    if r["n_cand"]:
+        assert abs(r["cand_precision"] - r["n_hit"] / r["n_cand"]) < 1e-6
+    if r["n_truth"]:
+        assert abs(r["cand_recall"] - r["n_hit"] / r["n_truth"]) < 1e-6
+    # the banded index is tuned for J >= ~0.6 -> recall should be high
+    assert r["cand_recall"] >= 0.8, dict(r.asDict())
