@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pca_gram",
     "x_quantile_sample",
     "x_dedup_recall",
+    "x_stream_kmv",
     "x_winnow_fingerprint",
     "x_winnow_candidates",
     "x_ann_index_persist",
@@ -88,7 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_resample_ohlc",
     "x_asof_nearest",
     "x_scd2_history",
-    # set ops ALL-variants + reshaping (U1-U3, A8)
+    # reshaping (A8)
     "x_pivot",
     # SQL front-door surface (P1, D3, F-family)
     "x_sql_udf",
@@ -128,13 +129,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_partitioned_scan",
     "x_nested_schema_pruning",
     "x_csv_malformed",
-    # constraints (S4)
-    "pk_uniqueness",
     # past position 50 (the driver's window) but kept curated so a wider
-    # future window verifies oracle-backed queries first: these five are
+    # future window verifies oracle-backed queries first: these six are
     # the most redundantly covered by pass-D cousins (x_window_family,
-    # x_union_releases, x_except, q4_intersect) and ceded their slots to
-    # the round-4 sketch/harness additions.
+    # x_union_releases, x_except, q4_intersect, fk_violations) and ceded
+    # their slots to the round-4 sketch/harness additions.
+    "pk_uniqueness",
     "x_rank_per_group",
     "x_running_sum",
     "x_union_by_name",

@@ -109,3 +109,143 @@ def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("s.n").cast("bigint").alias("n"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (T5 + the x_distinct_kmv family)
+# ---------------------------------------------------------------------------
+
+K_STREAM_KMV = 64  # sketch size per key (smaller than batch K: state row stays tiny)
+_KMV_SPAN = 4294967296.0  # 2^32, matches plans/sketches.py
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.LongType()), T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seen", T.LongType()),
+        T.StructField("nk", T.LongType()),
+        T.StructField("hk", T.LongType()),
+    ]
+)
+
+
+def kmv_merge(state_hashes: list[int], new_hashes: list[int], k: int = K_STREAM_KMV) -> list[int]:
+    """Merge new hashes into a k-minimum-values state: union, dedup,
+    keep the k smallest. Associative and commutative — the final state
+    is the k smallest DISTINCT hashes of everything ever folded,
+    independent of how microbatches sliced the input (the property the
+    batch-equivalence oracle relies on)."""
+    return sorted(set(state_hashes) | set(new_hashes))[:k]
+
+
+def _track_kmv(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen, hashes = state.get if state.exists else (0, [])
+    hashes = list(hashes)
+    for pdf in pdfs:
+        seen += len(pdf)
+        hashes = kmv_merge(hashes, [int(h) for h in pdf["h"]])
+    state.update((seen, hashes))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "seen": [seen],
+            "nk": [len(hashes)],
+            "hk": [int(hashes[-1])],
+        }
+    )
+
+
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful KMV operator over the event stream to completion:
+    per event_type, state = (rows folded, k smallest distinct md5 hashes
+    of user_id). The hash is computed JVM-side BEFORE the stateful op —
+    Python only merges small sorted integer lists."""
+    from pyspark.sql import functions as F
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    tracked = stream.groupBy("event_type").applyInPandasWithState(
+        _track_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(tracked, "kmv", output_mode="update")
+
+
+@register(
+    "x_stream_kmv",
+    tags=("EXT", "T5", "A6", "D2"),
+    bench=False,
+    oracle=f"""
+        WITH hs AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM events
+        ),
+        rn AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hs
+        ),
+        kth AS (
+            SELECT event_type, max(h) AS hk, COUNT(*) AS nk
+            FROM rn WHERE rn <= {K_STREAM_KMV} GROUP BY event_type
+        )
+        SELECT event_type, nk AS n_tracked,
+               round(CASE WHEN nk < {K_STREAM_KMV} THEN CAST(nk AS DOUBLE)
+                          ELSE {float(K_STREAM_KMV - 1)} * 4294967296.0 / hk END, 6)
+                   AS kmv_estimate
+        FROM kth ORDER BY event_type
+    """,
+)
+def x_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cardinality sketch, fully oracle-checked: the custom
+    stateful operator maintains a KMV (k-minimum-values) state per
+    event_type — the k smallest distinct md5 hashes of user_id — across
+    microbatches, and the drained stream's final estimate hash-matches
+    the batch KMV the DuckDB oracle computes over the same rows. The
+    k-min set of a union is independent of how batches sliced the input
+    (kmv_merge is associative+commutative), so unlike a float sum the
+    SKETCH ITSELF is batch-boundary-invariant — that is what makes a
+    streaming sketch value-checkable at all, and it is the same
+    mergeability that lets per-shard sketches union at 100 TB
+    (x_distinct_kmv's WindowGroupLimit shape is the batch twin).
+
+    State per key is <= 8(k+1) bytes + overhead, bounded regardless of
+    stream length — the sketch answers "distinct users per type so far"
+    continuously where an exact COUNT(DISTINCT) would hold every id in
+    state forever."""
+    from pyspark.sql import functions as F
+
+    out = stream_kmv_distinct(spark, sf_dir)
+    # update-mode memory sink holds one row per (key, microbatch); the
+    # final state row is the one with the most rows folded ('seen' is
+    # strictly increasing for any batch that touches the key).
+    final = (
+        out.groupBy("event_type")
+        .agg(F.max(F.struct("seen", "nk", "hk")).alias("s"))
+        .select("event_type", F.col("s.nk").alias("nk"), F.col("s.hk").alias("hk"))
+    )
+    est = F.when(F.col("nk") < K_STREAM_KMV, F.col("nk").cast("double")).otherwise(
+        F.lit(float(K_STREAM_KMV - 1)) * F.lit(_KMV_SPAN) / F.col("hk")
+    )
+    return final.select(
+        "event_type",
+        F.col("nk").alias("n_tracked"),
+        F.round(est, 6).alias("kmv_estimate"),
+    ).orderBy("event_type")

@@ -156,3 +156,60 @@ def test_stream_dedup_removes_injected_replays(spark):
     n_injected = events.filter(F.col("event_id") % 10 == 0).count()
     assert n_injected > 0  # the replay injection is non-empty
     assert sum(streamed.values()) == events.count()  # replays all removed
+
+
+def test_kmv_merge_batch_boundary_invariance():
+    """The streaming sketch's defining property: folding the same hashes
+    under ANY batch slicing yields the same final k-min state."""
+    from music_database_spark.streaming.stateful import K_STREAM_KMV, kmv_merge
+
+    hashes = [(h * 2654435761) % (2**32) for h in range(500)]  # deterministic spread
+    whole = kmv_merge([], hashes)
+    for cut1, cut2 in [(1, 2), (100, 400), (250, 250), (0, 499)]:
+        state = kmv_merge([], hashes[:cut1])
+        state = kmv_merge(state, hashes[cut1:cut2] + hashes[:50])  # replays too
+        state = kmv_merge(state, hashes[cut2:])
+        assert state == whole
+    assert len(whole) == K_STREAM_KMV
+    assert whole == sorted(set(hashes))[:K_STREAM_KMV]
+
+
+def test_stream_kmv_matches_batch_sketch(spark):
+    """The drained streaming KMV must equal the batch KMV computed with
+    the same hash family over the same rows (Spark-side recomputation;
+    the DuckDB oracle re-checks the same identity cross-engine)."""
+    from music_database_spark.registry import load_all
+    from music_database_spark.streaming.stateful import K_STREAM_KMV
+
+    streamed = {
+        r["event_type"]: (r["n_tracked"], r["kmv_estimate"])
+        for r in load_all()["x_stream_kmv"].build(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import Window as W
+
+    hs = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    rn = hs.withColumn("rn", F.row_number().over(W.partitionBy("event_type").orderBy("h")))
+    batch = {}
+    for r in (
+        rn.filter(F.col("rn") <= K_STREAM_KMV)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("nk"))
+        .collect()
+    ):
+        est = (
+            float(r["nk"])
+            if r["nk"] < K_STREAM_KMV
+            else (K_STREAM_KMV - 1) * 4294967296.0 / r["hk"]
+        )
+        batch[r["event_type"]] = (r["nk"], round(est, 6))
+    assert streamed == batch
