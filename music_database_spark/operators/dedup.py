@@ -1284,3 +1284,122 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cand_recall"),
     )
+
+
+@register(
+    "x_dedup_clusters_star",
+    tags=("EXT", "X1", "X2"),
+    oracle=_ngram_pair_sql("""
+        , edges AS (
+            SELECT id_a AS a, id_b AS b FROM dup_pairs
+            UNION ALL
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach
+        GROUP BY node ORDER BY doc_id
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS"),
+)
+def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (the MapReduce-native formulation of Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14) — the
+    scale-out twin of x_dedup_clusters' min-label propagation. Output
+    is identical (same oracle, same hash): every doc in a near-dup pair
+    labeled with its component's min id.
+
+    Why both: label propagation converges in O(component diameter)
+    rounds — ideal for the tiny clusters near-dup graphs actually have;
+    the star algorithm converges in O(log n) rounds REGARDLESS of
+    diameter, so a pathological duplicate chain (template boilerplate
+    linking thousands of docs pairwise) cannot inflate the round count.
+    Each round is two shuffles on the node key:
+      large-star: every node's LARGER neighbors repoint to the min of
+      its closed neighborhood; small-star: every node's smaller-or-equal
+      neighbors repoint to the neighborhood min. Edges only ever move
+    toward smaller labels, so the (count, sum) signature is monotone
+    and the fixpoint test is one scalar aggregate per round (the
+    x_dedup_clusters convergence recipe). localCheckpoint() per round
+    truncates lineage the same way."""
+    pairs = x_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    all_nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # Size partitioning from the component graph (x_dedup_clusters note),
+    # and scope the loop's SHUFFLE partitioning to it too: every round is
+    # 4 shuffles over a frame of O(edges) rows, so running them at the
+    # session's 32 shuffle partitions is pure scheduler overhead at this
+    # graph size (measured 26 s -> ~8 s at sf0.001). Restored in finally;
+    # only the localCheckpoint()ed loop internals execute under the
+    # override — the returned plan executes later under session conf
+    # (the x_aqe_skew_join build-time-conf precedent).
+    n_edges = pairs.count()
+    nparts = max(1, (2 * n_edges) // 100_000)
+    # Directed invariant: (u, v) with v < u ("points down"). id_a < id_b.
+    edges = (
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        .repartition(nparts, "u")
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        return (r["c"], r["su"], r["sv"])
+
+    prev = signature(edges)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        while True:
+            # Large-star: for each node, larger neighbors attach to the
+            # min of the closed neighborhood.
+            bidir = edges.select("u", "v").unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            ls = (
+                bidir.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # Small-star: for each node, all (smaller) neighbors and the
+            # node itself attach to the neighborhood min. Duplicate edges
+            # from skipping distinct() are collapsed by the final
+            # distinct() here — one dedup shuffle per round, not three.
+            smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                ls.join(smins, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(smins.select("u", F.col("m").alias("v")))
+                .distinct()
+                .localCheckpoint()
+            )
+            sig = signature(ss)
+            edges = ss
+            if sig == prev:
+                break
+            prev = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    # Converged: edges form stars node -> component-min. Roots (and any
+    # node, defensively) take min over their outgoing labels; roots
+    # appear only as targets and label themselves.
+    starmap = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        all_nodes.join(starmap, all_nodes.node == starmap.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("cluster_rep"),
+        )
+        .orderBy("doc_id")
+    )

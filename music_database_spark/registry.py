@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_quantile_sample",
     "x_dedup_recall",
     "x_stream_kmv",
+    "x_dedup_clusters_star",
     "x_winnow_fingerprint",
     "x_winnow_candidates",
     "x_ann_index_persist",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SQL front-door surface (P1, D3, F-family)
     "x_sql_udf",
     "x_python_udtf",
-    "x_pipe_syntax",
     "x_lateral_topk",
     # trained ANN / vector quantization (X3)
     "x_knn_ivf",
@@ -130,10 +130,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_nested_schema_pruning",
     "x_csv_malformed",
     # past position 50 (the driver's window) but kept curated so a wider
-    # future window verifies oracle-backed queries first: these six are
+    # future window verifies oracle-backed queries first: these seven are
     # the most redundantly covered by pass-D cousins (x_window_family,
-    # x_union_releases, x_except, q4_intersect, fk_violations) and ceded
-    # their slots to the round-4 sketch/harness additions.
+    # x_union_releases, x_except, q4_intersect, fk_violations,
+    # x_sql_frontdoor) and ceded their slots to the round-4
+    # sketch/harness additions.
+    "x_pipe_syntax",
     "pk_uniqueness",
     "x_rank_per_group",
     "x_running_sum",

@@ -524,3 +524,13 @@ def test_winnow_candidates_recall_minhash_verified_pairs(spark, reg):
     missed = [p for p in mh if p not in wc]
     assert missed == [], missed
     assert all(wc[p] >= WINNOW_MIN_SHARED + 1 for p in mh)
+
+
+def test_star_components_equal_label_propagation(spark, reg):
+    """Large/small-star and min-label propagation are different round
+    structures over the same edge set — their component labelings must
+    be identical row-for-row."""
+    star = reg["x_dedup_clusters_star"].build(spark, SF_SMOKE).collect()
+    prop = reg["x_dedup_clusters"].build(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in star] == [tuple(r) for r in prop]
+    assert len(star) > 0
