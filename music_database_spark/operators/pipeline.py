@@ -1046,3 +1046,81 @@ def x_dataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "x_snapshot_diff",
+    tags=("EXT", "S6", "X1", "J7", "F7"),
+    oracle="""
+        WITH snap_a AS (
+            SELECT doc_id, lang, md5(text) AS digest
+            FROM documents WHERE doc_id % 20 <> 7
+        ),
+        snap_b AS (
+            SELECT doc_id, lang,
+                   md5(CASE WHEN doc_id % 20 = 3 THEN text || ' v2' ELSE text END) AS digest
+            FROM documents WHERE doc_id % 20 <> 11
+        ),
+        diff AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   COALESCE(a.lang, b.lang) AS lang,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.digest <> b.digest THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+        )
+        SELECT lang, change, COUNT(*) AS n,
+               CAST(MIN(doc_id) AS BIGINT) AS example_doc
+        FROM diff GROUP BY lang, change ORDER BY lang, change
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: per
+    (lang, change-class) counts of added / removed / changed / unchanged
+    docs, where 'changed' means the content DIGEST moved. The snapshots
+    are carved deterministically from the documents table (one slice
+    absent from A = additions, one absent from B = removals, one
+    slice's text revised in B = changes) so the diff is exactly
+    reproducible and fully oracle-checked — the audit a training
+    pipeline runs between data drops before re-triggering downstream
+    dedup/decontamination (x_dedup_incremental's 'what arrived' is this
+    query's 'added' class).
+
+    100 TB design: each side is projected to (doc_id, lang, md5) BEFORE
+    the full-outer join, so the shuffle ships 16-byte digests, never
+    document bodies; the join key is the (high-cardinality, even) doc
+    id and the output is a handful of per-class counts from a
+    partial-aggregable final agg. Snapshots stored as parquet diff
+    identically — this is the plan either way."""
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 20 != 7).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 20 != 11).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(F.col("doc_id") % 20 == 3, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("digest"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    diff = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.digest") != F.col("b.digest"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("lang", "change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("lang", "change")
+    )

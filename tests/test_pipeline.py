@@ -534,3 +534,23 @@ def test_star_components_equal_label_propagation(spark, reg):
     prop = reg["x_dedup_clusters"].build(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in star] == [tuple(r) for r in prop]
     assert len(star) > 0
+
+
+def test_snapshot_diff_classes_partition_the_union(spark, reg):
+    """added/removed/changed/unchanged must partition A∪B (= all docs,
+    since the two carved-out slices differ), and each class must be
+    exactly its carved slice."""
+    out = reg["x_snapshot_diff"].build(spark, SF_SMOKE).collect()
+    from music_database_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id").toPandas()["doc_id"]
+    assert sum(r["n"] for r in out) == len(docs)
+    by_class = {}
+    for r in out:
+        by_class[r["change"]] = by_class.get(r["change"], 0) + r["n"]
+    assert by_class["added"] == int((docs % 20 == 7).sum())
+    assert by_class["removed"] == int((docs % 20 == 11).sum())
+    assert by_class["changed"] == int((docs % 20 == 3).sum())
+    assert by_class["unchanged"] == len(docs) - sum(
+        int((docs % 20 == k).sum()) for k in (7, 11, 3)
+    )
