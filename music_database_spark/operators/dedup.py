@@ -326,6 +326,18 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of joins). The DuckDB oracle computes the same components
     with a recursive CTE."""
     pairs = x_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels, _rounds = label_propagation_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
+def label_propagation_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation over an undirected pair set (id_a, id_b):
+    returns ((node, label) — label = component min id, one row per node
+    appearing in any pair) and the round count, which is O(max component
+    diameter). Shared by x_dedup_clusters and the round-count experiment
+    in tests/test_pipeline.py."""
     raw_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -361,7 +373,9 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint()ed: materialized AND lineage-truncated, so plan
     # depth stays O(1) per round instead of compounding join-on-join
     # (round-3 verdict finding #2).
+    rounds = 0
     while True:
+        rounds += 1
         # min over self and neighbors in ONE groupBy: every node occurs
         # exactly once in labels, so unioning the neighbor contributions
         # with the node's own label and taking min(label) is exactly
@@ -380,9 +394,7 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
-    ).orderBy("doc_id")
+    return labels, rounds
 
 
 @register(
@@ -1326,6 +1338,19 @@ def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_clusters convergence recipe). localCheckpoint() per round
     truncates lineage the same way."""
     pairs = x_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels, _rounds = star_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
+def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components over an undirected
+    pair set (id_a, id_b) with id_a < id_b: returns ((node, label) with
+    label = component min id) and the round count, which is O(log n)
+    regardless of component diameter. Shared by x_dedup_clusters_star
+    and the round-count experiment in tests/test_pipeline.py."""
+    spark = pairs.sparkSession
     all_nodes = (
         pairs.select(F.col("id_a").alias("node"))
         .unionByName(pairs.select(F.col("id_b").alias("node")))
@@ -1356,10 +1381,12 @@ def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (r["c"], r["su"], r["sv"])
 
     prev = signature(edges)
+    rounds = 0
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
         while True:
+            rounds += 1
             # Large-star: for each node, larger neighbors attach to the
             # min of the closed neighborhood.
             bidir = edges.select("u", "v").unionByName(
@@ -1395,11 +1422,7 @@ def x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node, defensively) take min over their outgoing labels; roots
     # appear only as targets and label themselves.
     starmap = edges.groupBy("u").agg(F.min("v").alias("label"))
-    return (
-        all_nodes.join(starmap, all_nodes.node == starmap.u, "left")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.coalesce("label", "node").alias("cluster_rep"),
-        )
-        .orderBy("doc_id")
+    labels = all_nodes.join(starmap, all_nodes.node == starmap.u, "left").select(
+        "node", F.coalesce("label", "node").alias("label")
     )
+    return labels, rounds

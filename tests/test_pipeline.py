@@ -554,3 +554,29 @@ def test_snapshot_diff_classes_partition_the_union(spark, reg):
     assert by_class["unchanged"] == len(docs) - sum(
         int((docs % 20 == k).sum()) for k in (7, 11, 3)
     )
+
+
+def test_star_rounds_beat_label_propagation_on_high_diameter_chain(spark):
+    """The scale claim behind x_dedup_clusters_star: on a diameter-D
+    chain graph, label propagation needs ~D rounds while the star
+    algorithm needs O(log n) — and both label every node with the
+    component min."""
+    from music_database_spark.operators.dedup import (
+        label_propagation_components,
+        star_components,
+    )
+
+    def chain(n):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+
+    star_labels, star_rounds = star_components(chain(64))
+    got = {r["node"]: r["label"] for r in star_labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert star_rounds <= 10, star_rounds  # log2(64)=6 (+fixpoint-confirm rounds)
+
+    prop_labels, prop_rounds = label_propagation_components(chain(16))
+    got = {r["node"]: r["label"] for r in prop_labels.collect()}
+    assert got == {i: 0 for i in range(16)}
+    assert prop_rounds >= 14  # ~diameter rounds: the contrast star avoids
