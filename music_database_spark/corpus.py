@@ -409,6 +409,55 @@ class CorpusPipeline:
             .orderBy("rnk")
         )
 
+    def cluster_reps(
+        self, threshold: float = 0.6, algorithm: str = "star"
+    ) -> DataFrame:
+        """Resolve near-dup pairs into duplicate clusters: (id, cluster_rep)
+        for every doc in any near-dup pair, labeled with its component's
+        min id — the keep-one decision step after near_dup_pairs.
+        algorithm='star' (default) uses large-star/small-star (O(log n)
+        rounds regardless of component diameter — x_dedup_clusters_star);
+        'label' uses min-label propagation (O(diameter) rounds — fewer
+        shuffles per round on the tiny-cluster graphs near-dup sets
+        actually produce; x_dedup_clusters). Identical output either way
+        (pinned in tests)."""
+        from .operators.dedup import label_propagation_components, star_components
+
+        pairs = self.near_dup_pairs(threshold).select("id_a", "id_b")
+        fn = star_components if algorithm == "star" else label_propagation_components
+        labels, _rounds = fn(pairs)
+        return labels.select(
+            F.col("node").alias(self.id_col), F.col("label").alias("cluster_rep")
+        ).orderBy(self.id_col)
+
+    def diff(self, other: DataFrame) -> DataFrame:
+        """Snapshot diff against another documents frame (same id/text
+        columns): per change-class counts of added / removed / changed /
+        unchanged docs by content digest (x_snapshot_diff semantics,
+        self = old snapshot, other = new). Both sides project to
+        (id, md5) before the full-outer join — digests shuffle, never
+        bodies. Returns (change, n, example_doc)."""
+        idc, txt = self.id_col, self.text_col
+        a = self.docs.select(F.col(idc).alias("id"), F.md5(txt).alias("digest"))
+        b = other.select(F.col(idc).alias("id"), F.md5(txt).alias("digest"))
+        j = a.alias("a").join(b.alias("b"), F.col("a.id") == F.col("b.id"), "full_outer")
+        diff = j.select(
+            F.coalesce(F.col("a.id"), F.col("b.id")).alias("id"),
+            F.when(F.col("a.id").isNull(), "added")
+            .when(F.col("b.id").isNull(), "removed")
+            .when(F.col("a.digest") != F.col("b.digest"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+        )
+        return (
+            diff.groupBy("change")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("id").cast("bigint").alias("example_doc"),
+            )
+            .orderBy("change")
+        )
+
     # ---- batch preparation ------------------------------------------------
 
     def pack_sequences(self, window_tokens: int = 2048, shards: int = 8) -> DataFrame:

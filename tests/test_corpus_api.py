@@ -212,3 +212,35 @@ def test_winnow_api_matches_registered_queries(spark, pipe):
         for r in reg["x_winnow_fingerprint"].build(spark, SF_SMOKE).collect()
     }
     assert api_fp == reg_fp
+
+
+def test_cluster_reps_algorithms_agree(pipe):
+    star = pipe.cluster_reps(algorithm="star").collect()
+    prop = pipe.cluster_reps(algorithm="label").collect()
+    assert [tuple(r) for r in star] == [tuple(r) for r in prop]
+    assert len(star) > 0
+    # every rep is a member of its own cluster and is the min id
+    reps = {}
+    for r in star:
+        reps.setdefault(r["cluster_rep"], []).append(r["doc_id"])
+    for rep, members in reps.items():
+        assert rep == min(members)
+
+
+def test_diff_detects_carved_changes(spark, docs, pipe):
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 20 != 11).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    from music_database_spark.corpus import CorpusPipeline
+
+    old = CorpusPipeline(docs.filter(F.col("doc_id") % 20 != 7))
+    out = {r["change"]: r["n"] for r in old.diff(new).collect()}
+    ids = docs.select("doc_id").toPandas()["doc_id"]
+    assert out["added"] == int(((ids % 20 == 7) & (ids % 20 != 11)).sum())
+    assert out["removed"] == int(((ids % 20 == 11) & (ids % 20 != 7)).sum())
+    assert out["changed"] == int(((ids % 20 == 3)).sum())
