@@ -155,3 +155,54 @@ def test_winnowing_guarantees_shared_run_detection(prefix_a, prefix_b, shared):
     for toks, fps in [(doc_a, fa), (doc_b, fb)]:
         n_windows = len(toks) - WINNOW_K - WINNOW_W + 2
         assert 1 <= len(fps) <= n_windows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.0, 0.25, 0.5, 0.9, 0.95, 1.0]),
+)
+def test_order_statistic_interpolation_matches_numpy(values, q):
+    """x_quantile_sample's two-order-statistic interpolation (v_lo +
+    frac*(v_hi - v_lo), frac = q(n-1) - floor(q(n-1))) is exactly
+    numpy's default 'linear' quantile — for any value multiset and any
+    quantile. Pure-Python recomputation of the registered formula."""
+    import math
+
+    import numpy as np
+
+    v = sorted(values)
+    n = len(v)
+    pos = q * (n - 1)
+    lo = 1 + int(math.floor(pos))
+    hi = min(lo + 1, n)
+    frac = pos - math.floor(pos)
+    est = v[lo - 1] + frac * (v[hi - 1] - v[lo - 1])
+    ref = float(np.quantile(np.array(v), q))
+    assert math.isclose(est, ref, rel_tol=1e-12, abs_tol=1e-9), (est, ref, q, n)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), max_size=300), st.data())
+def test_kmv_estimate_is_slice_invariant_and_exact_below_k(hashes, data):
+    """KMV over any hash multiset: the (nk, hk) sketch state from the
+    canonical definition equals folding kmv_merge over ANY partition of
+    the input, and when fewer than k distinct hashes exist the estimate
+    is exact by construction."""
+    from music_database_spark.streaming.stateful import K_STREAM_KMV, kmv_merge
+
+    distinct = sorted(set(hashes))
+    want = distinct[:K_STREAM_KMV]
+    # fold over a random-ish (hypothesis-chosen) 3-way slicing
+    i = data.draw(st.integers(min_value=0, max_value=len(hashes)))
+    j = data.draw(st.integers(min_value=i, max_value=len(hashes)))
+    state = kmv_merge([], hashes[:i])
+    state = kmv_merge(state, hashes[i:j])
+    state = kmv_merge(state, hashes[j:])
+    assert state == want
+    if len(distinct) < K_STREAM_KMV:
+        assert len(state) == len(distinct)  # estimate = nk = exact count
