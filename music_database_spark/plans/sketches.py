@@ -509,3 +509,130 @@ def x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly screen — the outlier-resistant twin of
+# x_anomaly_zscore
+# ---------------------------------------------------------------------------
+
+MAD_THRESHOLD = 2.5  # test-scale pin; 3.5 is the Iglewicz-Hoaglin default
+MAD_CONST = 0.6745  # Phi^-1(3/4): scales MAD to sigma-equivalents
+
+
+def _grouped_median(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, median-of-col) via the explicit two-order-statistic
+    interpolation (x_quantile_sample's recipe at q=0.5) — engine-portable
+    where percentile()/median() built-ins are not."""
+    w = W.partitionBy(key).orderBy(col)
+    rs = df.select(
+        key,
+        F.col(col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy(key)).alias("__n"),
+    )
+    pos = F.lit(0.5) * (F.col("__n") - 1)
+    lo_rn = 1 + F.floor(pos).cast("bigint")
+    hi_rn = F.least(2 + F.floor(pos).cast("bigint"), F.col("__n"))
+    stats = rs.groupBy(key, F.col("__n").alias("__n")).agg(
+        F.max(F.when(F.col("__rn") == lo_rn, F.col("__v"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rn, F.col("__v"))).alias("__hi"),
+    )
+    p = F.lit(0.5) * (F.col("__n") - 1)
+    return stats.select(
+        key,
+        (F.col("__lo") + (p - F.floor(p)) * (F.col("__hi") - F.col("__lo"))).alias(
+            "median"
+        ),
+    )
+
+
+@register(
+    "x_anomaly_mad",
+    tags=("EXT", "O3", "A5", "F4"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        rs AS (
+            SELECT event_type, day, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ),
+        med AS (
+            SELECT event_type, n,
+                   max(CASE WHEN rn = 1 + CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS lo,
+                   max(CASE WHEN rn = least(2 + CAST(floor(0.5*(n-1)) AS BIGINT), n) THEN v END) AS hi
+            FROM rs GROUP BY event_type, n
+        ),
+        medv AS (SELECT event_type,
+                        lo + (0.5*(n-1) - floor(0.5*(n-1))) * (hi - lo) AS med FROM med),
+        dev AS (
+            SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS ad
+            FROM daily d JOIN medv m ON d.event_type = m.event_type
+        ),
+        rs2 AS (
+            SELECT event_type, ad,
+                   row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type, n,
+                   max(CASE WHEN rn = 1 + CAST(floor(0.5*(n-1)) AS BIGINT) THEN ad END) AS lo,
+                   max(CASE WHEN rn = least(2 + CAST(floor(0.5*(n-1)) AS BIGINT), n) THEN ad END) AS hi
+            FROM rs2 GROUP BY event_type, n
+        ),
+        madv AS (SELECT event_type,
+                        lo + (0.5*(n-1) - floor(0.5*(n-1))) * (hi - lo) AS mad FROM mad),
+        rz AS (
+            SELECT d.event_type, d.day, d.v,
+                   {MAD_CONST} * (d.v - d.med) / GREATEST(m.mad, 1e-300) AS z
+            FROM dev d JOIN madv m ON d.event_type = m.event_type
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(v, 6) AS daily_total, round(z, 6) AS robust_z
+        FROM rz WHERE abs(z) > {MAD_THRESHOLD} ORDER BY event_type, day
+    """,
+)
+def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: modified z-score 0.6745*(x - median)/MAD
+    per event type over the daily metric series (Iglewicz-Hoaglin).
+    Complements x_anomaly_zscore exactly where it fails: mean/stddev are
+    themselves dragged by the outliers they are meant to flag (masking),
+    while median and MAD have a 50% breakdown point — the screen a
+    pipeline uses when a bad data drop may corrupt MANY days at once.
+    Both medians come from the explicit two-order-statistic
+    interpolation (engine-portable, unlike percentile built-ins), so
+    the flagged scores value-hash-match the oracle.
+
+    100 TB design: the wide input collapses to (type x day) rows in one
+    partial-aggregable pass; the two median windows sort only the tiny
+    daily series per type. The {MAD_THRESHOLD} threshold is a
+    test-scale pin (3.5 is the standard default)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    medv = _grouped_median(daily, "event_type", "v").withColumnRenamed("median", "med")
+    dev = daily.join(medv, "event_type").select(
+        "event_type", "day", "v", "med", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    madv = _grouped_median(dev, "event_type", "ad").withColumnRenamed("median", "mad")
+    z = F.lit(MAD_CONST) * (F.col("v") - F.col("med")) / F.greatest(
+        F.col("mad"), F.lit(1e-300)
+    )
+    return (
+        dev.join(madv, "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 6).alias("daily_total"),
+            F.round(z, 6).alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
+        .orderBy("event_type", "day")
+    )

@@ -142,3 +142,28 @@ def test_dedup_recall_counts_are_consistent(spark):
         assert abs(r["cand_recall"] - r["n_hit"] / r["n_truth"]) < 1e-6
     # the banded index is tuned for J >= ~0.6 -> recall should be high
     assert r["cand_recall"] >= 0.8, dict(r.asDict())
+
+
+def test_anomaly_mad_matches_pandas_recomputation(spark):
+    """Pin the robust screen against a straight pandas/numpy median-MAD
+    recomputation (numpy median == the registered interpolation at q=0.5)."""
+    from music_database_spark.plans.sketches import MAD_CONST, MAD_THRESHOLD
+    from music_database_spark.sources.loader import load_table
+
+    flagged = load_all()["x_anomaly_mad"].build(spark, SF).toPandas()
+    assert len(flagged) > 0
+    assert (flagged["robust_z"].abs() > MAD_THRESHOLD).all()
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    daily = ev.groupby(["event_type", "day"])["value"].sum().reset_index(name="v")
+    expect = []
+    for etype, g in daily.groupby("event_type"):
+        med = np.median(g["v"])
+        mad = np.median(np.abs(g["v"] - med))
+        for _, row in g.iterrows():
+            z = MAD_CONST * (row["v"] - med) / max(mad, 1e-300)
+            if abs(z) > MAD_THRESHOLD:
+                expect.append((etype, str(row["day"]), round(z, 4)))
+    got = [(r.event_type, r.day, round(r.robust_z, 4)) for r in flagged.itertuples()]
+    assert sorted(got) == sorted(expect)
