@@ -1007,3 +1007,115 @@ def x_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("id_a", "id_b")
     )
+
+
+MIN_COLLOC = 5  # bigram support floor: PMI is unstable on rare pairs
+TOP_COLLOC = 20
+
+
+@register(
+    "x_collocations",
+    tags=("EXT", "X4", "F3", "A1", "O2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+        ),
+        nu AS (SELECT CAST(SUM(c1) AS BIGINT) AS nu FROM uni),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM (SELECT ts[i] AS w1, ts[i + 1] AS w2
+                  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                        FROM toks WHERE len(ts) >= 2) t)
+            GROUP BY w1, w2 HAVING COUNT(*) >= {MIN_COLLOC}
+        ),
+        nb AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS nb
+            FROM (SELECT COUNT(*) AS cnt
+                  FROM (SELECT ts[i] AS w1
+                        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                              FROM toks WHERE len(ts) >= 2) t))
+        ),
+        pmi AS (
+            SELECT big.w1, big.w2, big.c12,
+                   ln((CAST(big.c12 AS DOUBLE) / nb.nb)
+                      / ((CAST(a.c1 AS DOUBLE) / nu.nu)
+                         * (CAST(b.c1 AS DOUBLE) / nu.nu))) AS pmi
+            FROM big JOIN uni a ON a.w = big.w1
+                     JOIN uni b ON b.w = big.w2, nu, nb
+        )
+        SELECT w1, w2, c12, round(pmi, 6) AS pmi
+        FROM pmi ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT {TOP_COLLOC}
+    """,
+)
+def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the top
+    bigrams whose observed frequency most exceeds what their parts
+    predict — PMI = ln(p(w1 w2) / (p(w1) p(w2))) with a support floor
+    of {MIN_COLLOC} occurrences (PMI is degenerate on rare pairs). The
+    classic phrase-mining pass (Church & Hanks 1990) a tokenizer
+    pipeline runs to decide which word pairs deserve a merged vocab
+    entry; ln portability across engines is already established by
+    x_ngram_lm_score.
+
+    100 TB design: two map-side-combinable counts (unigrams; bigrams on
+    the (w1, w2) key — high-cardinality and even), a vocabulary-sized
+    broadcast join back onto the surviving bigrams, and a
+    TakeOrderedAndProject top-{TOP_COLLOC} — no global sort, no
+    quadratic pair space (the support floor prunes before the join).
+    Ties under the rounded PMI break on the unique (w1, w2) key, so
+    the LIMIT boundary is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        .persist()
+    )
+    nu = uni.agg(F.sum("c1").cast("bigint").alias("nu"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+    )
+    all_big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    nb = all_big.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    big = (
+        all_big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= MIN_COLLOC)
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = (
+        big.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1a").cast("double") / F.col("nu"))
+                        * (F.col("c1b").cast("double") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(TOP_COLLOC).select(
+        "w1", "w2", "c12", "pmi"
+    )

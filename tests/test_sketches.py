@@ -167,3 +167,32 @@ def test_anomaly_mad_matches_pandas_recomputation(spark):
                 expect.append((etype, str(row["day"]), round(z, 4)))
     got = [(r.event_type, r.day, round(r.robust_z, 4)) for r in flagged.itertuples()]
     assert sorted(got) == sorted(expect)
+
+
+def test_collocations_match_python_pmi(spark):
+    """Top-PMI bigrams pinned against a dict-based recomputation."""
+    import math
+    from collections import Counter
+
+    from music_database_spark.operators.textops import MIN_COLLOC, TOP_COLLOC
+    from music_database_spark.sources.loader import load_table
+
+    got = load_all()["x_collocations"].build(spark, SF).collect()
+    assert len(got) == TOP_COLLOC
+
+    texts = load_table(spark, SF, "documents").toPandas()["text"]
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ts = [w for w in t.split(" ") if w]
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    pmi = {
+        (w1, w2): math.log((c / nb) / ((uni[w1] / nu) * (uni[w2] / nu)))
+        for (w1, w2), c in big.items()
+        if c >= MIN_COLLOC
+    }
+    want = sorted(pmi.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:TOP_COLLOC]
+    assert [(r["w1"], r["w2"], round(r["pmi"], 5)) for r in got] == [
+        (w1, w2, round(p, 5)) for (w1, w2), p in want
+    ]
