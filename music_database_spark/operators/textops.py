@@ -1056,7 +1056,7 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information: the top
     bigrams whose observed frequency most exceeds what their parts
     predict — PMI = ln(p(w1 w2) / (p(w1) p(w2))) with a support floor
-    of {MIN_COLLOC} occurrences (PMI is degenerate on rare pairs). The
+    of 5 occurrences (PMI is degenerate on rare pairs). The
     classic phrase-mining pass (Church & Hanks 1990) a tokenizer
     pipeline runs to decide which word pairs deserve a merged vocab
     entry; ln portability across engines is already established by
@@ -1065,7 +1065,7 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: two map-side-combinable counts (unigrams; bigrams on
     the (w1, w2) key — high-cardinality and even), a vocabulary-sized
     broadcast join back onto the surviving bigrams, and a
-    TakeOrderedAndProject top-{TOP_COLLOC} — no global sort, no
+    TakeOrderedAndProject top-20 — no global sort, no
     quadratic pair space (the support floor prunes before the join).
     Ties under the rounded PMI break on the unique (w1, w2) key, so
     the LIMIT boundary is deterministic."""

@@ -181,7 +181,7 @@ def _quantile_sample_oracle() -> str:
 @register("x_quantile_sample", tags=("EXT", "A6", "O3", "O5"), oracle=_quantile_sample_oracle())
 def x_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quantile estimation by deterministic hash sampling:
-    p50/p95 of l_extendedprice per returnflag from a {QS_PCT}% md5-bucket
+    p50/p95 of l_extendedprice per returnflag from a 10% md5-bucket
     sample, reported against the exact full-data quantiles. Both sides
     use the same explicit interpolation tree (v_lo + frac*(v_hi - v_lo),
     frac = q(n-1) - floor(q(n-1))) built from two order statistics —
@@ -303,7 +303,7 @@ Z_MIN_HISTORY = 4  # need >= 4 trailing days before a z-score is meaningful
 )
 def x_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly screen: per event type, flag days whose
-    total metric value sits more than {Z_THRESHOLD} trailing standard
+    total metric value sits more than 2.0 trailing standard
     deviations from the trailing-week mean (frame = ROWS BETWEEN 7
     PRECEDING AND 1 PRECEDING — strictly historical, so the tested day
     never contaminates its own baseline). The day-level pre-aggregation
@@ -389,7 +389,7 @@ def _pca_gram_oracle() -> str:
 @register("x_pca_gram", tags=("EXT", "X3", "A5", "F5"), oracle=_pca_gram_oracle())
 def x_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance block of the embedding corpus (the PCA input): the
-    upper triangle of cov(X) over the first {PCA_ORACLE_DIMS} embedding
+    upper triangle of cov(X) over the first 8 embedding
     components, from ONE aggregation pass of exact decimal moments
     (n, per-dim sums, pairwise product sums) — the x_corr_matrix recipe
     lifted to vector columns. cov_ij = P_ij/n - (S_i/n)(S_j/n).
@@ -611,7 +611,7 @@ def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: the wide input collapses to (type x day) rows in one
     partial-aggregable pass; the two median windows sort only the tiny
-    daily series per type. The {MAD_THRESHOLD} threshold is a
+    daily series per type. The 2.5 threshold is a
     test-scale pin (3.5 is the standard default)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
