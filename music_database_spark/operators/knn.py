@@ -1627,3 +1627,84 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias("recall_at_k"),
     ).orderBy("probe_id")
+
+
+def _pq_recall_oracle() -> str:
+    """x_pq_recall oracle: exact-cosine top-k CTEs + the complete
+    x_knn_pq pipeline nested as a derived table (DuckDB allows WITH
+    inside a parenthesized subquery), joined into per-probe recall@k."""
+    cos = (
+        f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> p.emb[i] * n.emb[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))), 6)"
+    )
+    return f"""
+        WITH dblx AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        prx AS (SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
+        bscored AS (
+            SELECT pr.probe_id, n.vec_id AS neighbor_id, {cos} AS cosine
+            FROM prx pr JOIN dblx p ON p.vec_id = pr.probe_id
+            CROSS JOIN dblx n WHERE n.vec_id <> pr.probe_id
+        ),
+        btop AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM bscored) t WHERE rnk <= {TOP_K}
+        ),
+        pqtop AS (SELECT probe_id, neighbor_id FROM ({_pq_oracle()}) q),
+        hit AS (
+            SELECT b.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM btop b JOIN pqtop p
+              ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+            GROUP BY b.probe_id
+        )
+        SELECT pr.probe_id AS probe_id, {TOP_K} AS k,
+               COALESCE(n_hit, 0) AS n_hit,
+               round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+        FROM prx pr LEFT JOIN hit ON hit.probe_id = pr.probe_id
+        ORDER BY pr.probe_id
+    """
+
+
+@register("x_pq_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_pq_recall_oracle())
+def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ (asymmetric-distance) index against exact
+    cosine search — x_ann_recall's twin for the quantized path, closing
+    the index-quality harness over all three ANN variants (LSH, IVF via
+    x_ann_recall/x_knn_ivf_trained's composed oracles, PQ here). The
+    production question it answers: how much retrieval quality does the
+    32x memory compression cost? Run per re-train, alongside the
+    codebooks' own distortion stats (x_vec_quantize).
+
+    100 TB design: composes two queries that already scale (brute-force
+    top-k is the deliberate harness yardstick, deployed on a sampled
+    probe set; the PQ scan is the memory-bound production path) plus a
+    top-k-sized join and a probes-sized aggregate — nothing new
+    shuffles. Fully oracle-checked: both pipelines are engine-portable,
+    so even the recall fractions hash-match."""
+    exact = x_knn(spark, sf_dir).select("probe_id", "neighbor_id")
+    pq = x_knn_pq(spark, sf_dir).select("probe_id", "neighbor_id")
+    hit = (
+        exact.join(pq, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    probes = exact.select("probe_id").distinct()
+    return (
+        probes.join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.lit(TOP_K).alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(TOP_K), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
