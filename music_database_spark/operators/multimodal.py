@@ -210,3 +210,160 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+PHASH_SEGMENTS = 64  # "pixels" after the stride resize (8x8-style)
+PHASH_BANDS = 4  # 16-bit bands for the candidate join
+PHASH_MAX_HAMMING = 6  # near-dup verify threshold
+PHASH_MAX_BAND_FREQ = 50  # hot band buckets dropped (the MAX_BAND_FREQ pattern)
+
+
+@register(
+    "x_media_phash_dedup",
+    tags=("EXT", "X5", "X2"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE length(text) >= {PHASH_SEGMENTS}
+        ),
+        pix AS (
+            SELECT doc_id,
+                   [ascii(text[1 + (s-1)*(n//{PHASH_SEGMENTS})])
+                    FOR s IN range(1, {PHASH_SEGMENTS + 1})] AS px
+            FROM base
+        ),
+        sig AS (
+            SELECT doc_id, px,
+                   CAST(list_aggregate(px, 'sum') AS DOUBLE) / {PHASH_SEGMENTS} AS mu
+            FROM pix
+        ),
+        bits AS (
+            SELECT doc_id,
+                   [CASE WHEN px[s] > mu THEN 1 ELSE 0 END
+                    FOR s IN range(1, {PHASH_SEGMENTS + 1})] AS b
+            FROM sig
+        ),
+        bands AS (
+            SELECT doc_id, bb,
+                   array_to_string(b[16*bb+1:16*bb+16], '') AS band_hash
+            FROM bits, (SELECT unnest(range(0, {PHASH_BANDS})) AS bb)
+        ),
+        bands_f AS (
+            SELECT doc_id, bb, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY bb, band_hash) AS bsz FROM bands
+            ) WHERE bsz <= {PHASH_MAX_BAND_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands_f a JOIN bands_f b
+              ON a.bb = b.bb AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT id_a, id_b,
+                   {PHASH_SEGMENTS} - len(list_filter(range(1, {PHASH_SEGMENTS + 1}),
+                                                      s -> x.b[s] = y.b[s])) AS hamming
+            FROM cand JOIN bits x ON x.doc_id = cand.id_a
+                      JOIN bits y ON y.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, hamming FROM ver
+        WHERE hamming <= {PHASH_MAX_HAMMING} ORDER BY id_a, id_b
+    """,
+)
+def x_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the byte modality —
+    the image-dedup shape (aHash / blockhash family, public: Zauner
+    2010) run on the deterministic media stand-in (payload bytes = the
+    document's utf-8, as everywhere in this module): stride-subsample
+    the payload to {PHASH_SEGMENTS} 'pixels' (resize_media's stride
+    semantics), threshold each against the payload mean into a 64-bit
+    signature, band into {PHASH_BANDS} 16-bit buckets for the candidate
+    join, verify by Hamming distance <= {PHASH_MAX_HAMMING}. With a
+    real decoder the pixel step swaps in; every stage after the bytes
+    is modality-agnostic.
+
+    Fully oracle-checked: byte values via ascii() on both engines
+    (corpus is ASCII), integer sums exact in double, banding and
+    Hamming verify mirrored. 100 TB design: identical scale shape to
+    x_dedup_simhash_det — banded signature self-join with the hot-band
+    cap (a k-image bucket is k^2 pairs on one key), candidates ~linear,
+    payloads never shuffle (only 64-int signatures and 16-char band
+    keys move)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.length("text").alias("n")).filter(
+        F.col("n") >= PHASH_SEGMENTS
+    )
+    pix = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, {PHASH_SEGMENTS}),"
+            f" s -> ascii(substr(text, 1 + (s-1)*(n div {PHASH_SEGMENTS}), 1)))"
+        ).alias("px"),
+    )
+    sig = pix.select(
+        "doc_id",
+        "px",
+        (
+            F.aggregate("px", F.lit(0), lambda acc, x: acc + x).cast("double")
+            / PHASH_SEGMENTS
+        ).alias("mu"),
+    )
+    bits = sig.select(
+        "doc_id",
+        F.expr("transform(px, p -> CASE WHEN p > mu THEN 1 ELSE 0 END)").alias("b"),
+    ).persist()  # feeds the band explode and both verify sides
+    bands = bits.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("bb"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("b", 16 * bb + 1, 16), lambda x: x.cast("string")
+                            ),
+                            "",
+                        ).alias("band_hash"),
+                    )
+                    for bb in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.bb", "band.band_hash")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bb", "band_hash")
+    bands_f = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= PHASH_MAX_BAND_FREQ)
+        .drop("bsz")
+    )
+    cand = (
+        bands_f.alias("a")
+        .join(
+            bands_f.alias("b"),
+            (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(bits.select(F.col("doc_id").alias("id_a"), F.col("b").alias("b_a")), "id_a")
+        .join(bits.select(F.col("doc_id").alias("id_b"), F.col("b").alias("b_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("b_a", "b_b", lambda x, y: F.when(x == y, 0).otherwise(1)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("hamming"),
+        )
+    )
+    return (
+        ver.filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -580,3 +580,31 @@ def test_star_rounds_beat_label_propagation_on_high_diameter_chain(spark):
     got = {r["node"]: r["label"] for r in prop_labels.collect()}
     assert got == {i: 0 for i in range(16)}
     assert prop_rounds >= 14  # ~diameter rounds: the contrast star avoids
+
+
+def test_media_phash_signature_matches_python(spark, reg):
+    """Recompute the 64-bit aHash signature in pure Python for a sample
+    of docs and check the flagged pairs' Hamming distances."""
+    from music_database_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        PHASH_SEGMENTS,
+    )
+    from music_database_spark.sources.loader import load_table
+
+    out = reg["x_media_phash_dedup"].build(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(0 <= r["hamming"] <= PHASH_MAX_HAMMING for r in out)
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas().set_index("doc_id")
+
+    def sig(text):
+        n = len(text)
+        stride = n // PHASH_SEGMENTS
+        px = [ord(text[(s - 1) * stride]) for s in range(1, PHASH_SEGMENTS + 1)]
+        mu = sum(px) / PHASH_SEGMENTS
+        return [1 if p > mu else 0 for p in px]
+
+    for r in out[:10]:
+        a, b = sig(docs.loc[r["id_a"], "text"]), sig(docs.loc[r["id_b"], "text"])
+        assert sum(x != y for x, y in zip(a, b)) == r["hamming"], (r["id_a"], r["id_b"])
