@@ -1708,3 +1708,76 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+def _ivf_recall_oracle() -> str:
+    """x_ivf_recall oracle: same composition as _pq_recall_oracle with
+    the trained-IVF pipeline as the candidate index."""
+    cos = (
+        f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> p.emb[i] * n.emb[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))), 6)"
+    )
+    return f"""
+        WITH dblx AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        prx AS (SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
+        bscored AS (
+            SELECT pr.probe_id, n.vec_id AS neighbor_id, {cos} AS cosine
+            FROM prx pr JOIN dblx p ON p.vec_id = pr.probe_id
+            CROSS JOIN dblx n WHERE n.vec_id <> pr.probe_id
+        ),
+        btop AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM bscored) t WHERE rnk <= {TOP_K}
+        ),
+        ivftop AS (SELECT probe_id, neighbor_id FROM ({_ivf_trained_oracle()}) q),
+        hit AS (
+            SELECT b.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM btop b JOIN ivftop p
+              ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+            GROUP BY b.probe_id
+        )
+        SELECT pr.probe_id AS probe_id, {TOP_K} AS k,
+               COALESCE(n_hit, 0) AS n_hit,
+               round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+        FROM prx pr LEFT JOIN hit ON hit.probe_id = pr.probe_id
+        ORDER BY pr.probe_id
+    """
+
+
+@register("x_ivf_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_ivf_recall_oracle())
+def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the trained-IVF probed search against exact cosine —
+    the third leg of the index-quality harness (LSH: x_ann_recall; PQ:
+    x_pq_recall; IVF here). Measures what probing TRAINED_PROBE_CELLS
+    of the trained cells misses vs a full scan — the recall/nprobe
+    trade-off curve a vector store tunes per corpus. Fully
+    hash-checked; same composition shape as x_pq_recall (two
+    already-scaling pipelines + a top-k join + probes-sized agg)."""
+    exact = x_knn(spark, sf_dir).select("probe_id", "neighbor_id")
+    ivf = x_knn_ivf_trained(spark, sf_dir).select("probe_id", "neighbor_id")
+    hit = (
+        exact.join(ivf, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    probes = exact.select("probe_id").distinct()
+    return (
+        probes.join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.lit(TOP_K).alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(TOP_K), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
