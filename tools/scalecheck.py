@@ -5,6 +5,7 @@ and bounded candidate counts are the evidence that the banded/capped
 designs hold under scale-up. Usage:
 
     python tools/scalecheck.py [K ...]      # default 1 2 4 10
+    python tools/scalecheck.py --components 16 64 256   # CC round counts
 
 Prints one line per (K, query): docs, seconds, output rows.
 """
@@ -46,13 +47,16 @@ def replicate(docs: DataFrame, k: int) -> DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--tpch", "--incremental")]
+    args = [a for a in sys.argv[1:] if a not in ("--tpch", "--incremental", "--components")]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
         tpch_growth(ks)
         return 0
     if "--incremental" in sys.argv[1:]:
         incremental_growth(ks)
+        return 0
+    if "--components" in sys.argv[1:]:
+        components_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -76,6 +80,37 @@ def main() -> int:
         spark.catalog.clearCache()
     return 0
 
+
+
+def components_growth(ks: list[int]) -> None:
+    """Round-count contrast on a diameter-K chain graph (the worst case
+    for label propagation, trivial for the star algorithm):
+
+        python tools/scalecheck.py --components 16 64 256
+
+    Label propagation needs ~K rounds (O(diameter)); large/small-star
+    stays O(log K). Both must produce the all-zeros labeling."""
+    from music_database_spark.operators.dedup import (
+        label_propagation_components,
+        star_components,
+    )
+
+    spark = get_spark("scalecheck")
+    print(f"{'chain_n':>8} {'algorithm':<12} {'rounds':>6} {'sec':>7} {'ok':>3}")
+    for n in ks:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        for name, fn in (("star", star_components), ("label_prop", label_propagation_components)):
+            if name == "label_prop" and n > 128:
+                print(f"{n:>8} {name:<12} {'skip':>6} {'-':>7}   - (O(n) rounds; skipped past 128)")
+                continue
+            t0 = time.time()
+            labels, rounds = fn(pairs)
+            got = {r["node"]: r["label"] for r in labels.collect()}
+            dt = time.time() - t0
+            ok = got == {i: 0 for i in range(n)}
+            print(f"{n:>8} {name:<12} {rounds:>6} {dt:>7.2f} {str(ok):>3}")
 
 
 def incremental_growth(ks: list[int]) -> None:
