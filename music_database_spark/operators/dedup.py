@@ -1351,6 +1351,11 @@ def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     regardless of component diameter. Shared by x_dedup_clusters_star
     and the round-count experiment in tests/test_pipeline.py."""
     spark = pairs.sparkSession
+    # Persist the pair frame FIRST: it feeds the edge checkpoint, the
+    # n_edges count and the all_nodes derivation — without this the
+    # (expensive) upstream pair pipeline would execute three times
+    # (code-review finding, round 4).
+    pairs = pairs.persist()
     all_nodes = (
         pairs.select(F.col("id_a").alias("node"))
         .unionByName(pairs.select(F.col("id_b").alias("node")))

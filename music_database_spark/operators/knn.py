@@ -835,8 +835,14 @@ def x_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import _tmp_dir
 
     cents, assign = _kmeans_fit(spark, sf_dir)
+    from ..sources.loader import source_mtime_tag
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_tmp_dir("ann_index"), f"ivf_{sf_tag}")
+    # mtime in the key: a regenerated drop at the same path must not be
+    # served from the previous corpus's persisted index.
+    path = os.path.join(
+        _tmp_dir("ann_index"), f"ivf_{sf_tag}_{source_mtime_tag(sf_dir, 'embeddings')}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         assign.select("vec_id", "emb", "cluster_id").write.mode("overwrite").partitionBy(
             "cluster_id"
@@ -1629,10 +1635,11 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
-def _pq_recall_oracle() -> str:
-    """x_pq_recall oracle: exact-cosine top-k CTEs + the complete
-    x_knn_pq pipeline nested as a derived table (DuckDB allows WITH
-    inside a parenthesized subquery), joined into per-probe recall@k."""
+def _recall_oracle(candidate_sql: str) -> str:
+    """Recall@k oracle shared by x_pq_recall / x_ivf_recall: exact-cosine
+    top-k CTEs + the given candidate pipeline nested as a derived table
+    (DuckDB allows WITH inside a parenthesized subquery), joined into
+    per-probe recall@k."""
     cos = (
         f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
         f" i -> p.emb[i] * n.emb[i]), 'sum')"
@@ -1657,10 +1664,10 @@ def _pq_recall_oracle() -> str:
                                           ORDER BY cosine DESC, neighbor_id) AS rnk
                 FROM bscored) t WHERE rnk <= {TOP_K}
         ),
-        pqtop AS (SELECT probe_id, neighbor_id FROM ({_pq_oracle()}) q),
+        candtop AS (SELECT probe_id, neighbor_id FROM ({candidate_sql}) q),
         hit AS (
             SELECT b.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-            FROM btop b JOIN pqtop p
+            FROM btop b JOIN candtop p
               ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
             GROUP BY b.probe_id
         )
@@ -1672,12 +1679,38 @@ def _pq_recall_oracle() -> str:
     """
 
 
-@register("x_pq_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_pq_recall_oracle())
+def _recall_vs_exact(exact: DataFrame, cand: DataFrame) -> DataFrame:
+    """Per-probe recall@k of a candidate top-k frame against the exact
+    top-k frame (both carry (probe_id, neighbor_id)) — the Spark twin
+    of _recall_oracle, shared by both recall harnesses so the hit
+    join / probes agg / tie handling can never drift between them
+    (code-review finding, round 4)."""
+    exact = exact.select("probe_id", "neighbor_id")
+    cand = cand.select("probe_id", "neighbor_id")
+    hit = (
+        exact.join(cand, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    probes = exact.select("probe_id").distinct()
+    return (
+        probes.join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.lit(TOP_K).alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(TOP_K), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register("x_pq_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_recall_oracle(_pq_oracle()))
 def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PQ (asymmetric-distance) index against exact
-    cosine search — x_ann_recall's twin for the quantized path, closing
-    the index-quality harness over all three ANN variants (LSH, IVF via
-    x_ann_recall/x_knn_ivf_trained's composed oracles, PQ here). The
+    cosine search — x_ann_recall's twin for the quantized path. The
     production question it answers: how much retrieval quality does the
     32x memory compression cost? Run per re-train, alongside the
     codebooks' own distortion stats (x_vec_quantize).
@@ -1688,96 +1721,16 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k-sized join and a probes-sized aggregate — nothing new
     shuffles. Fully oracle-checked: both pipelines are engine-portable,
     so even the recall fractions hash-match."""
-    exact = x_knn(spark, sf_dir).select("probe_id", "neighbor_id")
-    pq = x_knn_pq(spark, sf_dir).select("probe_id", "neighbor_id")
-    hit = (
-        exact.join(pq, ["probe_id", "neighbor_id"])
-        .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    probes = exact.select("probe_id").distinct()
-    return (
-        probes.join(hit, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.lit(TOP_K).alias("k"),
-            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(TOP_K), 6
-            ).alias("recall_at_k"),
-        )
-        .orderBy("probe_id")
-    )
+    return _recall_vs_exact(x_knn(spark, sf_dir), x_knn_pq(spark, sf_dir))
 
 
-def _ivf_recall_oracle() -> str:
-    """x_ivf_recall oracle: same composition as _pq_recall_oracle with
-    the trained-IVF pipeline as the candidate index."""
-    cos = (
-        f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
-        f" i -> p.emb[i] * n.emb[i]), 'sum')"
-        f" / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))"
-        f" * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))), 6)"
-    )
-    return f"""
-        WITH dblx AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-            FROM embeddings
-        ),
-        prx AS (SELECT vec_id AS probe_id FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
-        bscored AS (
-            SELECT pr.probe_id, n.vec_id AS neighbor_id, {cos} AS cosine
-            FROM prx pr JOIN dblx p ON p.vec_id = pr.probe_id
-            CROSS JOIN dblx n WHERE n.vec_id <> pr.probe_id
-        ),
-        btop AS (
-            SELECT probe_id, neighbor_id FROM (
-                SELECT probe_id, neighbor_id,
-                       row_number() OVER (PARTITION BY probe_id
-                                          ORDER BY cosine DESC, neighbor_id) AS rnk
-                FROM bscored) t WHERE rnk <= {TOP_K}
-        ),
-        ivftop AS (SELECT probe_id, neighbor_id FROM ({_ivf_trained_oracle()}) q),
-        hit AS (
-            SELECT b.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-            FROM btop b JOIN ivftop p
-              ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
-            GROUP BY b.probe_id
-        )
-        SELECT pr.probe_id AS probe_id, {TOP_K} AS k,
-               COALESCE(n_hit, 0) AS n_hit,
-               round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
-        FROM prx pr LEFT JOIN hit ON hit.probe_id = pr.probe_id
-        ORDER BY pr.probe_id
-    """
-
-
-@register("x_ivf_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_ivf_recall_oracle())
+@register("x_ivf_recall", tags=("EXT", "X3", "A1", "J4"), oracle=_recall_oracle(_ivf_trained_oracle()))
 def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the trained-IVF probed search against exact cosine —
     the third leg of the index-quality harness (LSH: x_ann_recall; PQ:
     x_pq_recall; IVF here). Measures what probing TRAINED_PROBE_CELLS
     of the trained cells misses vs a full scan — the recall/nprobe
     trade-off curve a vector store tunes per corpus. Fully
-    hash-checked; same composition shape as x_pq_recall (two
-    already-scaling pipelines + a top-k join + probes-sized agg)."""
-    exact = x_knn(spark, sf_dir).select("probe_id", "neighbor_id")
-    ivf = x_knn_ivf_trained(spark, sf_dir).select("probe_id", "neighbor_id")
-    hit = (
-        exact.join(ivf, ["probe_id", "neighbor_id"])
-        .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    probes = exact.select("probe_id").distinct()
-    return (
-        probes.join(hit, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.lit(TOP_K).alias("k"),
-            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(TOP_K), 6
-            ).alias("recall_at_k"),
-        )
-        .orderBy("probe_id")
-    )
+    hash-checked; same composition as x_pq_recall via the shared
+    _recall_vs_exact / _recall_oracle pair."""
+    return _recall_vs_exact(x_knn(spark, sf_dir), x_knn_ivf_trained(spark, sf_dir))

@@ -337,15 +337,18 @@ def x_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("daily_total") - mean) / F.sqrt(
         F.greatest(F.col("ss") / F.col("cnt") - mean * mean, F.lit(1e-300))
     )
+    # Filter on the UNROUNDED z, exactly as the oracle's WHERE does —
+    # filtering after round() would drop a boundary z like 2.0000004
+    # that the oracle keeps (code-review finding, round 4).
     return (
         win.filter(F.col("cnt") >= Z_MIN_HISTORY)
+        .filter(F.abs(z) > Z_THRESHOLD)
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.round("daily_total", 6).alias("daily_total"),
             F.round(z, 6).alias("z_score"),
         )
-        .filter(F.abs(F.col("z_score")) > Z_THRESHOLD)
         .orderBy("event_type", "day")
     )
 
@@ -625,14 +628,16 @@ def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(MAD_CONST) * (F.col("v") - F.col("med")) / F.greatest(
         F.col("mad"), F.lit(1e-300)
     )
+    # Filter on the UNROUNDED z to mirror the oracle's WHERE exactly
+    # (same boundary reasoning as x_anomaly_zscore).
     return (
         dev.join(madv, "event_type")
+        .filter(F.abs(z) > MAD_THRESHOLD)
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.round("v", 6).alias("daily_total"),
             F.round(z, 6).alias("robust_z"),
         )
-        .filter(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
         .orderBy("event_type", "day")
     )

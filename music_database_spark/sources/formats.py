@@ -394,8 +394,17 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected per-class counts straight from the documents table and the
     check pins Spark's PERMISSIVE partial-parse semantics exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    from .loader import source_mtime_tag
+
     base = _tmp_dir("malformed")
-    path = os.path.join(base, f"docs_{os.path.basename(os.path.normpath(sf_dir))}_csv")
+    # mtime in the key: the fixture derives from documents, so a
+    # regenerated drop must re-synthesize instead of reusing the old one
+    # (the oracle computes expected counts from the NEW table).
+    path = os.path.join(
+        base,
+        f"docs_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{source_mtime_tag(sf_dir, 'documents')}_csv",
+    )
     # The corrupted fixture is synthesized IN Spark (no driver-side
     # collect — at 100 TB that's an OOM) and written distributed as raw
     # text lines: wrong arity at doc_id%97==3, bad type at %97==5. No

@@ -208,3 +208,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
+
+
+def source_mtime_tag(sf_dir: str, table: str) -> str:
+    """Integer-mtime tag of a source parquet, for keying DERIVED on-disk
+    caches (persisted ANN index, synthesized CSV fixture) the same way
+    the in-process probe caches are keyed: a regenerated testdata drop
+    at the same path gets a fresh cache directory instead of serving
+    artifacts derived from the old data (code-review finding, round 4)."""
+    try:
+        return str(int(os.path.getmtime(f"{sf_dir}/{table}.parquet")))
+    except OSError:
+        return "0"
