@@ -316,32 +316,10 @@ class CorpusPipeline:
         >= WINNOW_W + WINNOW_K - 1 tokens, unlike MinHash's
         probabilistic recall; the fingerprint index is frequency-capped
         so no bucket fans out more than max_fp_freq^2/2 pairs."""
-        from .operators.textops import _winnow_fps
+        from .operators.textops import winnow_candidate_pairs
 
-        fps = (
-            _winnow_fps(self.docs, self.id_col, self.text_col)
-            .select("doc_id", F.explode("fps").alias("fp"))
-            .persist()
-        )
-        rare = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .filter(F.col("freq") <= max_fp_freq)
-        )
-        f = fps.join(rare.select("fp"), "fp")
-        return (
-            f.alias("a")
-            .join(
-                f.alias("b"),
-                (F.col("a.fp") == F.col("b.fp"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-            )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-            .filter(F.col("n_shared") >= min_shared)
-            .orderBy("id_a", "id_b")
+        return winnow_candidate_pairs(
+            self.docs, self.id_col, self.text_col, max_fp_freq, min_shared
         )
 
     def bm25(

@@ -37,15 +37,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double_array, cosine_similarity
 from ..plans.relational import _t
-from ..sources.loader import scan_wide
+from ..sources.loader import scan_wide, wide_emb
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings scan spread to defaultParallelism before per-row
-    distance math (single-row-group testdata reads as ONE task; no-op
-    once the scan is already wide). Applied per query by A/B
-    measurement at sf0.1 (PLANS.md "Scan parallelism")."""
-    return scan_wide(spark, sf_dir, "embeddings")
+# One shared definition (sources/loader.wide_emb); local alias keeps
+# call sites short.
+_emb = wide_emb
 from ..registry import register
 
 N_PROBES = 10  # fixed probe set: the N lowest vec_ids

@@ -19,16 +19,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
-from ..sources.loader import scan_wide
+from ..sources.loader import scan_wide, wide_docs
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan spread to defaultParallelism before a
-    compute-heavy narrow stage (single-row-group testdata reads as ONE
-    task; no-op once the scan is already wide). Applied per query by
-    A/B measurement at sf0.1 — queries whose first exchange comes
-    early keep the plain narrow scan (PLANS.md "Scan parallelism")."""
-    return scan_wide(spark, sf_dir, "documents")
+# One shared definition (sources/loader.wide_docs); local alias keeps
+# call sites short.
+_docs = wide_docs
 
 
 @register(

@@ -17,16 +17,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
-from ..sources.loader import scan_wide
+from ..sources.loader import scan_wide, wide_docs
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan spread to defaultParallelism before a
-    compute-heavy narrow stage (single-row-group testdata reads as ONE
-    task; no-op once the scan is already wide). Applied per query by
-    A/B measurement at sf0.1 — queries whose first exchange comes
-    early keep the plain narrow scan (PLANS.md "Scan parallelism")."""
-    return scan_wide(spark, sf_dir, "documents")
+# One shared definition (sources/loader.wide_docs); local alias keeps
+# call sites short.
+_docs = wide_docs
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Public knowledge (most frequent function words per language).
@@ -987,13 +983,29 @@ def x_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints dropped) so no bucket contributes more than
     CAP^2/2 pairs to one shuffle key; the index frame is persisted so
     frequency pass and pair pass scan the corpus once."""
+    return winnow_candidate_pairs(_docs(spark, sf_dir))
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_freq: int = WINNOW_MAX_FP_FREQ,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) candidate pairs from the winnowed
+    fingerprint index — the ONE implementation of the rare-fp cap /
+    a<b pairing / shared-count floor, used by both the registered
+    x_winnow_candidates query (module-constant parameters) and
+    CorpusPipeline.winnow_candidates (caller parameters), so a tuning
+    change cannot silently apply to only one surface."""
     fps = (
-        _winnow_fps(_docs(spark, sf_dir))
+        _winnow_fps(docs, id_col, text_col)
         .select("doc_id", F.explode("fps").alias("fp"))
         .persist()
     )
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("freq")).filter(
-        F.col("freq") <= WINNOW_MAX_FP_FREQ
+        F.col("freq") <= max_fp_freq
     )
     f = fps.join(rare.select("fp"), "fp")
     return (
@@ -1004,7 +1016,7 @@ def x_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
 

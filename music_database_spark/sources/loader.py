@@ -220,3 +220,20 @@ def source_mtime_tag(sf_dir: str, table: str) -> str:
         return str(int(os.path.getmtime(f"{sf_dir}/{table}.parquet")))
     except OSError:
         return "0"
+
+
+def wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to defaultParallelism before a
+    compute-heavy narrow stage (single-row-group testdata reads as ONE
+    task; no-op once the scan is already wide). Applied per query by
+    A/B measurement at sf0.1 — queries whose first exchange comes early
+    keep the plain narrow scan (PLANS.md "Scan parallelism"). The one
+    definition behind the `_docs` aliases in dedup/textops/pipeline."""
+    return scan_wide(spark, sf_dir, "documents")
+
+
+def wide_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan spread to defaultParallelism before per-row
+    distance math — wide_docs' twin for the vector table (knn's
+    `_emb` alias)."""
+    return scan_wide(spark, sf_dir, "embeddings")
