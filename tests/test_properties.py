@@ -206,3 +206,43 @@ def test_kmv_estimate_is_slice_invariant_and_exact_below_k(hashes, data):
     assert state == want
     if len(distinct) < K_STREAM_KMV:
         assert len(state) == len(distinct)  # estimate = nk = exact count
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find_on_random_graphs(spark, raw_edges):
+    """Both distributed component algorithms must agree with a plain
+    union-find reference on arbitrary hypothesis-generated graphs —
+    chains (the dedicated test) are not the only topology."""
+    from music_database_spark.operators.dedup import (
+        label_propagation_components,
+        star_components,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw_edges})
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    star, _ = star_components(df)
+    assert {r["node"]: r["label"] for r in star.collect()} == want
+    prop, _ = label_propagation_components(df)
+    assert {r["node"]: r["label"] for r in prop.collect()} == want
