@@ -841,6 +841,15 @@ def x_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tmp_dir("ann_index"), f"ivf_{sf_tag}_{source_mtime_tag(sf_dir, 'embeddings')}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # A regenerated drop gets a fresh mtime-keyed dir; sweep the
+        # superseded siblings so caches don't accumulate across rounds.
+        import shutil
+
+        base_dir = os.path.dirname(path)
+        for d in os.listdir(base_dir) if os.path.isdir(base_dir) else []:
+            if d.startswith(f"ivf_{sf_tag}_") and os.path.join(base_dir, d) != path:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         assign.select("vec_id", "emb", "cluster_id").write.mode("overwrite").partitionBy(
             "cluster_id"
         ).parquet(path)

@@ -412,6 +412,14 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is deterministic per sf_dir, so an existing complete write (the
     # _SUCCESS marker) is reused instead of re-synthesized every run.
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # Sweep superseded mtime-keyed fixture dirs (same rationale as
+        # the ANN index cache: fresh drop -> fresh dir, drop the stale).
+        import shutil
+
+        sf_base = os.path.basename(os.path.normpath(sf_dir))
+        for d in os.listdir(base):
+            if d.startswith(f"docs_{sf_base}_") and os.path.join(base, d) != path:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         mod = F.col("doc_id") % 97
         line = (
             F.when(mod == 3, F.concat_ws(",", "doc_id", "lang"))  # wrong arity
