@@ -256,3 +256,111 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_triangles"), "nationkey")
     )
+
+
+@register(
+    "x_clustering_coef",
+    tags=("EXT", "J1", "J6", "A1", "A5"),
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+                   GREATEST(c_nationkey, s_nationkey) AS b
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            WHERE c_nationkey <> s_nationkey
+        ),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+            GROUP BY n
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        per_node AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri) u
+            GROUP BY n
+        )
+        SELECT d.n AS nationkey, n_name AS nation, d.degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               round(CASE WHEN d.degree < 2 THEN 0.0
+                          ELSE 2.0 * COALESCE(t.n_triangles, 0)
+                               / (d.degree * (d.degree - 1)) END, 6) AS coef
+        FROM deg d LEFT JOIN per_node t ON t.n = d.n
+        JOIN nation ON n_nationkey = d.n
+        ORDER BY coef DESC, nationkey
+    """,
+)
+def x_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — coef = 2T/(d(d-1)) over
+    the undirected nation trade graph, composing x_triangle_count's
+    canonical triangle enumeration with a per-node degree count. The
+    graph-cohesion metric that distinguishes hub-and-spoke structure
+    (low coef) from clique-like neighborhoods (coef near 1) — on a
+    near-dup document graph the same query scores how 'cliquey' each
+    duplicate neighborhood is, which drives keep-one vs keep-cluster
+    dedup decisions. Integer degree/triangle inputs make the ratio
+    arithmetic bit-identical cross-engine.
+
+    100 TB design: adds one partial-aggregable degree count to the
+    triangle plan (edge list materialized once, reused by degrees and
+    all three triangle join branches); the division is a map over the
+    25-row joined result. Same skew note as x_triangle_count (degree
+    ordering for hub graphs)."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    coef = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        2.0 * t / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .join(F.broadcast(nation), deg.n == nation.n_nationkey)
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            "degree",
+            t.cast("bigint").alias("n_triangles"),
+            F.round(coef, 6).alias("coef"),
+        )
+        .orderBy(F.desc("coef"), "nationkey")
+    )
