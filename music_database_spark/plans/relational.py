@@ -701,3 +701,51 @@ def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_null_keys")
     )
     return plain.crossJoin(nullsafe).crossJoin(nullkeys)
+
+
+@register(
+    "x_sql_variables",
+    tags=("EXT", "P1", "F7", "A1"),
+    oracle="""
+        SELECT c_custkey AS custkey, c_name AS name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_custkey, c_name
+        HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) >= 500000.0
+        ORDER BY total_spend DESC, custkey
+    """,
+)
+def x_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 front-door
+    surface the named-parameter binding of x_pipe_syntax doesn't cover):
+    DECLARE typed session variables, SET VAR them, and run the query
+    text through EXECUTE IMMEDIATE with the variables referenced
+    directly — the scripting shape BI layers and stored-procedure
+    migrations use, with values bound server-side (no string
+    interpolation of user input). The variable indirection is resolved
+    at analysis time, so the plan — segment filter pushed to the
+    customer scan, decimal-exact spend sum, HAVING on the aggregate —
+    is identical to the literal query the DuckDB oracle runs.
+
+    100 TB design: zero plan difference vs literals; this is a
+    front-door/compatibility exhibit (SURVEY.md §3.2), not a new
+    operator shape."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("var_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE var_seg STRING DEFAULT 'BUILDING'")
+    spark.sql("DECLARE OR REPLACE VARIABLE var_floor DECIMAL(18,4) DEFAULT 0.0")
+    spark.sql("SET VAR var_seg = 'BUILDING'")
+    spark.sql("SET VAR var_floor = 500000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_custkey AS custkey, c_name AS name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+         FROM var_customer JOIN var_orders ON o_custkey = c_custkey
+         WHERE c_mktsegment = var_seg
+         GROUP BY c_custkey, c_name
+         HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) >= var_floor
+         ORDER BY total_spend DESC, custkey'
+        """
+    )
