@@ -1120,3 +1120,102 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "change")
     )
+
+
+@register(
+    "x_ks_drift",
+    tags=("EXT", "A5", "O4", "X4"),
+    oracle="""
+        WITH b AS (
+            SELECT n_chars AS v,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+                       AS bucket
+            FROM documents
+        ),
+        lab AS (
+            SELECT v, CASE WHEN bucket < 80 THEN 1 ELSE 0 END AS is_a
+            FROM b WHERE bucket < 90
+        ),
+        tot AS (
+            SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS nb
+            FROM lab
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS cb
+            FROM lab GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v) AS cum_a,
+                   SUM(cb) OVER (ORDER BY v) AS cum_b
+            FROM per_v
+        ),
+        diffs AS (
+            SELECT v,
+                   abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)
+                       AS d
+            FROM cum, tot
+        )
+        SELECT na, nb, round(d, 6) AS ks_stat, CAST(v AS BIGINT) AS ks_at
+        FROM diffs, tot
+        ORDER BY d DESC, v ASC LIMIT 1
+    """,
+)
+def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate between hash splits:
+    KS = max_v |F_train(v) - F_validation(v)| over the n_chars
+    distribution, plus the value where the gap peaks — the
+    scalar-feature complement to x_embedding_drift (which monitors the
+    vector modality) and the distribution-shift check a pipeline runs
+    on quality scores / lengths / token counts before accepting a new
+    data drop. Under the null (same distribution, as a correct hash
+    split guarantees) KS ~ sqrt((na+nb)/(na*nb)) — a split bug or a
+    biased ingest shows up as a KS far above that. Every CDF value is
+    an exact rational of integer cumulative counts, so the statistic is
+    bit-identical cross-engine and value-hash-checked.
+
+    100 TB design: one partial-aggregable count per (value, split) —
+    the shuffle carries distinct values, not rows — then a single
+    ordered window over the distinct-value domain and a
+    TakeOrderedAndProject(1). For continuous doubles at scale the same
+    plan runs over quantile-bucketed values (x_quantile_sample's
+    sampled order statistics), trading exactness for a bounded domain.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    lab = (
+        docs.select(F.col("n_chars").alias("v"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < 90)
+        .select("v", F.when(F.col("bucket") < 80, 1).otherwise(0).alias("is_a"))
+    )
+    tot = lab.agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    per_v = lab.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("na", "nb", F.round(d, 6).alias("ks_stat"), F.col("v").cast("bigint").alias("ks_at"), d.alias("_d"))
+        .orderBy(F.desc("_d"), F.asc("ks_at"))
+        .limit(1)
+        .drop("_d")
+    )

@@ -196,3 +196,33 @@ def test_collocations_match_python_pmi(spark):
     assert [(r["w1"], r["w2"], round(r["pmi"], 5)) for r in got] == [
         (w1, w2, round(p, 5)) for (w1, w2), p in want
     ]
+
+
+def test_ks_drift_matches_python_recomputation(spark):
+    """KS statistic pinned against a pure-Python two-sample CDF sweep
+    over the same md5-bucket split."""
+    import hashlib
+
+    from music_database_spark.sources.loader import load_table
+
+    r = load_all()["x_ks_drift"].build(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    a, b = [], []
+    for row in docs:
+        bucket = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:4], 16) % 100
+        if bucket < 80:
+            a.append(row["n_chars"])
+        elif bucket < 90:
+            b.append(row["n_chars"])
+    assert (r["na"], r["nb"]) == (len(a), len(b))
+    best, best_v = -1.0, None
+    for v in sorted(set(a) | set(b)):
+        d = abs(
+            sum(x <= v for x in a) / len(a) - sum(x <= v for x in b) / len(b)
+        )
+        if d > best + 1e-15:
+            best, best_v = d, v
+    assert abs(r["ks_stat"] - best) < 1e-6
+    assert r["ks_at"] == best_v
+    # null-hypothesis sanity: a correct hash split should not show large drift
+    assert r["ks_stat"] < 3.0 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
