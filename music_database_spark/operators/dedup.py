@@ -1427,3 +1427,100 @@ def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
         "node", F.coalesce("label", "node").alias("label")
     )
     return labels, rounds
+
+
+@register(
+    "x_dedup_containment",
+    tags=("EXT", "X2", "J1"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                [array_to_string(string_split(text, ' ')[i:i+{SHINGLE_LEN - 1}], chr(31))
+                 FOR i IN range(1, len(string_split(text, ' ')) - {SHINGLE_LEN - 2})]
+            )) AS shingle
+            FROM documents
+        ),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
+        filtered AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM filtered a JOIN filtered b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dirn AS (
+            SELECT CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                        THEN id_a ELSE id_b END AS contained_id,
+                   CASE WHEN sa.n_sh < sb.n_sh OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                        THEN id_b ELSE id_a END AS container_id,
+                   inter, CAST(LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS n_contained
+            FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT contained_id, container_id, inter, n_contained,
+               round(CAST(inter AS DOUBLE) / n_contained, 6) AS containment
+        FROM dirn WHERE inter * 5 >= n_contained * 4
+        ORDER BY contained_id, container_id
+    """,
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: pairs where the SMALLER
+    document's rare-shingle set is >= 80% contained in the larger's
+    (containment = |A∩B| / |A|) — the duplication class symmetric
+    Jaccard structurally misses: a paragraph quoted inside a long
+    article has tiny Jaccard (union is huge) but near-total
+    containment, and a training pipeline usually wants the contained
+    fragment deduplicated against its container. Broder's containment
+    coefficient, computed on the same rare-shingle inverted index as
+    x_dedup_ngram_jaccard; the 0.8 threshold is an integer
+    cross-multiplication (5*inter >= 4*|A|), no float compare.
+
+    100 TB design: identical candidate machinery to the Jaccard query
+    (frequency-capped inverted index, ~linear candidates); only the
+    verify arithmetic differs, so the two run off one shared index
+    materialization in production. Direction (which side is
+    'contained') is a deterministic function of the rare-shingle set
+    sizes with an id tie-break."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).persist()
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= MAX_SHINGLE_FREQ
+    )
+    filtered = sh.join(rare.select("shingle"), "shingle").persist()
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    a_is_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dirn = j.select(
+        F.when(a_is_small, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+        F.when(a_is_small, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+        "inter",
+        F.least("n_a", "n_b").cast("bigint").alias("n_contained"),
+    )
+    return (
+        dirn.filter(F.col("inter") * 5 >= F.col("n_contained") * 4)
+        .select(
+            "contained_id",
+            "container_id",
+            "inter",
+            "n_contained",
+            F.round(F.col("inter").cast("double") / F.col("n_contained"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("contained_id", "container_id")
+    )

