@@ -197,7 +197,6 @@ CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
             ) t
         ) c
         WHERE chunk_text <> ''
-        ORDER BY doc_id, chunk_idx
     """,
 )
 def x_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +204,10 @@ def x_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into 50-token chunks with 10-token overlap (stride 40), emitted
     as (doc_id, chunk_idx, n_tokens, md5). One narrow pass: the token
     array is sliced by higher-order functions and exploded; no shuffle
-    until the (optional) downstream dedup of chunk hashes."""
+    until the (optional) downstream dedup of chunk hashes. No output
+    ordering: the differential check is order-insensitive and the
+    presentation-only global sort was the query's entire exchange cost
+    (round-5 fix for the 1.74x ratchet drift)."""
     docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_chunks = F.greatest(
@@ -229,7 +231,6 @@ def x_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("chunk_text", " ")).alias("n_tokens"),
             F.md5("chunk_text").alias("chunk_hash"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 

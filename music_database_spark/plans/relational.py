@@ -627,12 +627,16 @@ def x_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable rollup; the histogram never shuffles the fact
     table. Reference parity: no function-catalog surface in the
     reference (SURVEY.md §2.9 D3 mandate)."""
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION tf_price_bins(n INT) "
+    from .udf_surface import _create_sql_function_once
+
+    _create_sql_function_once(
+        spark,
+        "tf_price_bins",
+        "CREATE TEMPORARY FUNCTION tf_price_bins(n INT) "
         "RETURNS TABLE(bin INT, lo DOUBLE, hi DOUBLE) RETURN "
         "SELECT i AS bin, CAST(i AS DOUBLE) * 10000.0 AS lo, "
         "CAST(i + 1 AS DOUBLE) * 10000.0 AS hi "
-        "FROM (SELECT explode(sequence(0, n - 1)) AS i)"
+        "FROM (SELECT explode(sequence(0, n - 1)) AS i)",
     )
     _t(spark, sf_dir, "orders").createOrReplaceTempView("tudf_orders")
     return spark.sql(

@@ -55,95 +55,109 @@ def register(
 
 
 # The driver's correctness pass samples the FIRST 50 entries of queries()
-# in dict order. Rounds 1-3 verified 78 distinct queries; this round-4
-# window is 50 oracle-backed queries the driver has NEVER hash-checked
-# (CORRECTNESS_r01-r03): the twenty-six round-4 additions first (the newest
-# code earns external verification first), then never-verified queries
-# spanning every family — window frames, set-ops ALL,
-# as-of/interpolate/OHLC, trained-IVF/PQ, the SQL-UDF surface, the
-# remaining true streams, the dedup/pipeline/text operators, and the
-# layout/source exhibits. Every entry is green in this round's full
-# differential runs, so the rotation trades no risk for coverage.
-# Everything else follows, oracle-backed first.
+# in dict order. Rounds 1-4 verified 128 distinct queries (r02+r03+r04,
+# 50 each, r04 fully disjoint); 76 registry entries have never received a
+# driver CORRECTNESS row. This round-5 window is 50 of the 69
+# never-verified ORACLE-BACKED queries (VERDICT.md round-4 ask #1),
+# spanning window frames, grouping sets, pivot/unpivot, the SQL-UDF +
+# UDTF surface, SCD2/interval/interpolation time-series, the dedup/
+# pipeline/text backlog, layout/source exhibits, and the two remaining
+# true streams. The 19 oracle-backed queries deferred to round 6 are the
+# ones most redundantly covered by pass-D cousins (noted inline below);
+# every window entry is green in this round's full differential runs, so
+# the rotation trades no risk for coverage.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-4 additions — the newest code earns its pass-D first
-    "x_distinct_kmv",
-    "x_anomaly_zscore",
-    "x_anomaly_mad",
-    "x_collocations",
-    "x_pq_recall",
-    "x_media_phash_dedup",
-    "x_ivf_recall",
-    "x_clustering_coef",
-    "x_sql_variables",
-    "x_ks_drift",
-    "x_dedup_containment",
-    "x_pca_gram",
-    "x_quantile_sample",
-    "x_dedup_recall",
-    "x_stream_kmv",
-    "x_dedup_clusters_star",
-    "x_snapshot_diff",
-    "x_winnow_fingerprint",
-    "x_winnow_candidates",
-    "x_ann_index_persist",
-    "x_ann_index_ingest",
-    "x_embedding_drift",
-    "x_aqe_skew_join",
-    "x_cdc_apply",
-    "x_incremental_agg",
-    "x_dataset_shard",
-    # time-series: as-of, interpolation, intervals (J8,O4,O5)
-    # SQL front-door surface (P1, D3, F-family)
-    # trained ANN / vector quantization (X3)
-    "x_knn_ivf",
-    "x_knn_ivf_trained",
-    "x_knn_ivfpq",
-    "x_cluster_kmeans",
-    # dedup family (X1, X2)
-    "x_dedup_clusters",
-    "x_dedup_corpus",
-    # true Structured Streaming (T1-T6)
-    "x_stream_static_join",
-    "x_stream_tumbling",
-    "x_stream_sliding",
-    "x_stream_stateful",
-    # corpus pipeline (X1, X4)
-    "x_hash_split",
-    "x_bloom_decontaminate",
-    "x_stratified_sample",
-    "x_weighted_sample",
-    # text analysis (X4)
-    "x_lang_id",
-    "x_bpe_train",
-    "x_quality_score",
-    # analytics (A-family composites)
-    "x_approx_top_k",
-    "x_corr_matrix",
-    # joins & scale machinery (J-family, skew)
-    "x_null_safe_join",
-    "x_salted_join",
-    # sources / layout (S5, S6)
-    "x_partitioned_scan",
-    "x_nested_schema_pruning",
-    "x_csv_malformed",
-    # past position 50 (the driver's window) but kept curated so a wider
-    # future window verifies oracle-backed queries first: these seventeen are
-    # the most redundantly covered by pass-D cousins (x_window_family,
-    # x_union_releases, x_except, q4_intersect, fk_violations,
-    # x_sql_frontdoor) and ceded their slots to the round-4
-    # sketch/harness additions.
+    # SQL front-door + window/analytic surface (P1, O3-O5, A8)
     "x_pipe_syntax",
     "x_window_ignore_nulls",
-    "x_resample_ohlc",
-    "x_asof_nearest",
-    "x_lateral_topk",
-    "pk_uniqueness",
     "x_rank_per_group",
     "x_running_sum",
+    "x_lateral_topk",
+    "x_skyline",
+    "x_arg_extremes",
+    "x_array_agg_ordered",
+    "x_rollup",
+    "x_cube",
+    "x_pivot",
+    "x_unpivot",
+    "x_map_funcs",
+    # UDF/UDTF surface (D1-D3, U-family)
+    "x_sql_udf",
+    "x_sql_table_udf",
+    "x_python_udtf",
+    "x_cogroup_conversions",
+    "x_posexplode",
+    # time-series: as-of, OHLC, intervals, SCD2, interpolation (J8, O4, O5)
+    "x_resample_ohlc",
+    "x_asof_nearest",
+    "x_scd2_history",
+    "x_interval_overlap",
+    "x_interpolate",
+    "x_event_transitions",
+    "x_abtest_lift",
+    "x_session",
+    # joins & graph (J-family)
+    "x_bucketed_join",
+    "x_editdist_join",
+    "x_triangle_count",
+    # dedup / corpus pipeline backlog (X1, X2)
+    "x_dedup_lines",
+    "x_decontaminate",
+    "x_mixture_sample",
+    "x_domain_cap",
+    "x_seq_packing",
+    "x_redact",
+    "x_repetition_filter",
+    # text analysis backlog (X4)
+    "x_text_stats",
+    "x_vocab_coverage",
+    "x_ngram_lm_score",
+    "x_gini_concentration",
+    "x_token_entropy",
+    "x_chunking",
+    "x_profile",
+    "x_outliers",
+    # multimodal (X5)
+    "x_multimodal_transform",
+    # sources / layout (S5, S6)
+    "x_partition_overwrite",
+    "x_schema_evolution",
+    "x_zorder_layout",
+    "x_python_datasource",
+    # true streams (T-family) — incl. the drain-crash regression query
+    "x_stream_python_source",
+    # --- driver window ends at 50 entries; the rest stay curated so a
+    # wider future window verifies oracle-backed queries first. The 19
+    # never-verified oracle-backed queries deferred to round 6, each with
+    # a driver-verified cousin: x_stream_foreach_batch (streams family
+    # pass-D4), pk_uniqueness (fk_violations), x_union_by_name
+    # (x_union_releases), x_except_all (x_except), x_intersect_all
+    # (q4_intersect), x_moving_avg / x_lag_delta / x_time_range_frame
+    # (x_anomaly_zscore frames), x_dedup_hash_groups (x_dedup_exact),
+    # x_dedup_incremental(_band) (x_dedup family), x_knn_lsh_det /
+    # x_ann_recall / x_vec_quantize / x_semantic_dedup (ANN recall
+    # harness), x_bpe_tokens (x_bpe_train), x_token_count (x_text_stats
+    # in this window), x_lang_id_sql (x_lang_id), x_fingerprint
+    # (x_winnow_fingerprint).
+    "x_stream_foreach_batch",
+    "pk_uniqueness",
     "x_union_by_name",
     "x_except_all",
     "x_intersect_all",
+    "x_moving_avg",
+    "x_lag_delta",
+    "x_time_range_frame",
+    "x_dedup_hash_groups",
+    "x_dedup_incremental",
+    "x_dedup_incremental_band",
+    "x_knn_lsh_det",
+    "x_ann_recall",
+    "x_vec_quantize",
+    "x_semantic_dedup",
+    "x_bpe_tokens",
+    "x_token_count",
+    "x_lang_id_sql",
+    "x_fingerprint",
 )
 
 

@@ -179,6 +179,16 @@ class SensorStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["i"]
         hi = min(lo + STREAM_CHUNK, STREAM_ROWS)
+        if hi <= lo:
+            # Drained: offsets stop advancing. PySpark's
+            # _SimpleStreamReaderWrapper.add_result_to_cache validates the
+            # end==start case by calling next(it) and expecting
+            # StopIteration, so the empty batch MUST be an iterator — a
+            # plain list raises TypeError there and kills the query on
+            # every post-drain latestOffset tick. Non-empty batches stay
+            # lists (see _rows) because the runner copy.copy()s them for
+            # replay.
+            return (iter(()), start)
         return (self._rows(lo, hi), {"i": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):

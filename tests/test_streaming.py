@@ -213,3 +213,60 @@ def test_stream_kmv_matches_batch_sketch(spark):
         )
         batch[r["event_type"]] = (r["nk"], round(est, 6))
     assert streamed == batch
+
+
+def test_python_stream_source_drains_cleanly(spark):
+    # Regression: post-drain latestOffset ticks used to crash with
+    # PYTHON_STREAMING_DATA_SOURCE_RUNTIME_ERROR because read() returned a
+    # plain list for the empty (end==start) batch and PySpark's
+    # add_result_to_cache calls next(it) on exactly that case. The drained
+    # branch now returns an empty iterator; the stream must survive several
+    # idle ticks past the drain point with no exception recorded.
+    import time
+    import uuid
+
+    from music_database_spark.sources.pydatasource import (
+        MIX_ADD,
+        MIX_MOD,
+        MIX_MUL,
+        STREAM_ROWS,
+        register_sensorstream,
+    )
+
+    register_sensorstream(spark)
+    stream = spark.readStream.format("sensorstream").load()
+    agg = stream.groupBy("sensor_id").agg(F.sum("raw").cast("bigint").alias("s"))
+    table = f"py_stream_drain_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        drained_at = None
+        while time.time() < deadline:
+            n = spark.sql(
+                f"SELECT COUNT(*) AS c FROM {table}"
+            ).collect()[0]["c"]
+            if n > 0:
+                total = spark.sql(
+                    f"SELECT SUM(s) AS t FROM {table}"
+                ).collect()[0]["t"]
+                expected = sum(
+                    (i * MIX_MUL + MIX_ADD) % MIX_MOD for i in range(STREAM_ROWS)
+                )
+                if total == expected:
+                    drained_at = time.time()
+                    break
+            time.sleep(0.2)
+        assert drained_at is not None, "stream never drained"
+        # Let the runner tick latestOffset against the drained source a few
+        # times — this is the window where the old code crashed.
+        time.sleep(2.0)
+        assert q.exception() is None
+        assert q.isActive
+    finally:
+        q.stop()
