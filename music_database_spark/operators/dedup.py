@@ -744,6 +744,218 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DET_TABLES = 2  # deterministic embedding-LSH: OR-ed hyperplane tables
+EMB_DET_BITS = 10  # bits per table -> 1024 buckets each
+BOW_DIM = 64  # hashed bag-of-words dimensionality
+EMB_DET_COSINE = 0.9  # verify threshold (matches x_dedup_embedding)
+
+
+def _emb_det_planes() -> list[list[list[int]]]:
+    """±1-entry hyperplanes from md5 parity of "e:t:b:d" — computed once
+    in Python, embedded as identical integer literals in BOTH the Spark
+    plan and the DuckDB oracle (the x_knn_lsh_det trick, knn.py:384)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"e:{t}:{b}:{d}".encode()).hexdigest(), 16) % 2 == 0
+                else -1
+                for d in range(BOW_DIM)
+            ]
+            for b in range(EMB_DET_BITS)
+        ]
+        for t in range(EMB_DET_TABLES)
+    ]
+
+
+def _emb_det_oracle() -> str:
+    planes_rows = ",\n                ".join(
+        f"({t}, {b}, [{', '.join(str(v) for v in plane)}])"
+        for t, table in enumerate(_emb_det_planes())
+        for b, plane in enumerate(table)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {BOW_DIM} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, b
+        ),
+        norms AS (
+            SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM counts GROUP BY doc_id
+        ),
+        planes AS (
+            SELECT * FROM (VALUES
+                {planes_rows}
+            ) AS v(t, bit, plane)
+        ),
+        proj AS (
+            SELECT c.doc_id, p.t, p.bit, CAST(SUM(c.c * p.plane[c.b + 1]) AS BIGINT) AS pr
+            FROM counts c CROSS JOIN planes p
+            GROUP BY c.doc_id, p.t, p.bit
+        ),
+        buckets AS (
+            SELECT doc_id, t AS table_id,
+                   CAST(SUM(CASE WHEN pr >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY doc_id, t
+        ),
+        ok AS (
+            SELECT table_id, bucket FROM buckets
+            GROUP BY table_id, bucket HAVING COUNT(*) <= {MAX_BAND_FREQ}
+        ),
+        bf AS (SELECT b.* FROM buckets b JOIN ok USING (table_id, bucket)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bf a JOIN bf b
+              ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        dots AS (
+            SELECT c.id_a, c.id_b, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dp
+            FROM cand c
+            JOIN counts ca ON ca.doc_id = c.id_a
+            JOIN counts cb ON cb.doc_id = c.id_b AND cb.b = ca.b
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT d.id_a, d.id_b,
+                   round(CAST(d.dp AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                         6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.id_a
+            JOIN norms nb ON nb.doc_id = d.id_b
+        ) s
+        WHERE cosine >= {EMB_DET_COSINE}
+        ORDER BY id_a, id_b
+    """
+
+
+@register("x_dedup_embedding_det", tags=("EXT", "X2", "X3", "F4"), oracle=_emb_det_oracle())
+def x_dedup_embedding_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable embedding-cosine near-dup — the fully
+    value-hash-checked twin of x_dedup_embedding (VERDICT.md round-4 ask
+    #4). Vectors are md5-hashed bag-of-words kept SPARSE as (doc_id,
+    bucket, count) triples; hyperplanes are ±1 literals from md5 parity
+    shared verbatim with the oracle; projections are therefore exact
+    integer sums (count × ±1), so bucketing is integer-deterministic,
+    and the final cosine is one double expression over exact bigint
+    dot/norm sums — identical IEEE tree on both engines, round 6 AFTER
+    filter-safe construction (filter compares the already-rounded value
+    on both sides).
+
+    Two OR-ed 10-bit tables (1024 buckets each) give LSH recall; hot
+    buckets past MAX_BAND_FREQ are dropped (k ids on one bucket = k²/2
+    pairs through one task); verification joins candidates back to the
+    sparse counts on the bucket key — dot products of 64-dim vectors
+    never materialize dense arrays, and document bodies never shuffle.
+
+    100 TB design: every stage is a partial-aggregable groupBy or a
+    frequency-capped equi-join on (table, bucket) / (pair, bucket) keys
+    — ~linear candidate growth, no all-pairs, no Python. The dense-array
+    x_dedup_embedding variant remains as the numpy/HOF exhibit; this is
+    the shape a cluster would run."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+                F.lit(BOW_DIM),
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    norms = counts.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
+    # All EMB_DET_TABLES*EMB_DET_BITS projections as aggregate expressions
+    # over ONE doc-keyed groupBy: each plane is a 64-int literal array
+    # indexed per count row (F.get, 0-based, Column index), so the plane
+    # "join" costs nothing and the only exchange is the partial-aggregated
+    # (doc_id) shuffle — a crossJoin-with-plane-rows variant measured 20x
+    # the shuffled rows for the same result.
+    planes_py = _emb_det_planes()
+    proj_aggs = [
+        F.sum(
+            F.col("c")
+            * F.get(F.array(*[F.lit(v) for v in planes_py[t][bit]]), F.col("b").cast("int"))
+        )
+        .cast("bigint")
+        .alias(f"pr_{t}_{bit}")
+        for t in range(EMB_DET_TABLES)
+        for bit in range(EMB_DET_BITS)
+    ]
+    sig = counts.groupBy("doc_id").agg(*proj_aggs)
+
+    def table_bucket(t: int):
+        expr = F.lit(0)
+        for bit in range(EMB_DET_BITS):
+            expr = expr + F.when(F.col(f"pr_{t}_{bit}") >= 0, F.lit(1 << bit)).otherwise(0)
+        return expr.cast("bigint")
+
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"), table_bucket(t).alias("bucket")
+                    )
+                    for t in range(EMB_DET_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("doc_id", "tb.table_id", "tb.bucket")
+    ok = (
+        buckets.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BAND_FREQ)
+        .select("table_id", "bucket")
+    )
+    bf = buckets.join(ok, ["table_id", "bucket"])
+    cand = (
+        bf.alias("a")
+        .join(
+            bf.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("b"), F.col("c").alias("c_a"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("b"), F.col("c").alias("c_b"))
+    dots = (
+        cand.join(ca, "id_a")
+        .join(cb, ["id_b", "b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dp"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dp").cast("double")
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= EMB_DET_COSINE)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 N_MINHASH_MD5 = 8  # portable-minhash permutations (md5-based, oracle-checkable)
 N_BANDS_MD5 = 4  # 2 rows/band -> catches Jaccard >~ 0.6 at this k
 

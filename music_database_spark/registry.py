@@ -158,6 +158,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_token_count",
     "x_lang_id_sql",
     "x_fingerprint",
+    # round-5 additions (never driver-verified; round-6 window candidates)
+    "x_dedup_embedding_det",
 )
 
 

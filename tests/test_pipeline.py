@@ -620,3 +620,62 @@ def test_containment_catches_low_jaccard_subsets(spark, reg):
         assert r["containment"] >= 0.8 - 1e-9
         assert r["inter"] <= r["n_contained"]
         assert r["contained_id"] != r["container_id"]
+
+
+def test_dedup_embedding_det_matches_python_reference(spark, reg):
+    # Full independent reimplementation with hashlib + plain dicts: md5
+    # BOW counts, ±1 md5-parity hyperplanes, integer projections, capped
+    # buckets, exact cosine — any divergence (hash family, plane
+    # indexing, cap, rounding) fails the pin.
+    import pandas as pd
+
+    from music_database_spark.operators.dedup import (
+        BOW_DIM,
+        EMB_DET_COSINE,
+        MAX_BAND_FREQ,
+        _emb_det_planes,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    planes = _emb_det_planes()
+    counts = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        c = {}
+        for tok in text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % BOW_DIM
+            c[b] = c.get(b, 0) + 1
+        counts[doc_id] = c
+    buckets = {}  # (table, bucket) -> [doc_id]
+    for doc_id, c in counts.items():
+        for t, table in enumerate(planes):
+            sig = 0
+            for bit, plane in enumerate(table):
+                pr = sum(cnt * plane[b] for b, cnt in c.items())
+                if pr >= 0:
+                    sig |= 1 << bit
+            buckets.setdefault((t, sig), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > MAX_BAND_FREQ:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    expected = {}
+    for a, b in pairs:
+        ca, cb = counts[a], counts[b]
+        dp = sum(v * cb.get(k, 0) for k, v in ca.items())
+        if dp == 0:
+            continue
+        n2a = sum(v * v for v in ca.values())
+        n2b = sum(v * v for v in cb.values())
+        cos = round(dp / ((n2a**0.5) * (n2b**0.5)), 6)
+        if cos >= EMB_DET_COSINE:
+            expected[(a, b)] = cos
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in reg["x_dedup_embedding_det"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the fixture contains near-dups; empty = broken recall
