@@ -87,6 +87,42 @@ class CorpusPipeline:
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
+    def shingle_index(self):
+        """Materialize the rare-shingle inverted index ONCE (persisted)
+        and return the shared (id_a, id_b, inter, n_a, n_b) pair-stats
+        frame every shingle-based verify consumes. Cached on the
+        pipeline instance, so
+
+        >>> stats = pipe.shingle_index()
+        >>> jac = pipe.jaccard_pairs()          # both ride the same
+        >>> con = pipe.containment_pairs()      # materialization
+
+        builds the index and the candidate self-join exactly once — the
+        production contract the x_dedup_containment docstring promises
+        (at 100 TB the index build IS the dominant cost; verifying a
+        second similarity predicate off the shared frame is marginal).
+        Pinned shared-vs-separate timing lives in PLANS.md."""
+        if getattr(self, "_shingle_stats", None) is None:
+            from .operators.dedup import index_pair_stats, rare_shingle_index
+
+            filtered, sizes = rare_shingle_index(self.docs, self.id_col, self.text_col)
+            self._shingle_stats = index_pair_stats(filtered, sizes).persist()
+        return self._shingle_stats
+
+    def jaccard_pairs(self, threshold: float = 0.5) -> DataFrame:
+        """Exact-Jaccard near-dup pairs off the shared shingle index —
+        same output as the registered x_dedup_ngram_jaccard (pinned)."""
+        from .operators.dedup import jaccard_from_stats
+
+        return jaccard_from_stats(self.shingle_index(), threshold)
+
+    def containment_pairs(self) -> DataFrame:
+        """Broder-containment pairs off the shared shingle index — same
+        output as the registered x_dedup_containment (pinned)."""
+        from .operators.dedup import containment_from_stats
+
+        return containment_from_stats(self.shingle_index())
+
     # ---- splits and sampling ----------------------------------------------
 
     def _bucket(self, salt: str = "") -> F.Column:

@@ -99,6 +99,87 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def rare_shingle_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(filtered, sizes) — THE rare-shingle inverted index: exploded
+    (doc_id, shingle) rows with stop-shingles (freq > MAX_SHINGLE_FREQ)
+    dropped, persisted, plus per-doc rare-shingle counts. One
+    tokenization pass feeds the frequency cap and every downstream join
+    branch; in production this frame is materialized once per corpus
+    drop and serves every verify that needs shingle intersections
+    (Jaccard, containment, corpus dedup) — see CorpusPipeline.
+    shingle_index for the shared-materialization surface."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
+    ).persist()
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= MAX_SHINGLE_FREQ
+    )
+    filtered = sh.join(rare.select("shingle"), "shingle").persist()
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return filtered, sizes
+
+
+def index_pair_stats(filtered: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter, n_a, n_b) — per-candidate-pair intersection
+    counts off the inverted index: the shared upstream of BOTH the
+    symmetric-Jaccard and the asymmetric-containment verifies. The
+    self-join on the shingle key is the only quadratic-risk stage and
+    it is bounded by the index's frequency cap."""
+    pairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return pairs.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_from_stats(stats: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard >= threshold off the shared pair stats."""
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        stats.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_from_stats(stats: DataFrame) -> DataFrame:
+    """Broder containment (smaller side >= 80% inside the larger) off
+    the shared pair stats; the 0.8 threshold is an integer
+    cross-multiplication (5*inter >= 4*|A|), no float compare."""
+    a_is_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dirn = stats.select(
+        F.when(a_is_small, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+        F.when(a_is_small, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+        "inter",
+        F.least("n_a", "n_b").cast("bigint").alias("n_contained"),
+    )
+    return (
+        dirn.filter(F.col("inter") * 5 >= F.col("n_contained") * 4)
+        .select(
+            "contained_id",
+            "container_id",
+            "inter",
+            "n_contained",
+            F.round(F.col("inter").cast("double") / F.col("n_contained"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("contained_id", "container_id")
+    )
+
+
 def minhash_signature(sh: DataFrame) -> DataFrame:
     """(id, band_id, band_hash) — MinHash over shingle sets, banded for LSH.
 
@@ -234,32 +315,13 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term. Fully SQL-expressible, so this one HAS a DuckDB oracle
     (unlike the hash-based sketches)."""
     docs = _t(spark, sf_dir, "documents")
-    # Persist the exploded inverted index: it feeds the frequency pass and
-    # three join branches (a-side, b-side, sizes) — one tokenization pass
-    # instead of four. Cluster-scale equivalent: materialize the index.
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).persist()
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
-        F.col("freq") <= MAX_SHINGLE_FREQ
-    )
-    filtered = sh.join(rare.select("shingle"), "shingle").persist()
-    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    # rare_shingle_index persists the exploded index: it feeds the
+    # frequency pass and three join branches (a-side, b-side, sizes) —
+    # one tokenization pass instead of four. Cluster-scale equivalent:
+    # materialize the index (CorpusPipeline.shingle_index shares ONE
+    # materialization between this verify and the containment verify).
+    filtered, sizes = rare_shingle_index(docs)
+    return jaccard_from_stats(index_pair_stats(filtered, sizes))
 
 
 def _ngram_pair_sql(select: str) -> str:
@@ -1695,44 +1757,5 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     'contained') is a deterministic function of the rare-shingle set
     sizes with an id tie-break."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle")).persist()
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
-        F.col("freq") <= MAX_SHINGLE_FREQ
-    )
-    filtered = sh.join(rare.select("shingle"), "shingle").persist()
-    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        filtered.alias("a")
-        .join(
-            filtered.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    j = pairs.join(sa, "id_a").join(sb, "id_b")
-    a_is_small = (F.col("n_a") < F.col("n_b")) | (
-        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    dirn = j.select(
-        F.when(a_is_small, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
-        F.when(a_is_small, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
-        "inter",
-        F.least("n_a", "n_b").cast("bigint").alias("n_contained"),
-    )
-    return (
-        dirn.filter(F.col("inter") * 5 >= F.col("n_contained") * 4)
-        .select(
-            "contained_id",
-            "container_id",
-            "inter",
-            "n_contained",
-            F.round(F.col("inter").cast("double") / F.col("n_contained"), 6).alias(
-                "containment"
-            ),
-        )
-        .orderBy("contained_id", "container_id")
-    )
+    filtered, sizes = rare_shingle_index(docs)
+    return containment_from_stats(index_pair_stats(filtered, sizes))

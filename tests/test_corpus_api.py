@@ -244,3 +244,32 @@ def test_diff_detects_carved_changes(spark, docs, pipe):
     assert out["added"] == int(((ids % 20 == 7) & (ids % 20 != 11)).sum())
     assert out["removed"] == int(((ids % 20 == 11) & (ids % 20 != 7)).sum())
     assert out["changed"] == int(((ids % 20 == 3)).sum())
+
+
+def test_shared_shingle_index_serves_both_verifies(spark, pipe):
+    # One index materialization, two verifies: outputs must equal the
+    # registered standalone queries row-for-row, and the pair-stats frame
+    # must be built exactly once (cached + persisted on the instance).
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    jac_shared = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in pipe.jaccard_pairs().collect()
+    }
+    con_shared = {
+        (r["contained_id"], r["container_id"]): (r["inter"], r["n_contained"], r["containment"])
+        for r in pipe.containment_pairs().collect()
+    }
+    stats_first = pipe.shingle_index()
+    assert pipe.shingle_index() is stats_first  # cached, not rebuilt
+    assert stats_first.storageLevel.useMemory  # actually persisted
+    jac_reg = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in reg["x_dedup_ngram_jaccard"].build(spark, SF_SMOKE).collect()
+    }
+    con_reg = {
+        (r["contained_id"], r["container_id"]): (r["inter"], r["n_contained"], r["containment"])
+        for r in reg["x_dedup_containment"].build(spark, SF_SMOKE).collect()
+    }
+    assert jac_shared == jac_reg and len(jac_shared) > 0
+    assert con_shared == con_reg and len(con_shared) > 0
