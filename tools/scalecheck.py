@@ -47,7 +47,11 @@ def replicate(docs: DataFrame, k: int) -> DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--tpch", "--incremental", "--components")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--tpch", "--incremental", "--components", "--winnow")
+    ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
         tpch_growth(ks)
@@ -57,6 +61,9 @@ def main() -> int:
         return 0
     if "--components" in sys.argv[1:]:
         components_growth(ks)
+        return 0
+    if "--winnow" in sys.argv[1:]:
+        winnow_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -80,6 +87,83 @@ def main() -> int:
         spark.catalog.clearCache()
     return 0
 
+
+
+def winnow_growth(ks: list[int]) -> None:
+    """Fingerprint-density and candidate-pair growth for the winnow and
+    containment families (VERDICT r4 ask #7):
+
+        python tools/scalecheck.py --winnow 1 2 4 10
+
+    What the numbers must show for the WINNOW_MAX_FP_FREQ /
+    MAX_SHINGLE_FREQ caps to be justified at scale:
+    * fingerprint DENSITY (fps per k-gram window) stays at the winnowing
+      guarantee ~2/(w+1) — selection is local to each doc, so corpus
+      growth cannot change it;
+    * the fraction of fingerprints dropped by the hot cap grows with K
+      (replicas multiply every fp's corpus frequency) while candidate
+      generation stays bounded — without the cap each fp shared by m
+      docs fans out m^2/2 pairs;
+    * containment candidates off the shared shingle index grow ~linearly
+      in true-duplicate mass, not quadratically in corpus size."""
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.operators.textops import WINNOW_MAX_FP_FREQ, WINNOW_W
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    print(
+        f"{'K':>3} {'docs':>7} {'fps':>9} {'density':>8} {'hot_fp%':>8} "
+        f"{'cand_sec':>8} {'cand_pairs':>10} {'cont_sec':>8} {'cont_pairs':>10}"
+    )
+    for k in ks:
+        # repartition: the sf0.1 parquet is a single row group, and the
+        # winnow selection is the most compute-heavy map pass in the repo
+        # — without this the whole experiment single-threads (the exact
+        # local bottleneck sources/loader.scan_wide exists to fix; a
+        # cluster reading 100 TB gets its parallelism from file splits)
+        docs = replicate(base, k).repartition(cores).persist()
+        docs.count()
+        pipe = CorpusPipeline(docs)
+        fps = pipe.winnow_fingerprints().select(
+            "doc_id", F.col("n_kgrams"), F.explode("fps").alias("fp")
+        )
+        n_fps = fps.count()
+        # windows per doc = n_kgrams - (W-1); density = fps / windows
+        windows = (
+            pipe.winnow_fingerprints()
+            .select(
+                F.when(F.col("n_kgrams") > WINNOW_W - 1, F.col("n_kgrams") - (WINNOW_W - 1))
+                .otherwise(0)
+                .alias("w")
+            )
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(
+                F.sum(F.when(F.col("f") > WINNOW_MAX_FP_FREQ, F.col("f")).otherwise(0)).alias(
+                    "hot"
+                ),
+                F.sum("f").alias("tot"),
+            )
+            .collect()[0]
+        )
+        hot_pct = 100.0 * hot["hot"] / hot["tot"] if hot["tot"] else 0.0
+        t0 = time.time()
+        cand = pipe.winnow_candidates().count()
+        cand_dt = time.time() - t0
+        t0 = time.time()
+        cont = pipe.containment_pairs().count()
+        cont_dt = time.time() - t0
+        print(
+            f"{k:>3} {docs.count():>7} {n_fps:>9} {n_fps / windows:>8.3f} {hot_pct:>8.1f} "
+            f"{cand_dt:>8.2f} {cand:>10} {cont_dt:>8.2f} {cont:>10}"
+        )
+        docs.unpersist()
+        spark.catalog.clearCache()
 
 
 def components_growth(ks: list[int]) -> None:
