@@ -1759,3 +1759,140 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     filtered, sizes = rare_shingle_index(docs)
     return containment_from_stats(index_pair_stats(filtered, sizes))
+
+
+SPAN_K = 8  # k-gram width for exact-substring span detection
+SPAN_MIN_TOKENS = 20  # report pairs sharing a token run at least this long
+SPAN_MAX_FREQ = 10  # drop k-grams occurring more often than this corpus-wide
+
+
+def _span_oracle() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        kg AS (
+            SELECT doc_id, i AS pos,
+                   CAST('0x' || substr(md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')), 1, 12)
+                        AS BIGINT) AS h
+            FROM toks, LATERAL unnest(range(1, len(t) - {SPAN_K - 2})) AS u(i)
+            WHERE len(t) >= {SPAN_K}
+        ),
+        rare AS (SELECT h FROM kg GROUP BY h HAVING COUNT(*) <= {SPAN_MAX_FREQ}),
+        f AS (SELECT kg.* FROM kg JOIN rare USING (h)),
+        m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diff
+            FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+            SELECT id_a, id_b, COUNT(*) + {SPAN_K - 1} AS span
+            FROM (
+                SELECT id_a, id_b, diff, pa,
+                       pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diff
+                                               ORDER BY pa) AS island
+                FROM m
+            ) g
+            GROUP BY id_a, id_b, diff, island
+        )
+        SELECT id_a, id_b,
+               CAST(MAX(span) AS BIGINT) AS longest_span,
+               CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM runs
+        GROUP BY id_a, id_b
+        HAVING MAX(span) >= {SPAN_MIN_TOKENS}
+        ORDER BY id_a, id_b
+    """
+
+
+@register("x_substring_dedup", tags=("EXT", "X1", "X2", "O3", "X4"), oracle=_span_oracle())
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection — the signal behind
+    exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes any >= 50-token span occurring twice): for every candidate
+    doc pair, the LONGEST run of consecutive tokens the two share, via
+    gaps-and-islands over aligned k-gram hash positions — a shared
+    L-token span appears as L-k+1 consecutive matching k-gram
+    positions at one fixed alignment offset (pos_a - pos_b), so
+    island = pos_a - row_number() within (pair, offset) groups runs
+    without any per-token comparison. Set-based methods (Jaccard /
+    containment) cannot see RUN STRUCTURE; this operator reports it
+    exactly (up to frequency-capped k-grams: a dropped hot k-gram can
+    only SPLIT a run — conservative underestimate, never overcount).
+
+    100 TB design: the k-gram position index is the same
+    frequency-capped inverted-index shape as every other dedup path
+    (48-bit hashes + int positions through the shuffle, never text);
+    the islands window sorts only per-(pair, offset) match lists,
+    which the frequency cap bounds. All-integer output -> exact DuckDB
+    oracle. Scale path for the full Lee et al. pipeline: feed these
+    pairs + offsets to a span-masking rewrite over the winning docs."""
+    return substring_span_pairs(_docs(spark, sf_dir))
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_K,
+    min_tokens: int = SPAN_MIN_TOKENS,
+    max_freq: int = SPAN_MAX_FREQ,
+) -> DataFrame:
+    """(id_a, id_b, longest_span, n_runs) — the one implementation of
+    the aligned-k-gram islands pass, shared by the registered query and
+    tests (which pin it against hand-built known-span corpora)."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    arr = F.split("text", " ")
+    kg = (
+        docs.filter(F.size(arr) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(" ", F.slice(arr, i, k))), 1, 12
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("h"),
+                    ),
+                )
+            ).alias("kg"),
+        )
+        .select("doc_id", "kg.pos", "kg.h")
+        .persist()
+    )
+    rare = kg.groupBy("h").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= max_freq
+    )
+    f = kg.join(rare.select("h"), "h")
+    m = (
+        f.alias("a")
+        .join(f.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diff"),
+        )
+    )
+    islands = m.withColumn(
+        "island",
+        F.col("pa")
+        - F.row_number().over(W.partitionBy("id_a", "id_b", "diff").orderBy("pa")),
+    )
+    runs = islands.groupBy("id_a", "id_b", "diff", "island").agg(
+        (F.count(F.lit(1)) + (k - 1)).alias("span")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("span").cast("bigint").alias("longest_span"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("longest_span") >= min_tokens)
+    )

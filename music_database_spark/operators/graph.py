@@ -364,3 +364,116 @@ def x_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("coef"), "nationkey")
     )
+
+
+KCORE_K = 8  # degeneracy threshold: survive with >= K distinct partners
+KCORE_ROUNDS = 16  # bounded peel rounds (fixpoint reached earlier in practice)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling: round i keeps nodes whose degree within
+    round i-1's surviving subgraph is >= K; KCORE_ROUNDS chained CTE
+    rounds make the iterative algorithm SQL-expressible (peeling is
+    monotone, so once a fixpoint is reached every further round is a
+    no-op — the Spark side's early exit at fixpoint computes the same
+    bounded-round semantics)."""
+    # AS MATERIALIZED is load-bearing: each u_i references u_{i-1} three
+    # times (directly + via a_i twice), so inlined CTEs would expand to
+    # 3^ROUNDS parquet scans — materialization keeps the chain linear
+    # (the oracle-side analog of the Spark loop's localCheckpoint).
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        u0 AS MATERIALIZED (SELECT u AS n, v AS m FROM e0 UNION ALL SELECT v AS n, u AS m FROM e0)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (SELECT n FROM u{i - 1} GROUP BY n HAVING COUNT(*) >= {KCORE_K}),
+        u{i} AS MATERIALIZED (SELECT x.n, x.m FROM u{i - 1} x
+                 JOIN a{i} p ON x.n = p.n JOIN a{i} q ON x.m = q.n)"""
+        )
+    r = KCORE_ROUNDS
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+               CAST(n // 2 AS BIGINT) AS key,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM u{r}
+        GROUP BY node_type, key
+        ORDER BY node_type, key
+    """
+    )
+
+
+@register("x_kcore", tags=("EXT", "X2", "J1", "A1"), oracle=_kcore_oracle())
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (iterative degeneracy peeling) of the
+    bipartite customer-supplier interaction graph: repeatedly delete
+    nodes with fewer than K distinct partners until no such node
+    remains; the surviving {KCORE_K}-core is the densely-interacting
+    market core (on a near-dup similarity graph the same peel isolates
+    pathological duplicate blobs worth bulk-dropping — the graph-side
+    complement of the components queries). Output: each core member
+    with its within-core degree.
+
+    Iterative-until-fixpoint on Spark (early exit when the edge count
+    stops changing — peeling is monotone, so an equal count IS the
+    fixpoint), bounded by the same KCORE_ROUNDS the DuckDB oracle
+    unrolls as chained CTEs, making a genuinely iterative algorithm
+    value-hash-checkable.
+
+    100 TB design: each round is one partial-aggregable degree count +
+    two node-keyed semi-joins (digest-sized rows: two bigints per
+    edge); per-round localCheckpoint truncates lineage exactly like the
+    components loops (dedup.py:314); rounds needed in practice ~ a few
+    (peeling cascades die out fast on heavy-tailed degree
+    distributions). Reference parity: no graph surface in the
+    reference (SURVEY.md §2 EXT mandate)."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = (
+        e0.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(e0.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .localCheckpoint()
+    )
+    last = und.count()
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            und.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("n")
+        )
+        und = (
+            und.join(alive, "n")
+            .join(alive.withColumnRenamed("n", "m"), "m")
+            .select("n", "m")
+            .localCheckpoint()
+        )
+        cnt = und.count()
+        if cnt == last:  # fixpoint: every later round is a no-op
+            break
+        last = cnt
+    return (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(
+            F.when(F.col("n") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.floor(F.col("n") / 2).cast("bigint").alias("key"),
+            "core_degree",
+        )
+        .orderBy("node_type", "key")
+    )

@@ -641,3 +641,115 @@ def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # sketch depth (independent hash rows)
+CMS_W = 256  # sketch width (columns per row)
+CMS_TOP = 20  # heavy hitters reported
+
+
+def _cms_oracle() -> str:
+    return f"""
+        WITH cells AS (
+            SELECT r.r,
+                   CAST('0x' || substr(md5('cms' || r.r || ':' || CAST(user_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % {CMS_W} AS col,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
+            GROUP BY r.r, col
+        ),
+        exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY user_id
+            ORDER BY exact_n DESC, user_id LIMIT {CMS_TOP}
+        ),
+        probes AS (
+            SELECT e.user_id, e.exact_n, r.r,
+                   CAST('0x' || substr(md5('cms' || r.r || ':' || CAST(e.user_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % {CMS_W} AS col
+            FROM exact e CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS r) r
+        )
+        SELECT p.user_id, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+        FROM probes p JOIN cells c ON c.r = p.r AND c.col = p.col
+        GROUP BY p.user_id, p.exact_n
+        ORDER BY exact_n DESC, user_id
+    """
+
+
+@register(
+    "x_cms_heavy_hitters",
+    tags=("EXT", "A6", "A1", "O2"),
+    oracle=_cms_oracle(),
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation, fully hash-checked: a CMS_D x CMS_W integer grid over
+    event user_ids (hash row r maps a key to one column via the
+    engine-portable md5 family), probed for the exact top-CMS_TOP
+    heavy hitters so the one-sided error contract — estimate >= exact
+    count, within eps*N with probability 1-delta — is visible in the
+    output and verified value-for-value against DuckDB. Completes the
+    sketch family: KMV (distinct), sampled quantiles, HLL (rows-only
+    twin), and now CMS (frequency).
+
+    100 TB design: the sketch is CMS_D*CMS_W bigint cells REGARDLESS
+    of corpus size, built by one partial-aggregable groupBy (each
+    event contributes CMS_D cells map-side); per-shard grids merge by
+    cell-wise addition (linear sketch), which is how a 1000-executor
+    fleet unions its partial sketches; probes broadcast-join against
+    the tiny grid. Exact counts here are the verification yardstick
+    only — production reads frequencies straight off the grid."""
+    ev = _t(spark, sf_dir, "events")
+
+    def col_for(r: int, key):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), key.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CMS_W),
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), col_for(r, F.col("user_id")).alias("col"))
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), col_for(r, F.col("user_id")).alias("col"))
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.r", "p.col")
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

@@ -160,6 +160,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_fingerprint",
     # round-5 additions (never driver-verified; round-6 window candidates)
     "x_dedup_embedding_det",
+    "x_substring_dedup",
+    "x_cms_heavy_hitters",
+    "x_kcore",
 )
 
 

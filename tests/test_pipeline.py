@@ -679,3 +679,85 @@ def test_dedup_embedding_det_matches_python_reference(spark, reg):
     }
     assert got == expected
     assert len(got) > 0  # the fixture contains near-dups; empty = broken recall
+
+
+def test_substring_spans_exact_on_constructed_corpus(spark):
+    # Hand-built ground truth: doc 2 embeds tokens 10..34 of doc 1 (a
+    # 25-token span) plus noise; doc 3 shares nothing; doc 4 duplicates
+    # doc 1 exactly (span = full length). Token vocabularies are unique
+    # per position so no accidental k-gram collisions.
+    from music_database_spark.operators.dedup import (
+        SPAN_K,
+        substring_span_pairs,
+    )
+
+    base = [f"w{i}" for i in range(60)]
+    shared = base[10:35]  # 25 tokens
+    noise_a = [f"xa{i}" for i in range(15)]
+    noise_b = [f"xb{i}" for i in range(15)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(noise_a + shared + noise_b)),
+            (3, " ".join(f"z{i}" for i in range(50))),
+            (4, " ".join(base)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["longest_span"], r["n_runs"])
+        for r in substring_span_pairs(docs, min_tokens=20).collect()
+    }
+    # pair (1,2): longest span exactly 25; one aligned run
+    # pair (1,4): identical docs -> span 60, one run
+    # pair (2,4): same 25-token overlap as (1,2)
+    assert got == {(1, 2): (25, 1), (1, 4): (60, 1), (2, 4): (25, 1)}
+    # below-threshold spans are silent: raising the floor hides the 25s
+    got55 = {
+        (r["id_a"], r["id_b"]): r["longest_span"]
+        for r in substring_span_pairs(docs, min_tokens=55).collect()
+    }
+    assert got55 == {(1, 4): 60}
+    # a span shorter than k is invisible by construction
+    assert SPAN_K <= 20
+
+
+def test_kcore_matches_python_peeling(spark, reg):
+    # Independent plain-Python peel to fixpoint over the same bipartite
+    # graph; Spark's bounded-round early-exit loop must land on the
+    # identical core with identical within-core degrees.
+    import duckdb
+
+    from music_database_spark.operators.graph import KCORE_K
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l
+        JOIN read_parquet('{SF_SMOKE}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    while True:
+        dead = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        if not dead:
+            break
+        for n in dead:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected = {
+        ("customer" if n % 2 == 0 else "supplier", n // 2): len(nb)
+        for n, nb in adj.items()
+    }
+    got = {
+        (r["node_type"], r["key"]): r["core_degree"]
+        for r in reg["x_kcore"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    assert all(d >= KCORE_K for d in got.values())

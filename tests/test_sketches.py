@@ -226,3 +226,24 @@ def test_ks_drift_matches_python_recomputation(spark):
     assert r["ks_at"] == best_v
     # null-hypothesis sanity: a correct hash split should not show large drift
     assert r["ks_stat"] < 3.0 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+
+
+def test_cms_one_sided_error_and_hash_family(spark):
+    # CMS contract: estimate is NEVER below the exact count (min over
+    # rows of sums that each include the key's own occurrences), and the
+    # column mapping is pinned to public md5 semantics.
+    import hashlib
+
+    from music_database_spark.plans.sketches import CMS_W
+    from music_database_spark.registry import load_all
+
+    rows = (
+        load_all()["x_cms_heavy_hitters"].build(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]
+    assert (
+        int(hashlib.md5(b"cms2:7").hexdigest()[:8], 16) % CMS_W
+        == int("0x" + hashlib.md5(b"cms2:7").hexdigest()[:8], 16) % CMS_W
+    )
