@@ -753,3 +753,201 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("bigint").alias("cms_est"))
         .orderBy(F.col("exact_n").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union / intersection estimates between two sketches
+# ---------------------------------------------------------------------------
+
+K_SETOPS = 128  # sketch size per set
+
+
+def _kmv_setops_oracle() -> str:
+    k = K_SETOPS
+    return f"""
+        WITH split_docs AS (
+            SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                             % 100 < 80
+                        THEN 'train' ELSE 'heldout' END AS split,
+                   text
+            FROM documents
+        ),
+        toks AS (
+            SELECT DISTINCT split, array_to_string(t[i:i+2], ' ') AS tok
+            FROM (SELECT split, string_split(text, ' ') AS t FROM split_docs) x,
+                 LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ),
+        hs AS (
+            SELECT DISTINCT split,
+                   CAST('0x' || substr(md5('v:' || tok), 1, 8) AS BIGINT) AS h
+            FROM toks
+        ),
+        rn AS (
+            SELECT split, h, row_number() OVER (PARTITION BY split ORDER BY h) AS rn
+            FROM hs
+        ),
+        kmin AS (SELECT split, h FROM rn WHERE rn <= {k}),
+        theta AS (
+            SELECT split, CASE WHEN COUNT(*) >= {k} THEN CAST(MAX(h) AS DOUBLE)
+                               ELSE 4294967296.0 END AS theta,
+                   COUNT(*) AS nk
+            FROM kmin GROUP BY split
+        ),
+        est AS (
+            SELECT split,
+                   CASE WHEN nk < {k} THEN CAST(nk AS DOUBLE)
+                        ELSE {float(K_SETOPS - 1)} * 4294967296.0 / theta END AS e,
+                   theta
+            FROM theta
+        ),
+        umin AS (
+            SELECT h FROM (
+                SELECT DISTINCT h FROM kmin
+            ) u ORDER BY h LIMIT {k}
+        ),
+        uest AS (
+            SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {float(K_SETOPS - 1)} * 4294967296.0 / CAST(MAX(h) AS DOUBLE)
+                   END AS e_union
+            FROM umin
+        ),
+        tmin AS (SELECT LEAST(a.theta, b.theta) AS th
+                 FROM est a, est b WHERE a.split = 'train' AND b.split = 'heldout'),
+        common AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM kmin a JOIN kmin b ON a.h = b.h
+                 AND a.split = 'train' AND b.split = 'heldout'
+            CROSS JOIN tmin WHERE a.h < tmin.th
+        ),
+        exact AS (
+            SELECT
+                (SELECT COUNT(DISTINCT tok) FROM toks WHERE split = 'train') AS x_a,
+                (SELECT COUNT(DISTINCT tok) FROM toks WHERE split = 'heldout') AS x_b,
+                (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT tok FROM toks WHERE split = 'train')
+                    NATURAL JOIN
+                    (SELECT DISTINCT tok FROM toks WHERE split = 'heldout')) AS x_i
+        )
+        SELECT CAST(exact.x_a AS BIGINT) AS exact_a,
+               CAST(exact.x_b AS BIGINT) AS exact_b,
+               CAST(exact.x_i AS BIGINT) AS exact_inter,
+               CAST(exact.x_a + exact.x_b - exact.x_i AS BIGINT) AS exact_union,
+               round((SELECT e FROM est WHERE split = 'train'), 6) AS est_a,
+               round((SELECT e FROM est WHERE split = 'heldout'), 6) AS est_b,
+               round((SELECT e_union FROM uest), 6) AS est_union,
+               round(CAST(common.n_common AS DOUBLE) * 4294967296.0 / tmin.th, 6)
+                   AS est_inter
+        FROM exact, common, tmin
+    """
+
+
+@register("x_kmv_setops", tags=("EXT", "A6", "U1", "U2"), oracle=_kmv_setops_oracle())
+def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (theta-sketch style over the deterministic KMV
+    family): estimate |A|, |B|, |A∪B|, |A∩B| of the train vs held-out
+    TRIGRAM-PHRASE inventories from two k=128 sketches alone, next to the exact
+    values — the split-overlap audit (shared-vocabulary mass between
+    train and eval) a pipeline runs per drop without ever holding
+    either vocabulary in memory. Union sketch = k smallest of the
+    merged k-min sets (exactly how 1000 per-shard sketches combine);
+    intersection via the theta cut: members of both sketches below
+    theta = min(theta_A, theta_B), scaled by the sampled fraction.
+    Every hash is the engine-portable md5 family, every estimate one
+    fixed IEEE tree -> the ESTIMATES themselves are hash-checked.
+
+    100 TB design: per-split k-min via the same WindowGroupLimit shape
+    as x_distinct_kmv (at most k rows per split forwarded per
+    partition); all set algebra then happens on two 128-row frames."""
+    docs = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+        < 80,
+        "train",
+    ).otherwise("heldout")
+    arr = F.split("text", " ")
+    toks = (
+        docs.filter(F.size(arr) >= 3)
+        .select(
+            split.alias("split"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    hs = toks.select(
+        "split",
+        F.conv(F.substring(F.md5(F.concat(F.lit("v:"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    k = K_SETOPS
+    rn = hs.withColumn("rn", F.row_number().over(W.partitionBy("split").orderBy("h")))
+    kmin = rn.filter(F.col("rn") <= k).select("split", "h").persist()
+    theta = kmin.groupBy("split").agg(
+        F.when(F.count(F.lit(1)) >= k, F.max("h").cast("double"))
+        .otherwise(F.lit(_HASH_SPAN))
+        .alias("theta"),
+        F.count(F.lit(1)).alias("nk"),
+    )
+    est = theta.select(
+        "split",
+        "theta",
+        F.when(F.col("nk") < k, F.col("nk").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPAN) / F.col("theta"))
+        .alias("e"),
+    )
+    umin = kmin.select("h").distinct().orderBy("h").limit(k)
+    uest = umin.agg(
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPAN) / F.max("h").cast("double"))
+        .alias("e_union")
+    )
+    ka = kmin.filter(F.col("split") == "train").select("h")
+    kb = kmin.filter(F.col("split") == "heldout").select("h")
+    ea = est.filter(F.col("split") == "train").select(
+        F.col("e").alias("e_a"), F.col("theta").alias("th_a")
+    )
+    eb = est.filter(F.col("split") == "heldout").select(
+        F.col("e").alias("e_b"), F.col("theta").alias("th_b")
+    )
+    tmin = ea.crossJoin(eb).select(
+        "e_a", "e_b", F.least("th_a", "th_b").alias("th")
+    )
+    common = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(tmin.select("th")))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ta = toks.filter(F.col("split") == "train").select("tok").distinct()
+    tb = toks.filter(F.col("split") == "heldout").select("tok").distinct()
+    exact = (
+        ta.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .crossJoin(tb.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
+        .crossJoin(ta.join(tb, "tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter")))
+    )
+    return (
+        exact.crossJoin(tmin)
+        .crossJoin(uest)
+        .crossJoin(common)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("bigint")
+            .alias("exact_union"),
+            F.round("e_a", 6).alias("est_a"),
+            F.round("e_b", 6).alias("est_b"),
+            F.round("e_union", 6).alias("est_union"),
+            F.round(
+                F.col("n_common").cast("double") * F.lit(_HASH_SPAN) / F.col("th"), 6
+            ).alias("est_inter"),
+        )
+    )

@@ -163,6 +163,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_substring_dedup",
     "x_cms_heavy_hitters",
     "x_kcore",
+    "x_stream_cms",
+    "x_kmv_setops",
+    "x_bfs",
 )
 
 

@@ -249,3 +249,130 @@ def x_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nk").alias("n_tracked"),
         F.round(est, 6).alias("kmv_estimate"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (T5 + the x_cms_heavy_hitters family)
+# ---------------------------------------------------------------------------
+
+CMS_STREAM_D = 4  # depth, matches the batch CMS hash family ('cms{r}:' seeds)
+CMS_STREAM_W = 64  # narrower than batch: the whole grid is ONE state row
+
+CMS_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.LongType()), T.StructField("grid", T.ArrayType(T.LongType()))]
+)
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seen", T.LongType()),
+        T.StructField("r", T.IntegerType()),
+        T.StructField("col", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _track_cms(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold (r, col) cell hits into the persisted D*W grid; emit every
+    nonzero cell of the cumulative grid (update-mode sink keeps the
+    latest emission per cell via the monotone `seen` counter)."""
+    import numpy as np
+
+    seen, grid = state.get if state.exists else (0, [0] * (CMS_STREAM_D * CMS_STREAM_W))
+    grid = np.asarray(grid, dtype=np.int64)
+    for pdf in pdfs:
+        seen += len(pdf)
+        np.add.at(grid, pdf["r"].to_numpy() * CMS_STREAM_W + pdf["col"].to_numpy(), 1)
+    state.update((seen, [int(x) for x in grid]))
+    nz = np.nonzero(grid)[0]
+    yield pd.DataFrame(
+        {
+            "event_type": key[0],
+            "seen": seen,
+            "r": (nz // CMS_STREAM_W).astype("int32"),
+            "col": (nz % CMS_STREAM_W).astype("int32"),
+            "cnt": grid[nz],
+        }
+    )
+
+
+@register(
+    "x_stream_cms",
+    tags=("EXT", "T5", "A6", "D2"),
+    bench=False,
+    oracle=f"""
+        SELECT event_type, r.r,
+               CAST(CAST('0x' || substr(md5('cms' || r.r || ':' || CAST(user_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) % {CMS_STREAM_W} AS INTEGER) AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN (SELECT unnest(range(0, {CMS_STREAM_D})) AS r) r
+        GROUP BY event_type, r.r, col
+        ORDER BY event_type, r.r, col
+    """,
+)
+def x_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch, cell-for-cell hash-checked: the
+    stateful operator maintains a D×W CMS grid per event_type across
+    microbatches (one bounded array state row per key) and the drained
+    stream emits the ENTIRE final grid, which must equal — every cell —
+    the grid DuckDB builds from scratch over the same rows. CMS is a
+    LINEAR sketch (cell-wise integer sums), so the final grid is
+    independent of microbatch slicing; that invariance is exactly what
+    lets 1000 executors build per-shard grids and merge them by
+    addition, and it is what makes the streaming sketch value-checkable
+    at all (same argument as x_stream_kmv's k-min invariance; batch
+    twin: x_cms_heavy_hitters).
+
+    The (r, col) cell coordinates are computed JVM-side (md5 family
+    shared with the batch CMS) BEFORE the stateful op — Python only
+    does vectorized bincount-style adds on a 256-long int array."""
+    from pyspark.sql import functions as F
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms{r}:"), F.col("user_id").cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint"),
+                            F.lit(CMS_STREAM_W),
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for r in range(CMS_STREAM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("event_type", "c.r", "c.col")
+    tracked = stream.groupBy("event_type").applyInPandasWithState(
+        _track_cms,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_available_now(tracked, "cms", output_mode="update")
+    final = (
+        out.groupBy("event_type", "r", "col")
+        .agg(F.max(F.struct("seen", "cnt")).alias("s"))
+        .select("event_type", "r", "col", F.col("s.cnt").alias("cnt"))
+    )
+    return final.orderBy("event_type", "r", "col")

@@ -247,3 +247,27 @@ def test_cms_one_sided_error_and_hash_family(spark):
         int(hashlib.md5(b"cms2:7").hexdigest()[:8], 16) % CMS_W
         == int("0x" + hashlib.md5(b"cms2:7").hexdigest()[:8], 16) % CMS_W
     )
+
+
+def test_kmv_setops_estimates_bracket_exact(spark):
+    # Sketch-algebra sanity: estimates are within the KMV error envelope
+    # (~1/sqrt(k-2) ~ 9% rel. stddev; assert a generous 4-sigma band),
+    # union >= max side, intersection <= min side, and
+    # inclusion-exclusion holds approximately.
+    from music_database_spark.registry import load_all
+
+    r = (
+        load_all()["x_kmv_setops"].build(spark, "/root/testdata/sf0.001").collect()[0]
+    )
+    for est, exact in [
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+    ]:
+        assert abs(est - exact) / exact < 0.36, (est, exact)
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.99
+    assert r["est_inter"] <= min(r["est_a"], r["est_b"]) * 1.01
+    assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_inter"]
+    # intersection estimate within a loose band of truth (theta-cut
+    # estimators have higher variance than plain KMV)
+    assert abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"] < 0.5

@@ -270,3 +270,52 @@ def test_python_stream_source_drains_cleanly(spark):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_stream_cms_grid_equals_batch_grid(spark):
+    # Linear-sketch invariance: the drained stream's cumulative grid must
+    # equal, cell for cell, a batch grid built from the same rows with
+    # the same hash family — independent of microbatch slicing.
+    from music_database_spark.registry import load_all
+    from music_database_spark.streaming.stateful import CMS_STREAM_D, CMS_STREAM_W
+
+    SF = "/root/testdata/sf0.001"
+    streamed = {
+        (r["event_type"], r["r"], r["col"]): r["cnt"]
+        for r in load_all()["x_stream_cms"].build(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    cells = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"cms{r}:"), F.col("user_id").cast("string"))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint"),
+                            F.lit(CMS_STREAM_W),
+                        ).alias("col"),
+                    )
+                    for r in range(CMS_STREAM_D)
+                ]
+            )
+        ).alias("c"),
+    )
+    batch = {
+        (r["event_type"], r["r"], r["col"]): r["cnt"]
+        for r in cells.groupBy("event_type", "c.r", "c.col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
