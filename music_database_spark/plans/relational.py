@@ -442,9 +442,19 @@ def j_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta join would be a nested-loop; bucketing turns it into a hash
     join whose residual runs per bucket)."""
     events = _t(spark, sf_dir, "events")
+    # Window table from a 1-row min/max agg + generated day calendar
+    # instead of DISTINCT over the full event scan: the output is
+    # identical (days without in-window events vanish under the inner
+    # join either way) but the build side costs a scalar aggregate, not
+    # a 100k-row distinct exchange (round-5 fix for the ratchet drift).
     wins = (
-        events.select(F.date_trunc("day", "ts").alias("bucket_day"))
-        .distinct()
+        events.agg(
+            F.date_trunc("day", F.min("ts")).alias("d0"),
+            F.date_trunc("day", F.max("ts")).alias("d1"),
+        )
+        .select(
+            F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("bucket_day")
+        )
         .select(
             "bucket_day",
             (F.col("bucket_day") + F.expr("INTERVAL 6 HOURS")).alias("w_start"),
