@@ -385,3 +385,223 @@ def x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "lang", "n_sources", "total_chars", gini.alias("gini")
     ).orderBy("lang")
+
+
+K_ANON = 5  # minimum acceptable quasi-identifier group size
+
+
+@register(
+    "x_kanonymity",
+    tags=("EXT", "A1", "J1", "F7"),
+    oracle=f"""
+        WITH qid AS (
+            SELECT c.c_custkey, n.n_name AS nation, n.n_regionkey AS regionkey,
+                   c.c_mktsegment AS segment
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        l0 AS (
+            SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM qid GROUP BY nation, segment
+        ),
+        viol0 AS (SELECT nation, segment FROM l0 WHERE n < {K_ANON}),
+        promoted AS (
+            SELECT q.regionkey, q.segment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM qid q JOIN viol0 v ON q.nation = v.nation AND q.segment = v.segment
+            GROUP BY q.regionkey, q.segment
+        ),
+        lvl AS (
+            SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n >= {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+                       AS n_rows_anonymous,
+                   CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+                       AS n_rows_at_risk
+            FROM l0
+            UNION ALL
+            SELECT 1, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n >= {K_ANON} THEN n ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+            FROM promoted
+        )
+        SELECT level, n_groups, n_rows_anonymous, n_rows_at_risk
+        FROM lvl ORDER BY level
+    """,
+)
+def x_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit with one generalization step — the
+    privacy gate run before person-derived training data is released:
+    quasi-identifier groups (nation, market segment) smaller than
+    K_ANON re-identify their members, so violating rows are GENERALIZED
+    (nation -> region, the standard value-generalization-hierarchy
+    move) and re-checked; whatever still violates is the residual that
+    must be suppressed. Output: per generalization level, group count
+    and anonymous-vs-at-risk row mass.
+
+    100 TB design: level 0 is one partial-aggregable groupBy; the
+    promotion join touches only rows of violating groups (semi-join on
+    the tiny violator list, broadcast); the hierarchy could ladder
+    region -> country-group -> * with one such step per level, each
+    strictly smaller than the last. Integer counts only."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    qid = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    l0 = qid.groupBy("nation", "segment").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    viol0 = l0.filter(F.col("n") < K_ANON).select("nation", "segment")
+    promoted = (
+        qid.join(F.broadcast(viol0), ["nation", "segment"])
+        .groupBy("regionkey", "segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def level_summary(df: DataFrame, level: int) -> DataFrame:
+        return df.agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n") >= K_ANON, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_anonymous"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+
+    return level_summary(l0, 0).unionByName(level_summary(promoted, 1)).orderBy("level")
+
+
+# Expectations: (name, table) -> violation predicate, evaluated in one
+# aggregate pass per table + two join-based checks.
+EXPECT_RANGE_QTY = (1, 50)
+
+
+@register(
+    "x_expectations",
+    tags=("EXT", "A1", "J4", "P4", "F7"),
+    oracle=f"""
+        WITH li AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_quantity < {EXPECT_RANGE_QTY[0]}
+                                   OR l_quantity > {EXPECT_RANGE_QTY[1]}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                   CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_ship,
+                   CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_disc
+            FROM lineitem
+        ),
+        od AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_price
+            FROM orders
+        ),
+        orphan AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+        ),
+        dup AS (
+            SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v
+            FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1) d
+        )
+        SELECT * FROM (
+            SELECT 'lineitem_quantity_in_range' AS check_name, li.n AS n_checked,
+                   li.v_qty AS n_violations, li.v_qty = 0 AS passed FROM li
+            UNION ALL
+            SELECT 'lineitem_shipdate_not_null', li.n, li.v_ship, li.v_ship = 0 FROM li
+            UNION ALL
+            SELECT 'lineitem_discount_unit_interval', li.n, li.v_disc, li.v_disc = 0 FROM li
+            UNION ALL
+            SELECT 'orders_totalprice_positive', od.n, od.v_price, od.v_price = 0 FROM od
+            UNION ALL
+            SELECT 'lineitem_orderkey_references_orders',
+                   li.n, orphan.v, orphan.v = 0 FROM li, orphan
+            UNION ALL
+            SELECT 'orders_orderkey_unique', od.n, dup.v, dup.v = 0 FROM od, dup
+        ) checks
+        ORDER BY check_name
+    """,
+)
+def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Great
+    Expectations / dbt-test shape): range, not-null, unit-interval,
+    positivity, referential-integrity, and uniqueness checks evaluated
+    in bulk, reported as (check, n_checked, n_violations, passed) — the
+    go/no-go gate an ingest runs before any downstream pipeline trusts
+    a drop.
+
+    100 TB design: all per-row predicates for one table fold into ONE
+    partial-aggregable scan (conditional sums — no per-check re-scan);
+    referential integrity is a null-producing left join aggregated to
+    a scalar, and uniqueness is a groupBy-HAVING on the key. Output is
+    six integer rows regardless of input size."""
+    li = scan_wide(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_shipdate", "l_discount"]
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < EXPECT_RANGE_QTY[0])
+                | (F.col("l_quantity") > EXPECT_RANGE_QTY[1]),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_qty"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_ship"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_disc"),
+    )
+    od_agg = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_price"),
+    )
+    orphan = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("v"))
+    )
+    # One lazy plan, no driver collects: each check row is a projection
+    # of a 1-row aggregate frame; crossJoins glue 1-row frames only.
+    li_agg = li_agg.persist()  # three check rows project from it
+
+    def check(src: DataFrame, name: str, n_col: str, v_col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    out = (
+        check(li_agg, "lineitem_quantity_in_range", "n", "v_qty")
+        .unionByName(check(li_agg, "lineitem_shipdate_not_null", "n", "v_ship"))
+        .unionByName(check(li_agg, "lineitem_discount_unit_interval", "n", "v_disc"))
+        .unionByName(check(od_agg, "orders_totalprice_positive", "n", "v_price"))
+        .unionByName(
+            check(
+                li_agg.crossJoin(orphan), "lineitem_orderkey_references_orders", "n", "v"
+            )
+        )
+        .unionByName(check(od_agg.crossJoin(dup), "orders_orderkey_unique", "n", "v"))
+    )
+    return out.orderBy("check_name")

@@ -166,6 +166,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_stream_cms",
     "x_kmv_setops",
     "x_bfs",
+    "x_kanonymity",
+    "x_expectations",
 )
 
 

