@@ -168,6 +168,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_bfs",
     "x_kanonymity",
     "x_expectations",
+    "x_span_mask",
 )
 
 
