@@ -545,85 +545,11 @@ BM25_NQ = 8  # query terms: top-N by collection frequency
 BM25_TOPK = 20  # result depth
 
 
-@register(
-    "x_bm25_search",
-    tags=("EXT", "X4", "F3", "F4", "A1", "O3"),
-    oracle=f"""
-        WITH tok AS (
-            SELECT doc_id,
-                   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-                       AS term
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM tok GROUP BY doc_id, term
-        ),
-        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-        avgdl AS (
-            SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE)
-                AS avgdl
-            FROM dl
-        ),
-        stats AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-                   CAST(SUM(tf) AS BIGINT) AS cf
-            FROM tf GROUP BY term
-        ),
-        qterms AS (
-            SELECT term, df FROM stats, nd
-            WHERE df * 20 >= n AND df * 2 <= n
-            ORDER BY cf DESC, term LIMIT {BM25_NQ}
-        ),
-        scored AS (
-            SELECT t.doc_id, q.term,
-                   ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-                   * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
-                   / (CAST(tf AS DOUBLE)
-                      + {BM25_K1} * (1.0 - {BM25_B}
-                                     + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
-                       AS s
-            FROM tf t JOIN qterms q ON q.term = t.term
-            JOIN dl ON dl.doc_id = t.doc_id, nd, avgdl
-        ),
-        per_doc AS (
-            SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_terms,
-                   round(list_aggregate(list_sort(list(s)), 'sum'), 6) AS score
-            FROM scored GROUP BY doc_id
-        )
-        SELECT doc_id, n_terms, score, rnk FROM (
-            SELECT doc_id, n_terms, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-            FROM per_doc
-        ) t WHERE rnk <= {BM25_TOPK}
-        ORDER BY rnk
-    """,
-)
-def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson-Sparck Jones, public): the
-    standard lexical search scorer over the documents table, queried
-    with a DATA-DERIVED term set — the BM25_NQ highest
-    collection-frequency terms whose document frequency sits in
-    [5%, 50%] of the corpus (informative but not rare; exact integer
-    bounds df*20 >= N, df*2 <= N). Per (doc, term):
-    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75;
-    per-doc score folds the SORTED term-score array (the x_token_entropy
-    recipe) and rounds to 6 dp; top BM25_TOPK docs by (score DESC,
-    doc_id). Fully oracle-checked — idf's ln is the only libm call and
-    every other float op is a fixed IEEE expression tree.
-
-    100 TB design: tf/df/dl are map-combinable groupBys on term/doc
-    digests; the query-term table is BM25_NQ rows (broadcast); scoring
-    is one hash join of the posting stream against it plus a per-doc
-    fold bounded by |query|. This is the batch shape of an inverted-
-    index search tier — the posting list join IS the index scan, and
-    the same plan serves any externally-supplied query-term list.
-    Composes with x_tfidf (per-doc top terms) and x_knn (dense
-    retrieval) as the hybrid-retrieval pair. Reference parity: no
-    search surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+def bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, score) for EVERY doc matching >= 1 data-derived
+    query term — the shared scoring core of x_bm25_search (which ranks
+    its top-k) and x_ndcg (whose ideal ordering needs all matching
+    docs). n_terms doubles as the graded relevance label."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -683,6 +609,94 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("score"),
     )
+    return per_doc
+
+
+# The BM25 CTE chain (tok..per_doc) shared by the x_bm25_search and
+# x_ndcg oracles - one source of truth for the scoring SQL.
+BM25_CTES = f"""        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        avgdl AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE)
+                AS avgdl
+            FROM dl
+        ),
+        stats AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term
+        ),
+        qterms AS (
+            SELECT term, df FROM stats, nd
+            WHERE df * 20 >= n AND df * 2 <= n
+            ORDER BY cf DESC, term LIMIT {BM25_NQ}
+        ),
+        scored AS (
+            SELECT t.doc_id, q.term,
+                   ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+                       AS s
+            FROM tf t JOIN qterms q ON q.term = t.term
+            JOIN dl ON dl.doc_id = t.doc_id, nd, avgdl
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   round(list_aggregate(list_sort(list(s)), 'sum'), 6) AS score
+            FROM scored GROUP BY doc_id
+        )"""
+
+
+@register(
+    "x_bm25_search",
+    tags=("EXT", "X4", "F3", "F4", "A1", "O3"),
+    oracle=BM25_CTES
+    + f"""
+        SELECT doc_id, n_terms, score, rnk FROM (
+            SELECT doc_id, n_terms, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM per_doc
+        ) t WHERE rnk <= {BM25_TOPK}
+        ORDER BY rnk
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones, public): the
+    standard lexical search scorer over the documents table, queried
+    with a DATA-DERIVED term set — the BM25_NQ highest
+    collection-frequency terms whose document frequency sits in
+    [5%, 50%] of the corpus (informative but not rare; exact integer
+    bounds df*20 >= N, df*2 <= N). Per (doc, term):
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75;
+    per-doc score folds the SORTED term-score array (the x_token_entropy
+    recipe) and rounds to 6 dp; top BM25_TOPK docs by (score DESC,
+    doc_id). Fully oracle-checked — idf's ln is the only libm call and
+    every other float op is a fixed IEEE expression tree.
+
+    100 TB design: tf/df/dl are map-combinable groupBys on term/doc
+    digests; the query-term table is BM25_NQ rows (broadcast); scoring
+    is one hash join of the posting stream against it plus a per-doc
+    fold bounded by |query|. This is the batch shape of an inverted-
+    index search tier — the posting list join IS the index scan, and
+    the same plan serves any externally-supplied query-term list.
+    Composes with x_tfidf (per-doc top terms) and x_knn (dense
+    retrieval) as the hybrid-retrieval pair. Reference parity: no
+    search surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+    per_doc = bm25_per_doc(spark, sf_dir)
     w = W.orderBy(F.desc("score"), "doc_id")
     return (
         per_doc.withColumn("rnk", F.row_number().over(w))
@@ -1131,4 +1145,95 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(TOP_COLLOC).select(
         "w1", "w2", "c12", "pmi"
+    )
+
+
+NDCG_KS = (5, 10, 20)  # report depths
+
+
+def _ndcg_oracle() -> str:
+    ks = ", ".join(str(k) for k in NDCG_KS)
+    return (
+        BM25_CTES
+        + f""",
+        ranked AS (
+            SELECT doc_id, n_terms, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM per_doc
+        ),
+        dcg AS (
+            SELECT rnk,
+                   SUM((power(2.0, n_terms) - 1.0) / log2(CAST(rnk + 1 AS DOUBLE)))
+                       OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS dcg_cum
+            FROM ranked
+        ),
+        ideal AS (
+            SELECT row_number() OVER (ORDER BY n_terms DESC, doc_id) AS irnk, n_terms
+            FROM per_doc
+        ),
+        idcg AS (
+            SELECT irnk,
+                   SUM((power(2.0, n_terms) - 1.0) / log2(CAST(irnk + 1 AS DOUBLE)))
+                       OVER (ORDER BY irnk ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS idcg_cum
+            FROM ideal
+        )
+        SELECT k, round(dcg_cum, 6) AS dcg, round(idcg_cum, 6) AS idcg,
+               round(dcg_cum / idcg_cum, 6) AS ndcg
+        FROM (SELECT unnest([{ks}]) AS k) ks
+        JOIN dcg ON dcg.rnk = ks.k
+        JOIN idcg ON idcg.irnk = ks.k
+        ORDER BY k
+    """
+    )
+
+
+@register("x_ndcg", tags=("EXT", "X4", "O3", "O4", "F4"), oracle=_ndcg_oracle())
+def x_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@{{5,10,20}} of the BM25 ranking
+    against graded relevance labels (rel = number of distinct query
+    terms a doc matches — 0..BM25_NQ, so gains 2^rel−1 are exact
+    integers), the eval-harness leg the lexical-search family was
+    missing (ANN has recall@k via x_ann_recall/x_ivf_recall/
+    x_pq_recall; this is its ranked-retrieval counterpart). DCG and
+    the ideal DCG are CUMULATIVE window sums in rank order — a fixed
+    left-to-right fold, so the float sums are order-deterministic and
+    the scores themselves hash-match.
+
+    100 TB design: rides bm25_per_doc (partial-agg term stats +
+    broadcast query terms — already the scaling shape); the windows
+    order only the matching-doc list; output is three rows."""
+    per_doc = bm25_per_doc(spark, sf_dir).persist()
+    gain = (F.pow(F.lit(2.0), F.col("n_terms")) - 1.0)
+    ranked = per_doc.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+    )
+    dcg = ranked.withColumn(
+        "dcg_cum",
+        F.sum(gain / F.log2((F.col("rnk") + 1).cast("double"))).over(
+            W.orderBy("rnk").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).select("rnk", "dcg_cum")
+    ideal = per_doc.withColumn(
+        "irnk", F.row_number().over(W.orderBy(F.desc("n_terms"), "doc_id"))
+    )
+    idcg = ideal.withColumn(
+        "idcg_cum",
+        F.sum(gain / F.log2((F.col("irnk") + 1).cast("double"))).over(
+            W.orderBy("irnk").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).select("irnk", "idcg_cum")
+    ks = per_doc.sparkSession.createDataFrame([(k,) for k in NDCG_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .join(dcg, ks.k == dcg.rnk)
+        .join(idcg, ks.k == idcg.irnk)
+        .select(
+            "k",
+            F.round("dcg_cum", 6).alias("dcg"),
+            F.round("idcg_cum", 6).alias("idcg"),
+            F.round(F.col("dcg_cum") / F.col("idcg_cum"), 6).alias("ndcg"),
+        )
+        .orderBy("k")
     )

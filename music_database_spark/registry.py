@@ -169,6 +169,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_kanonymity",
     "x_expectations",
     "x_span_mask",
+    "x_ndcg",
 )
 
 

@@ -846,3 +846,30 @@ def test_span_mask_merges_overlaps_on_constructed_corpus(spark):
         .collect()
     )
     assert {r["doc_id"]: r["masked"] for r in got} == {4: expected_masked}
+
+
+def test_ndcg_properties_and_python_reference(spark, reg):
+    # nDCG in [0,1], monotone checks against a plain-Python recomputation
+    # from the BM25 per-doc frame.
+    import math
+
+    from music_database_spark.operators.textops import bm25_per_doc
+
+    rows = {r["k"]: r for r in reg["x_ndcg"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == {5, 10, 20}
+    for r in rows.values():
+        assert 0.0 < r["ndcg"] <= 1.0
+        assert r["dcg"] <= r["idcg"]
+    pd_rows = bm25_per_doc(spark, SF_SMOKE).collect()
+    ranked = sorted(pd_rows, key=lambda r: (-r["score"], r["doc_id"]))
+    ideal = sorted(pd_rows, key=lambda r: (-r["n_terms"], r["doc_id"]))
+    for k in (5, 10, 20):
+        dcg = sum(
+            (2.0 ** r["n_terms"] - 1.0) / math.log2(i + 2)
+            for i, r in enumerate(ranked[:k])
+        )
+        idcg = sum(
+            (2.0 ** r["n_terms"] - 1.0) / math.log2(i + 2)
+            for i, r in enumerate(ideal[:k])
+        )
+        assert abs(rows[k]["ndcg"] - round(dcg / idcg, 6)) < 1e-5
