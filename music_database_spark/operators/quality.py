@@ -605,3 +605,92 @@ def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check(od_agg.crossJoin(dup), "orders_orderkey_unique", "n", "v"))
     )
     return out.orderBy("check_name")
+
+
+KAPPA_LEN_MIN = 600  # annotator A: acceptable if n_chars >= this
+KAPPA_STOP_PCT = 4  # annotator B: acceptable if stopword % >= this
+
+
+@register(
+    "x_kappa",
+    tags=("EXT", "A1", "F4", "F7"),
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN n_chars >= {KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS a,
+                   CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+                        >= {KAPPA_STOP_PCT} * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM labeled
+        )
+        SELECT n, n11, n10, n01, n00,
+               round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+               round((CAST((n11 + n10) AS DOUBLE) * CAST((n11 + n01) AS DOUBLE)
+                      + CAST((n01 + n00) AS DOUBLE) * CAST((n10 + n00) AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+               round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST((n11 + n10) AS DOUBLE) * CAST((n11 + n01) AS DOUBLE)
+                         + CAST((n01 + n00) AS DOUBLE) * CAST((n10 + n00) AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0 - (CAST((n11 + n10) AS DOUBLE) * CAST((n11 + n01) AS DOUBLE)
+                               + CAST((n01 + n00) AS DOUBLE) * CAST((n10 + n00) AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+        FROM c
+    """,
+)
+def x_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa, 1960) between two
+    deterministic quality labelers — the label-audit metric a
+    human-in-the-loop pipeline computes before trusting annotations
+    (here: a length-based and a stopword-density-based 'annotator'
+    judging doc quality; chance-corrected agreement tells you whether
+    two heuristics measure the same thing or just the base rate). Full
+    2x2 contingency table + observed/expected agreement + kappa, every
+    float derived from one fixed IEEE tree over exact integer counts
+    -> the statistic itself is hash-checked.
+
+    100 TB design: one conditional-sum scan (both labels are map-side
+    expressions), one 1-row aggregate; nothing scales with corpus size
+    but the scan. The stopword test uses the integer cross-multiplied
+    threshold (100*hits >= pct*tokens), no float compare."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]]
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    a = F.when(F.col("n_chars") >= KAPPA_LEN_MIN, 1).otherwise(0)
+    b = F.when(hits * 100 >= F.size(toks) * KAPPA_STOP_PCT, 1).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -170,6 +170,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_expectations",
     "x_span_mask",
     "x_ndcg",
+    "x_kappa",
 )
 
 

@@ -873,3 +873,28 @@ def test_ndcg_properties_and_python_reference(spark, reg):
             for i, r in enumerate(ideal[:k])
         )
         assert abs(rows[k]["ndcg"] - round(dcg / idcg, 6)) < 1e-5
+
+
+def test_kappa_matches_sklearn_free_reference(spark, reg):
+    # Recompute kappa from raw labels in plain Python over the parquet.
+    import pandas as pd
+
+    from music_database_spark.operators.quality import KAPPA_LEN_MIN, KAPPA_STOP_PCT
+
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["text", "n_chars"]
+    )
+    stop = {"the", "a", "of", "and", "to", "in", "is", "that"}
+    n11 = n10 = n01 = n00 = 0
+    for text, n_chars in zip(docs["text"], docs["n_chars"]):
+        toks = text.split(" ")
+        a = 1 if n_chars >= KAPPA_LEN_MIN else 0
+        b = 1 if 100 * sum(t in stop for t in toks) >= KAPPA_STOP_PCT * len(toks) else 0
+        n11 += a and b; n10 += a and not b; n01 += (not a) and b; n00 += (not a) and (not b)
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    r = reg["x_kappa"].build(spark, SF_SMOKE).collect()[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    assert -1.0 <= r["kappa"] <= 1.0
