@@ -367,3 +367,92 @@ def x_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+FRAME_COUNT = 8  # keyframes sampled per media stream
+FRAME_LEN = 32  # chars per frame window (stand-in for a decoded keyframe)
+FRAME_MAX_FREQ = 20  # drop frame hashes hotter than this corpus-wide
+FRAME_MIN_SHARED = 2  # report pairs sharing at least this many keyframes
+
+
+@register(
+    "x_media_frame_dedup",
+    tags=("EXT", "X5", "X2", "X1"),
+    oracle=f"""
+        WITH media AS (
+            SELECT doc_id, text AS stream, length(text) AS n
+            FROM documents WHERE length(text) >= {FRAME_COUNT * FRAME_LEN}
+        ),
+        frames AS (
+            SELECT doc_id, i AS frame_idx,
+                   md5(substring(stream, i * GREATEST(1, n // {FRAME_COUNT}) + 1,
+                                 {FRAME_LEN})) AS fh
+            FROM media CROSS JOIN (SELECT unnest(range(0, {FRAME_COUNT})) AS i) g
+        ),
+        rare AS (
+            SELECT fh FROM frames GROUP BY fh HAVING COUNT(*) <= {FRAME_MAX_FREQ}
+        ),
+        f AS (SELECT DISTINCT frames.doc_id, frames.fh FROM frames JOIN rare USING (fh)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+            GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, n_shared FROM pairs
+        WHERE n_shared >= {FRAME_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """,
+)
+def x_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stream KEYFRAME dedup — the video-dedup shape: sample
+    FRAME_COUNT evenly-spaced fixed-width windows from each media
+    stream (deterministic stand-in for decoded keyframes; windows are
+    codepoint-sliced so both engines hash identical utf-8 bytes),
+    digest each frame, and report stream pairs sharing >=
+    FRAME_MIN_SHARED rare frames — near-dup detection where the unit
+    is the FRAME, not the document, catching re-encoded/re-cut copies
+    that whole-payload digests (x_fingerprint) and doc-level phash
+    (x_media_phash_dedup) miss. Pure Catalyst: slicing, hashing and
+    the capped inverted-index join are all codegen'd — no Python in
+    this path at all.
+
+    100 TB design: payloads never shuffle — 16-byte frame digests do;
+    the hot-frame cap (intros/outros/color bars shared by thousands of
+    streams) bounds the self-join exactly like every other dedup path.
+    In production the frame extractor is the one Arrow-batched decode
+    pass (x_multimodal_transform's sample_frames), and THIS join is
+    unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    step = F.greatest(F.lit(1), F.floor(n / FRAME_COUNT).cast("int"))
+    frames = (
+        docs.filter(n >= FRAME_COUNT * FRAME_LEN)
+        .select("doc_id", "text", step.alias("step"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.md5(F.expr(f"substring(text, {i} * step + 1, {FRAME_LEN})"))
+                        for i in range(FRAME_COUNT)
+                    ]
+                )
+            ).alias("fh"),
+        )
+    )
+    rare = frames.groupBy("fh").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") <= FRAME_MAX_FREQ
+    )
+    f = frames.join(rare.select("fh"), "fh").distinct()
+    pairs = (
+        f.alias("a")
+        .join(
+            f.alias("b"),
+            (F.col("a.fh") == F.col("b.fh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= FRAME_MIN_SHARED)
+    )
+    return pairs.orderBy("id_a", "id_b")

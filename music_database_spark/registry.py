@@ -171,6 +171,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_span_mask",
     "x_ndcg",
     "x_kappa",
+    "x_media_frame_dedup",
 )
 
 
