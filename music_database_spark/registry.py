@@ -172,6 +172,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ndcg",
     "x_kappa",
     "x_media_frame_dedup",
+    "x_stream_recovery",
 )
 
 

@@ -303,3 +303,107 @@ def x_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(table).orderBy("sensor_id")
+
+
+@register(
+    "x_stream_recovery",
+    tags=("EXT", "S5", "T5", "S6"),
+    bench=False,
+    oracle=f"""
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(raw) AS BIGINT) AS sum_raw
+        FROM (
+            SELECT CAST(i % {N_SENSORS} AS INTEGER) AS sensor_id,
+                   (i * {MIX_MUL} + {MIX_ADD}) % {MIX_MOD} AS raw
+            FROM (SELECT unnest(generate_series(0, {STREAM_ROWS - 1})) AS i) g
+        ) s
+        GROUP BY sensor_id ORDER BY sensor_id
+    """,
+)
+def x_stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE CHECKPOINT RECOVERY, end to end: the offset-tracked
+    Python stream writes raw rows to a fault-tolerant PARQUET sink,
+    the query is KILLED mid-stream (after the first committed batch),
+    then restarted with the same checkpoint — the restarted query must
+    resume from the last committed offset (replaying any in-flight
+    batch via readBetweenOffsets) so the sink ends with EXACTLY
+    STREAM_ROWS rows: no loss from the kill, no duplicates from the
+    replay. The final batch aggregate over the sink hash-matches the
+    same oracle as x_stream_python_source — if recovery dropped or
+    duplicated even one row, the sums diverge.
+
+    This is the fault-tolerance contract a 100 TB ingest relies on:
+    offsets + idempotent file-manifest sink = exactly-once, regardless
+    of where the executor died. Memory sinks can't show this (not
+    fault-tolerant); the parquet sink's transaction log is what makes
+    the restart safe."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    register_sensorstream(spark)
+    tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    ckpt = os.path.join(tmp_root, f"recovery_ckpt_{run}")
+    out = os.path.join(tmp_root, f"recovery_out_{run}")
+
+    def start():
+        return (
+            spark.readStream.format("sensorstream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def committed_rows() -> int:
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # sink dir not created yet
+            return 0
+
+    # Phase 1: run until at least one batch is committed, then KILL.
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if committed_rows() > 0:
+                break
+            time.sleep(0.05)
+    finally:
+        q.stop()  # mid-stream kill (possibly mid-batch)
+    # Phase 2: restart from the same checkpoint; drain to completion.
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if committed_rows() == STREAM_ROWS:
+                break
+            time.sleep(0.1)
+        else:  # pragma: no cover - only on recovery failure
+            raise TimeoutError(
+                f"recovery did not converge: {committed_rows()} != {STREAM_ROWS}"
+            )
+    finally:
+        q.stop()
+    result = (
+        spark.read.parquet(out)
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("raw").cast("bigint").alias("sum_raw"),
+        )
+        .orderBy("sensor_id")
+        # materialize BEFORE the temp dirs are removed
+        .localCheckpoint()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -319,3 +319,28 @@ def test_stream_cms_grid_equals_batch_grid(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_recovery_is_exactly_once(spark):
+    # The registered query returns per-sensor totals after a mid-stream
+    # kill + checkpoint restart; totals must equal the full generator sums
+    # (loss shows as undercount, replay-duplication as overcount).
+    from music_database_spark.registry import load_all
+    from music_database_spark.sources.pydatasource import (
+        MIX_ADD,
+        MIX_MOD,
+        MIX_MUL,
+        N_SENSORS,
+        STREAM_ROWS,
+    )
+
+    got = {
+        r["sensor_id"]: (r["n"], r["sum_raw"])
+        for r in load_all()["x_stream_recovery"].build(spark, SF).collect()
+    }
+    expected = {}
+    for i in range(STREAM_ROWS):
+        s = i % N_SENSORS
+        n, t = expected.get(s, (0, 0))
+        expected[s] = (n + 1, t + (i * MIX_MUL + MIX_ADD) % MIX_MOD)
+    assert got == expected
