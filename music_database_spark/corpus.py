@@ -123,6 +123,28 @@ class CorpusPipeline:
 
         return containment_from_stats(self.shingle_index())
 
+    def substring_spans(self, min_tokens: int | None = None) -> DataFrame:
+        """Aligned shared-token runs >= min_tokens with positions on both
+        sides (the exact-substring dedup signal; x_substring_dedup /
+        x_span_mask semantics). Returns (id_a, id_b, start_a, start_b,
+        span)."""
+        from .operators.dedup import SPAN_MIN_TOKENS, substring_span_runs
+
+        return substring_span_runs(
+            self.docs,
+            self.id_col,
+            self.text_col,
+            min_span_tokens=SPAN_MIN_TOKENS if min_tokens is None else min_tokens,
+        )
+
+    def span_mask_budget(self) -> DataFrame:
+        """Per-doc mask budget after merging overlapping shared-span
+        intervals on the losing side (x_span_mask semantics): (doc_id,
+        n_sources, n_raw_spans, n_spans_merged, n_tokens_masked)."""
+        from .operators.dedup import mask_budget_from_runs
+
+        return mask_budget_from_runs(self.substring_spans(), self.id_col)
+
     # ---- splits and sampling ----------------------------------------------
 
     def _bucket(self, salt: str = "") -> F.Column:

@@ -2010,37 +2010,43 @@ def x_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     that doc's OWN mask intervals (dozens of rows, never tokens) — the
     expensive text rewrite happens later, map-side, driven by these
     integer intervals. All-integer output -> exact oracle."""
-    runs = substring_span_runs(_docs(spark, sf_dir))
+    return mask_budget_from_runs(substring_span_runs(_docs(spark, sf_dir)))
+
+
+def mask_budget_from_runs(runs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Interval-union mask budget from a positional runs frame — the one
+    implementation shared by the registered x_span_mask query and
+    CorpusPipeline.span_mask_budget."""
     iv = runs.select(
-        F.col("id_b").alias("doc_id"),
+        F.col("id_b").alias(id_col),
         F.col("id_a").alias("src"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("span")).alias("e"),
     )
     w_prev = (
-        W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy(id_col).orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
     )
     w_run = (
-        W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+        W.partitionBy(id_col).orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
     )
     prev_max = F.max("e").over(w_prev)
     grp = iv.withColumn(
         "new_grp",
         F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
     ).withColumn("g", F.sum("new_grp").over(w_run))
-    merged = grp.groupBy("doc_id", "g").agg(
+    merged = grp.groupBy(id_col, "g").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
     )
-    per_doc = merged.groupBy("doc_id").agg(
+    per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans_merged"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("n_tokens_masked"),
     )
-    raw = iv.groupBy("doc_id").agg(
+    raw = iv.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_raw_spans"),
         F.countDistinct("src").cast("bigint").alias("n_sources"),
     )
     return (
-        per_doc.join(raw, "doc_id")
-        .select("doc_id", "n_sources", "n_raw_spans", "n_spans_merged", "n_tokens_masked")
-        .orderBy("doc_id")
+        per_doc.join(raw, id_col)
+        .select(id_col, "n_sources", "n_raw_spans", "n_spans_merged", "n_tokens_masked")
+        .orderBy(id_col)
     )

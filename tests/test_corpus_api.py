@@ -273,3 +273,34 @@ def test_shared_shingle_index_serves_both_verifies(spark, pipe):
     }
     assert jac_shared == jac_reg and len(jac_shared) > 0
     assert con_shared == con_reg and len(con_shared) > 0
+
+
+def test_span_surface_matches_registered_queries(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    api_mask = {
+        r["doc_id"]: (r["n_sources"], r["n_raw_spans"], r["n_spans_merged"], r["n_tokens_masked"])
+        for r in pipe.span_mask_budget().collect()
+    }
+    reg_mask = {
+        r["doc_id"]: (r["n_sources"], r["n_raw_spans"], r["n_spans_merged"], r["n_tokens_masked"])
+        for r in reg["x_span_mask"].build(spark, SF_SMOKE).collect()
+    }
+    assert api_mask == reg_mask and len(api_mask) > 0
+    api_pairs = {
+        (r["id_a"], r["id_b"]): r["span"]
+        for r in pipe.substring_spans().groupBy("id_a", "id_b").agg(
+            F.max("span").alias("span")
+        ).collect()
+    }
+    reg_pairs = {
+        (r["id_a"], r["id_b"]): r["longest_span"]
+        for r in reg["x_substring_dedup"].build(spark, SF_SMOKE).collect()
+        if r["longest_span"] >= 20
+    }
+    # the registered query reports pairs whose LONGEST span >= 20 (over
+    # all runs); the API frame filters per-run — every API pair's max run
+    # must agree with the registered pair's longest span
+    for k, v in api_pairs.items():
+        assert reg_pairs[k] == v
