@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -64,6 +64,9 @@ def main() -> int:
         return 0
     if "--winnow" in sys.argv[1:]:
         winnow_growth(ks)
+        return 0
+    if "--spans" in sys.argv[1:]:
+        span_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -162,6 +165,55 @@ def winnow_growth(ks: list[int]) -> None:
             f"{k:>3} {docs.count():>7} {n_fps:>9} {n_fps / windows:>8.3f} {hot_pct:>8.1f} "
             f"{cand_dt:>8.2f} {cand:>10} {cont_dt:>8.2f} {cont:>10}"
         )
+        docs.unpersist()
+        spark.catalog.clearCache()
+
+
+def span_growth(ks: list[int]) -> None:
+    """Exact-substring family growth (x_substring_dedup / x_span_mask):
+
+        python tools/scalecheck.py --spans 1 2 4 10
+
+    Replicas are near-total copies, so every replica pair is a TRUE
+    shared-span pair — the span count must grow ~K^2 per doc family
+    (quadratic in the ANSWER) while the hot-k-gram cap keeps the
+    inverted-index join bounded once replica multiplicity crosses
+    SPAN_MAX_FREQ; wall-clock should track the answer, not corpus^2."""
+    from music_database_spark.operators.dedup import (
+        SPAN_MAX_FREQ,
+        substring_span_runs,
+    )
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    print(f"{'K':>3} {'docs':>7} {'hot_kg%':>8} {'sec':>7} {'span_rows':>10} {'masked_docs':>11}")
+    for k in ks:
+        docs = replicate(base, k).repartition(cores).persist()
+        docs.count()
+        # hot-k-gram mass the cap drops (same probe as --winnow's)
+        kg = docs.selectExpr(
+            "explode(transform(sequence(1, greatest(size(split(text,' ')) - 7, 0)),"
+            " i -> conv(substr(md5(concat_ws(' ', slice(split(text,' '), i, 8))),1,12),16,10))) AS h"
+        )
+        hot = (
+            kg.groupBy("h").count()
+            .selectExpr(
+                f"sum(CASE WHEN count > {SPAN_MAX_FREQ} THEN count ELSE 0 END) AS hot",
+                "sum(count) AS tot",
+            )
+            .collect()[0]
+        )
+        hot_pct = 100.0 * hot["hot"] / hot["tot"] if hot["tot"] else 0.0
+        t0 = time.time()
+        runs = substring_span_runs(docs).persist()
+        n_rows = runs.count()
+        dt = time.time() - t0
+        from music_database_spark.operators.dedup import mask_budget_from_runs
+
+        masked = mask_budget_from_runs(runs).count()
+        print(f"{k:>3} {docs.count():>7} {hot_pct:>8.1f} {dt:>7.2f} {n_rows:>10} {masked:>11}")
+        runs.unpersist()
         docs.unpersist()
         spark.catalog.clearCache()
 
