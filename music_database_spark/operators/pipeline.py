@@ -1219,3 +1219,75 @@ def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_d")
     )
+
+
+CARD_QUALITY_STOPS = ["the", "a", "of", "and", "to", "in", "is", "that"]
+
+
+@register(
+    "x_dataset_card",
+    tags=("EXT", "X4", "A1", "A5", "A6"),
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT lang, source, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(text) AS digest,
+                   CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+                        t -> list_contains({CARD_QUALITY_STOPS!r}, t)))
+                        >= 4 * len(string_split(text, ' ')) THEN 1 ELSE 0 END AS ok
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(ok) AS BIGINT) AS n_quality_ok,
+               round(CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+                   AS unique_ratio
+        FROM per_doc
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator — the per-(lang, source) summary block a
+    training-data release publishes (Gebru et al. "Datasheets for
+    Datasets" shape): doc counts, content-unique counts (md5 digest —
+    the exact-dedup rate preview), token/char mass, and how many docs
+    clear the stopword-density quality bar, plus the dedup headroom
+    ratio. ONE scan, every stat a conditional/partial aggregate; the
+    exact COUNT(DISTINCT digest) per group is the only Expand and
+    becomes approx_count_distinct at 100 TB with the same plan shape.
+
+    Composes the quality/dedup/token machinery into the release gate:
+    a drop whose unique_ratio or quality fraction moves >X% vs the last
+    card fails review (pair with x_snapshot_diff for the row-level
+    why)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    stop_list = F.array(*[F.lit(w) for w in CARD_QUALITY_STOPS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    ok = F.when(hits * 100 >= F.size(toks) * 4, 1).otherwise(0)
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            F.size(toks).alias("n_tokens"),
+            F.md5("text").alias("digest"),
+            ok.alias("ok"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("ok").cast("bigint").alias("n_quality_ok"),
+            F.round(
+                F.countDistinct("digest").cast("double") / F.count(F.lit(1)), 6
+            ).alias("unique_ratio"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -173,6 +173,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_kappa",
     "x_media_frame_dedup",
     "x_stream_recovery",
+    "x_dataset_card",
 )
 
 
