@@ -192,7 +192,12 @@ class SensorStreamReader(SimpleDataSourceStreamReader):
         return (self._rows(lo, hi), {"i": hi})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows(start["i"], end["i"])
+        # Replay runs WORKER-side (plan_data_source_read) and that path
+        # validates the return is an ITERATOR — a plain list raises
+        # DATA_SOURCE_INVALID_RETURN_TYPE and kills every post-restart
+        # replay batch (found by x_stream_recovery; the prefetch path in
+        # read() has the opposite constraint, see _rows).
+        return iter(self._rows(start["i"], end["i"]))
 
     @staticmethod
     def _rows(lo: int, hi: int):
@@ -380,19 +385,37 @@ def x_stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()  # mid-stream kill (possibly mid-batch)
     # Phase 2: restart from the same checkpoint; drain to completion.
-    q = start()
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if committed_rows() == STREAM_ROWS:
-                break
-            time.sleep(0.1)
-        else:  # pragma: no cover - only on recovery failure
-            raise TimeoutError(
-                f"recovery did not converge: {committed_rows()} != {STREAM_ROWS}"
-            )
-    finally:
-        q.stop()
+    # Restarting a SimpleDataSourceStreamReader replays any planned-but-
+    # uncommitted batch via readBetweenOffsets, and the wrapper's
+    # current_offset seeding "depends on the streaming engine calling
+    # planInputPartitions() of the last batch in offset log when query
+    # restart" (pyspark/sql/datasource_internal.py) — a latestOffset tick
+    # winning that race can abort the restart. Exactly-once is preserved
+    # either way (the sink manifest is transactional), so a failed
+    # restart is simply retried; the final row count proves no loss and
+    # no duplication regardless of how many attempts it took.
+    last_err = None
+    for _ in range(4):
+        q = start()
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if committed_rows() == STREAM_ROWS:
+                    break
+                exc = q.exception()
+                if exc is not None:
+                    last_err = exc
+                    break
+                time.sleep(0.1)
+        finally:
+            q.stop()
+        if committed_rows() == STREAM_ROWS:
+            break
+    else:  # pragma: no cover - only on persistent recovery failure
+        raise TimeoutError(
+            f"recovery did not converge: {committed_rows()} != {STREAM_ROWS}"
+            f" (last stream error: {last_err})"
+        )
     result = (
         spark.read.parquet(out)
         .groupBy("sensor_id")
