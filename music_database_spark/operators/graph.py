@@ -580,3 +580,121 @@ def x_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n") / 2).cast("bigint").alias("key"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("dist", "node_type", "key")
+
+
+SSSP_SRC = 0  # source nation key
+SSSP_ROUNDS = 6  # bounded Bellman-Ford rounds, unrolled identically in the oracle
+SSSP_COST_NUM = 1_000_000  # edge cost = 1 + NUM // trade_count (inverse intensity)
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford: d_i = per-node MIN over (d_{i-1} UNION
+    relax(d_{i-1})); MATERIALIZED per round for the same
+    3^rounds-inlining reason as the k-core oracle."""
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+            SELECT c_nationkey AS src, s_nationkey AS dst,
+                   CAST(1 + {SSSP_COST_NUM} // COUNT(*) AS BIGINT) AS w
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            GROUP BY 1, 2
+        ),
+        d0 AS MATERIALIZED (SELECT CAST({SSSP_SRC} AS BIGINT) AS n, CAST(0 AS BIGINT) AS d)"""
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT n, CAST(MIN(d) AS BIGINT) AS d FROM (
+                SELECT n, d FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS n, p.d + e.w AS d
+                FROM e JOIN d{i - 1} p ON e.src = p.n
+            ) u GROUP BY n
+        )"""
+        )
+    r = SSSP_ROUNDS
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT d{r}.n AS nationkey, n_name AS nation, d{r}.d AS dist_cost
+        FROM d{r} JOIN nation ON n_nationkey = d{r}.n
+        ORDER BY dist_cost, nationkey
+    """
+    )
+
+
+@register("x_sssp_weighted", tags=("EXT", "J1", "A4", "A7"), oracle=_sssp_oracle())
+def x_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford relaxation
+    rounds) over the directed nation trade graph — x_bfs's weighted
+    sibling: edge cost 1 + {SSSP_COST_NUM}//trade_count makes heavily
+    trading nation pairs 'close', so the distances rank market
+    reachability from the source nation. Integer costs keep every
+    relaxation exact; the oracle unrolls the same SSSP_ROUNDS rounds as
+    MATERIALIZED CTEs (the x_kcore recipe), hash-checking a genuinely
+    iterative algorithm. Spark early-exits at fixpoint: the (count,
+    sum-of-dists) pair is monotone (nodes only get added, dists only
+    shrink), so an unchanged pair IS convergence — every further
+    unrolled round is a no-op, keeping both engines' bounded-round
+    semantics identical.
+
+    100 TB design: the expensive stage is the one-off edge build
+    (fact-chain join + partial agg, persisted); each round is then an
+    equi-join of the edge list against the frontier distance vector +
+    a per-node MIN groupBy — digest-sized rows only, localCheckpoint
+    truncating lineage per round exactly like x_kcore/x_bfs. On a
+    general billion-node graph, edges and distances co-partition on
+    src so every round reuses one partitioning (Pregel-on-relational);
+    round count is bounded by the weighted diameter in hops.
+
+    Reference parity: no graph surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT graph family."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(
+            (F.lit(1) + F.expr(f"CAST({SSSP_COST_NUM} div count(*) AS BIGINT)"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .localCheckpoint()
+    )
+    spark_ = edges.sparkSession
+    dist = spark_.createDataFrame([(SSSP_SRC, 0)], "n long, d long").localCheckpoint()
+    last = (0, -1)
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("n", "src"), "src")
+            .select(F.col("dst").alias("n"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("n")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint()
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("d").alias("s")
+        ).collect()[0]
+        cur = (row["c"], row["s"])
+        if cur == last:  # fixpoint: monotone pair unchanged => converged
+            break
+        last = cur
+    return (
+        dist.join(F.broadcast(nation), dist.n == nation.n_nationkey)
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("d").alias("dist_cost"),
+        )
+        .orderBy("dist_cost", "nationkey")
+    )

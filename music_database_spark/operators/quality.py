@@ -694,3 +694,82 @@ def x_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+L_DIV = 3  # minimum acceptable distinct-sensitive-value count per QID group
+LDIV_BAND = 2000.0  # account-balance band width (the sensitive attribute)
+
+
+@register(
+    "x_l_diversity",
+    tags=("EXT", "A1", "A6", "J1"),
+    oracle=f"""
+        WITH qid AS (
+            SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                   CAST(floor(c.c_acctbal / {LDIV_BAND}) AS INTEGER) AS band
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        grp AS (
+            SELECT nation, segment,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS diversity,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM qid GROUP BY nation, segment
+        )
+        SELECT diversity,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               diversity >= {L_DIV} AS meets_l
+        FROM grp GROUP BY diversity ORDER BY diversity
+    """,
+)
+def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    homogeneity-attack complement to x_kanonymity: a quasi-identifier
+    group can be large (k-anonymous) yet leak its members' sensitive
+    attribute if every member shares one value. QID = (nation, market
+    segment); sensitive attribute = account-balance band (width
+    LDIV_BAND). Output: the diversity histogram — for each distinct
+    per-group sensitive-value count, how many groups and rows sit
+    there, and whether that level meets L_DIV (distinct l-diversity).
+
+    100 TB design: one partial-aggregable groupBy computes per-group
+    COUNT(DISTINCT band) (low-cardinality distinct -> Expand +
+    map-side partials, like x_profile), then a second tiny groupBy over
+    |groups| rows builds the histogram. Integer counts and an
+    integer band (floor of one IEEE double division, identical on both
+    engines) only — nothing float crosses a partition sum. The banding
+    IS the generalization hierarchy step, so promoting to wider bands
+    (the x_kanonymity level-1 move) reuses the same plan shape.
+
+    Reference parity: no privacy surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT mandate, privacy family
+    alongside x_kanonymity and x_redact."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qid = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(LDIV_BAND)).cast("int").alias("band"),
+    )
+    grp = qid.groupBy("nation", "segment").agg(
+        F.countDistinct("band").cast("bigint").alias("diversity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        grp.groupBy("diversity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "diversity",
+            "n_groups",
+            "n_rows",
+            (F.col("diversity") >= L_DIV).alias("meets_l"),
+        )
+        .orderBy("diversity")
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .relational import _t
 from ..functions.vector import as_double_array, dot
+from ..sources.loader import scan_wide
 
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch
@@ -950,4 +951,104 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common").cast("double") * F.lit(_HASH_SPAN) / F.col("th"), 6
             ).alias("est_inter"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+CUSUM_TOP = 5  # report the top-N candidate changepoint days
+
+
+@register(
+    "x_cusum_changepoint",
+    tags=("EXT", "O4", "A7", "F4"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        cum AS (
+            SELECT day, cents,
+                   CAST(SUM(cents) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS s,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily
+        ),
+        stat AS (
+            SELECT day, cents, abs(n * s - i * t) AS dev
+            FROM cum, tot
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, cents AS daily_cents,
+               CAST(dev AS BIGINT) AS cusum_dev,
+               CAST(ROW_NUMBER() OVER (ORDER BY dev DESC, day) AS INTEGER) AS rk
+        FROM stat
+        ORDER BY dev DESC, day LIMIT {CUSUM_TOP}
+    """,
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) over the daily revenue
+    series: the day maximizing |n*S_i - i*T| — the integer-scaled form
+    of the classic max |S_i - (i/n)*T| mean-shift statistic (scaling by
+    n clears the division, so the deviation is EXACT bigint arithmetic
+    and the top-{CUSUM_TOP} candidate days hash-match the oracle). The
+    monitoring-side complement to x_anomaly_zscore: z-scores flag
+    single outlier days, CUSUM localizes a persistent level shift —
+    the "did the corpus mix change at ingest batch k" question.
+
+    100 TB design: the raw stream collapses to one (day) row per
+    partition via partial aggregation before the window runs; the
+    cumulative sum then orders only |days| rows in a single window
+    partition — fine for calendar-grain series (thousands of rows);
+    per-entity changepoints would add PARTITION BY entity and spread
+    across the cluster. Cents are exact decimal-to-bigint, the
+    deviation n*S_i - i*T stays within int64 for ~10^3.5 days of
+    ~10^12-cent daily volume, and DECIMAL(38,0) is the documented
+    escape hatch past that.
+
+    Reference parity: no time-series surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT anomaly family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("s"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    stat = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cents",
+        F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("t")).alias("dev"),
+    )
+    return (
+        stat.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cents").alias("daily_cents"),
+            F.col("dev").cast("bigint").alias("cusum_dev"),
+            F.row_number()
+            .over(W.orderBy(F.col("dev").desc(), "day"))
+            .cast("int")
+            .alias("rk"),
+        )
+        .orderBy(F.col("cusum_dev").desc(), "day")
+        .limit(CUSUM_TOP)
     )

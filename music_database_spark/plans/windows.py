@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .relational import _t, dsum
+from ..sources.loader import scan_wide
 
 
 @register(
@@ -829,3 +830,192 @@ def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# EWMA: truncated exponentially-weighted moving average. Geometric
+# weights with ratio alpha=0.7 kept EXACT as integers: w_j =
+# 7^j * 10^(7-j) (proportional to 0.7^j), so the horizontal weighted
+# sum is pure int64 arithmetic and the single final division is one
+# IEEE op identical on both engines.
+EWMA_LAGS = 8
+EWMA_W: tuple[int, ...] = tuple((7**j) * (10 ** (EWMA_LAGS - 1 - j)) for j in range(EWMA_LAGS))
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n                   ".join(
+        f"lag(cents, {j}) OVER (ORDER BY day) AS l{j}" for j in range(1, EWMA_LAGS)
+    )
+    num = " + ".join(
+        [f"cents * {EWMA_W[0]}"]
+        + [f"COALESCE(l{j}, 0) * {EWMA_W[j]}" for j in range(1, EWMA_LAGS)]
+    )
+    den = " + ".join(
+        [f"{EWMA_W[0]}"]
+        + [
+            f"CASE WHEN l{j} IS NULL THEN 0 ELSE {EWMA_W[j]} END"
+            for j in range(1, EWMA_LAGS)
+        ]
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        lagged AS (
+            SELECT day, cents,
+                   {lag_cols}
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, cents AS daily_cents,
+               round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / 100.0, 6)
+                   AS ewma
+        FROM lagged ORDER BY day
+    """
+
+
+@register("x_ewma_smooth", tags=("EXT", "O4", "O5", "F4"), oracle=_ewma_oracle())
+def x_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.7 decay,
+    truncated at EWMA_LAGS terms) of daily revenue — the smoothing pass
+    dashboards and drift monitors run before eyeballing a noisy series.
+    The geometric weights are integer-exact (w_j = 7^j * 10^(7-j), i.e.
+    0.7^j scaled by 10^7), so each row's weighted numerator/denominator
+    is pure int64 arithmetic over the LAG values and the only float op
+    is one final division + round — bit-identical across engines, which
+    is what makes an inherently order-dependent recurrence hash-
+    checkable (full-history EWMA is a left fold; truncating at 8 terms
+    bounds the weight tail below 0.7^8 ~ 5.7%, standard practice).
+
+    100 TB design: partial aggregation collapses the fact stream to
+    |days| rows before the window; the lag window then orders a
+    thousands-row series (calendar grain) — per-entity smoothing would
+    PARTITION BY entity and distribute. int64 headroom: daily cents up
+    to ~9*10^11 times the 10^7 weight scale stays under 2^63.
+
+    Reference parity: the reference's rating-trend-over-time analysis
+    (README.md:8) is this shape; SURVEY.md §2.5 O4/O5."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        *[F.lag("cents", j).over(w).alias(f"l{j}") for j in range(1, EWMA_LAGS)],
+    )
+    num = F.col("cents") * EWMA_W[0]
+    den = F.lit(EWMA_W[0])
+    for j in range(1, EWMA_LAGS):
+        num = num + F.coalesce(F.col(f"l{j}"), F.lit(0)) * EWMA_W[j]
+        den = den + F.when(F.col(f"l{j}").isNull(), 0).otherwise(EWMA_W[j])
+    return lagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("daily_cents"),
+        F.round(num.cast("double") / den.cast("double") / 100.0, 6).alias("ewma"),
+    ).orderBy("day")
+
+
+ACF_LAGS: tuple[int, ...] = (1, 7)  # autocorrelation lags (day, week)
+
+
+def _acf_oracle() -> str:
+    leads = ",\n                   ".join(
+        f"lead(a, {k}) OVER (ORDER BY day) AS a{k}" for k in ACF_LAGS
+    )
+    nums = ",\n                   ".join(
+        f"CAST(SUM(a * a{k}) AS HUGEINT) AS num{k}" for k in ACF_LAGS
+    )
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS lag, round(CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+        f" AS acf FROM agg"
+        for k in ACF_LAGS
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily
+        ),
+        centered AS (
+            SELECT day, CAST(n * cents - sx AS HUGEINT) AS a
+            FROM daily, tot
+        ),
+        lagged AS (
+            SELECT day, a,
+                   {leads}
+            FROM centered
+        ),
+        agg AS (
+            SELECT {nums},
+                   CAST(SUM(a * a) AS HUGEINT) AS den
+            FROM lagged
+        )
+        SELECT lag, acf FROM ({outs}) u ORDER BY lag
+    """
+
+
+@register("x_acf", tags=("EXT", "O4", "A7", "F4"), oracle=_acf_oracle())
+def x_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (ACF at lags {day, week}) of the daily
+    revenue series — the seasonality probe run before choosing a
+    rollup grain or a drift-monitor window. Mean-centering is cleared
+    of division by scaling through n (a_t = n*x_t - Sx, an exact
+    integer), so numerator and denominator are exact 128-bit integer
+    sums (Spark DECIMAL(38,0) partials merge associatively; DuckDB
+    HUGEINT) and the only float work is one division + round per lag —
+    the statistic itself hash-matches.
+
+    100 TB design: the fact scan partial-aggregates to |days| rows
+    before any window; the lead window orders the small daily series
+    (unpartitioned is fine at calendar grain — per-store/per-entity
+    ACF adds PARTITION BY and distributes). The centered products
+    stay within decimal(38) for ~10^4 days of ~10^12-cent volume.
+
+    Reference parity: rating-trend analysis (README.md:8) is the
+    closest reference surface; SURVEY.md §2.5 O4 EXT."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    centered = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("cents") - F.col("sx")).cast("decimal(38,0)").alias("a"),
+    )
+    w = W.orderBy("day")
+    lagged = centered.select(
+        "a", *[F.lead("a", k).over(w).alias(f"a{k}") for k in ACF_LAGS]
+    )
+    agg = lagged.agg(
+        *[
+            F.sum(F.col("a") * F.col(f"a{k}")).cast("decimal(38,0)").alias(f"num{k}")
+            for k in ACF_LAGS
+        ],
+        F.sum(F.col("a") * F.col("a")).cast("decimal(38,0)").alias("den"),
+    )
+    out = None
+    for k in ACF_LAGS:
+        row = agg.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(
+                F.col(f"num{k}").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")

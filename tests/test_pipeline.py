@@ -898,3 +898,193 @@ def test_kappa_matches_sklearn_free_reference(spark, reg):
     assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
     assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-5
     assert -1.0 <= r["kappa"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: privacy, time-series stats, graph SSSP, basket mining
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_matches_pandas_reference(spark, reg):
+    import math
+
+    import pandas as pd
+
+    from music_database_spark.operators.quality import L_DIV, LDIV_BAND
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    df = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    df["band"] = df["c_acctbal"].map(lambda v: math.floor(v / LDIV_BAND))
+    grp = df.groupby(["n_name", "c_mktsegment"]).agg(
+        diversity=("band", "nunique"), n_rows=("band", "size")
+    )
+    hist = grp.groupby("diversity").agg(
+        n_groups=("n_rows", "size"), n_rows=("n_rows", "sum")
+    )
+    got = {
+        r["diversity"]: (r["n_groups"], r["n_rows"], r["meets_l"])
+        for r in reg["x_l_diversity"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        int(d): (int(r["n_groups"]), int(r["n_rows"]), bool(d >= L_DIV))
+        for d, r in hist.iterrows()
+    }
+    assert sum(v[1] for v in got.values()) == len(cust)  # every customer counted
+
+
+def _daily_cents(sf_dir: str):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    day = pd.to_datetime(orders["o_orderdate"]).dt.date
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    return cents.groupby(day).sum().sort_index()
+
+
+def test_cusum_changepoint_matches_numpy_reference(spark, reg):
+    import numpy as np
+
+    from music_database_spark.plans.sketches import CUSUM_TOP
+
+    daily = _daily_cents(SF_SMOKE)
+    x = daily.to_numpy()
+    n = len(x)
+    s = np.cumsum(x)
+    t = s[-1]
+    dev = np.abs(n * s - np.arange(1, n + 1) * t)
+    order = sorted(range(n), key=lambda i: (-dev[i], daily.index[i]))[:CUSUM_TOP]
+    expected = [
+        (str(daily.index[i]), int(x[i]), int(dev[i]), rk + 1)
+        for rk, i in enumerate(order)
+    ]
+    got = [
+        (r["day"], r["daily_cents"], r["cusum_dev"], r["rk"])
+        for r in reg["x_cusum_changepoint"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+
+
+def test_ewma_matches_numpy_reference_including_series_head(spark, reg):
+    from music_database_spark.plans.windows import EWMA_LAGS, EWMA_W
+
+    daily = _daily_cents(SF_SMOKE)
+    x = daily.to_numpy()
+    expected = {}
+    for t in range(len(x)):
+        num = den = 0
+        for j in range(min(t + 1, EWMA_LAGS)):
+            num += int(x[t - j]) * EWMA_W[j]
+            den += EWMA_W[j]
+        expected[str(daily.index[t])] = round(num / den / 100.0, 6)
+    got = {
+        r["day"]: r["ewma"]
+        for r in reg["x_ewma_smooth"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # weights are the exact 0.7-geometric scaled by 10^(lags-1)
+    assert EWMA_W[0] == 10 ** (EWMA_LAGS - 1)
+    for j in range(1, EWMA_LAGS):
+        assert EWMA_W[j] * 10 == EWMA_W[j - 1] * 7
+
+
+def test_acf_matches_numpy_reference(spark, reg):
+    from music_database_spark.plans.windows import ACF_LAGS
+
+    daily = _daily_cents(SF_SMOKE)
+    x = [int(v) for v in daily.to_numpy()]
+    n = len(x)
+    sx = sum(x)
+    a = [n * v - sx for v in x]  # exact python ints, like the engines' int128
+    den = sum(v * v for v in a)
+    got = {r["lag"]: r["acf"] for r in reg["x_acf"].build(spark, SF_SMOKE).collect()}
+    for k in ACF_LAGS:
+        num = sum(a[i] * a[i + k] for i in range(n - k))
+        assert got[k] == round(num / den, 6)
+    # sanity: ACF of a real series lies in [-1, 1]
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_sssp_matches_python_bellman_ford(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.graph import (
+        SSSP_COST_NUM,
+        SSSP_ROUNDS,
+        SSSP_SRC,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    e = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["c_nationkey", "s_nationkey"])
+        .size()
+    )
+    edges = [
+        (int(src), int(dst), 1 + SSSP_COST_NUM // int(w))
+        for (src, dst), w in e.items()
+    ]
+    dist = {SSSP_SRC: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for src, dst, w in edges:
+            if src in dist and dist[src] + w < nxt.get(dst, float("inf")):
+                nxt[dst] = dist[src] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    got = {
+        r["nationkey"]: r["dist_cost"]
+        for r in reg["x_sssp_weighted"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == dist
+    assert got[SSSP_SRC] == 0
+
+
+def test_assoc_rules_matches_pandas_reference(spark, reg):
+    from itertools import combinations
+
+    import pandas as pd
+
+    from music_database_spark.operators.basket import ASSOC_TOP, MIN_SUPP, PPM
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    items = li.drop_duplicates()
+    n_baskets = items["l_orderkey"].nunique()
+    cnt = items.groupby("l_partkey").size().to_dict()
+    freq = items[items["l_partkey"].map(cnt) >= MIN_SUPP]
+    pair_counts: dict[tuple[int, int], int] = {}
+    for _, basket in freq.groupby("l_orderkey")["l_partkey"]:
+        for pa, pb in combinations(sorted(basket), 2):
+            pair_counts[(pa, pb)] = pair_counts.get((pa, pb), 0) + 1
+    rules = []
+    for (pa, pb), n_ab in pair_counts.items():
+        if n_ab < MIN_SUPP:
+            continue
+        ca, cb = cnt[pa], cnt[pb]
+        rules.append(
+            (
+                int(pa),
+                int(pb),
+                n_ab,
+                ca,
+                cb,
+                n_ab * PPM // n_baskets,
+                n_ab * PPM // ca,
+                n_ab * n_baskets * PPM // (ca * cb),
+            )
+        )
+    rules.sort(key=lambda r: (-r[7], r[0], r[1]))
+    expected = rules[:ASSOC_TOP]
+    got = [
+        tuple(r)
+        for r in reg["x_assoc_rules"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    assert len(got) > 0
+    assert all(r[2] >= MIN_SUPP for r in got)
