@@ -773,3 +773,247 @@ def x_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diversity")
     )
+
+
+@register(
+    "x_chi2_independence",
+    tags=("EXT", "A1", "O4", "F4"),
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        cells AS (
+            SELECT segment, priority, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM joined GROUP BY segment, priority
+        ),
+        marg AS (
+            SELECT segment, priority, n_obs,
+                   CAST(SUM(n_obs) OVER (PARTITION BY segment) AS BIGINT) AS n_i,
+                   CAST(SUM(n_obs) OVER (PARTITION BY priority) AS BIGINT) AS n_j,
+                   CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        contrib AS (
+            SELECT segment, priority, n_obs,
+                   CAST(n_i * n_j * 1000 // n AS BIGINT) AS expected_milli,
+                   CAST(CAST(n * n_obs - n_i * n_j AS HUGEINT)
+                        * (n * n_obs - n_i * n_j) AS DOUBLE)
+                       / CAST(n * n_i * n_j AS DOUBLE) AS chi2_term,
+                   CASE WHEN n_obs = 0 THEN 0.0
+                        ELSE (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE))
+                             * log2(CAST(n * n_obs AS DOUBLE)
+                                    / CAST(n_i * n_j AS DOUBLE))
+                   END AS mi_term
+            FROM marg
+        )
+        SELECT segment, priority, n_obs, expected_milli,
+               round(CAST(SUM(chi2_term) OVER w AS DOUBLE), 6) AS chi2_cum,
+               round(CAST(SUM(mi_term) OVER w AS DOUBLE), 6) AS mi_bits_cum
+        FROM contrib
+        WINDOW w AS (ORDER BY segment, priority
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY segment, priority
+    """,
+)
+def x_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence tests over the (market segment x order priority)
+    contingency table: per-cell Pearson chi-square contributions and
+    mutual-information terms, accumulated as CUMULATIVE window sums in
+    a fixed cell order so the order-dependent float folds are
+    engine-identical (the x_ndcg recipe) — the last row's chi2_cum /
+    mi_bits_cum ARE the test statistic and the MI in bits. The
+    feature-selection / leakage screen a training pipeline runs over
+    (label, metadata) pairs: MI near zero clears a metadata column of
+    label leakage, large chi-square flags confounded sampling.
+
+    Determinism: chi-square terms clear the expected-count division
+    exactly — (n*O - n_i*n_j)^2 / (n*n_i*n_j) over 128-bit integer
+    products (Spark DECIMAL(38,0), DuckDB HUGEINT) with one double
+    division per cell; MI terms are one division + log2 + multiply per
+    cell (log2 is engine-portable here, pinned by x_ndcg/x_ngram_lm_score);
+    the folds run left-to-right in (segment, priority) order on both
+    engines.
+
+    100 TB design: the fact join partial-aggregates to r*c cells
+    before any window; marginals are window sums over those r*c rows,
+    not re-scans; everything after the first groupBy is O(cells).
+    Reference parity: no statistics surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT quality family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    marg = cells.select(
+        "segment",
+        "priority",
+        "n_obs",
+        F.sum("n_obs").over(W.partitionBy("segment")).cast("bigint").alias("n_i"),
+        F.sum("n_obs").over(W.partitionBy("priority")).cast("bigint").alias("n_j"),
+        F.sum("n_obs").over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    dev = F.col("n") * F.col("n_obs") - F.col("n_i") * F.col("n_j")
+    chi2_term = (dev.cast("decimal(38,0)") * dev).cast("double") / (
+        F.col("n") * F.col("n_i") * F.col("n_j")
+    ).cast("double")
+    mi_term = F.when(F.col("n_obs") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_obs").cast("double") / F.col("n").cast("double"))
+        * F.log2(
+            (F.col("n") * F.col("n_obs")).cast("double")
+            / (F.col("n_i") * F.col("n_j")).cast("double")
+        )
+    )
+    contrib = marg.select(
+        "segment",
+        "priority",
+        "n_obs",
+        F.expr("CAST(n_i * n_j * 1000 div n AS BIGINT)").alias("expected_milli"),
+        chi2_term.alias("chi2_term"),
+        mi_term.alias("mi_term"),
+    )
+    w = W.orderBy("segment", "priority").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return contrib.select(
+        "segment",
+        "priority",
+        "n_obs",
+        "expected_milli",
+        F.round(F.sum("chi2_term").over(w), 6).alias("chi2_cum"),
+        F.round(F.sum("mi_term").over(w), 6).alias("mi_bits_cum"),
+    ).orderBy("segment", "priority")
+
+
+@register(
+    "x_benford",
+    tags=("EXT", "A1", "F3", "F4"),
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+            FROM orders
+        ),
+        cnt AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+        SELECT d AS digit, n,
+               CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+               round(log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 6) AS benford_freq,
+               round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     - log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 6) AS deviation
+        FROM cnt, tot ORDER BY digit
+    """,
+)
+def x_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fabricated-data / broken-generator screen (a synthetic
+    or truncated money column deviates hard from log10(1+1/d)). The
+    first digit is extracted through EXACT integer cents (decimal cast,
+    *100, to string), never float log10 of the value itself — which
+    dodges the 10^k boundary cases where log10 rounding misclassifies
+    the digit. Observed frequencies are exact integer ppm; the Benford
+    reference and deviation are one log10 + division tree per digit
+    row, identical on both engines.
+
+    100 TB design: one map-side digit expression + a 9-group partial
+    aggregation; the totals join is a 1-row broadcast. Nothing scales
+    past the scan.
+
+    Reference parity: no audit surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT quality family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_totalprice"])
+    digits = orders.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    cnt = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("d").cast("double"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("obs_ppm"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double") - benford, 6
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "x_simpson_diversity",
+    tags=("EXT", "A1", "A7", "F4"),
+    oracle="""
+        WITH lc AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source, lang
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs
+            FROM lc GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               round(1.0 - CAST(same_pairs AS DOUBLE)
+                           / CAST(n_docs * (n_docs - 1) AS DOUBLE), 6)
+                   AS simpson_index
+        FROM agg ORDER BY source
+    """,
+)
+def x_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity index (1 - sum n_i(n_i-1)/(N(N-1))) of the
+    language mix per corpus source — the probability two random docs
+    from a source differ in language; the mix-health gate a multilingual
+    corpus drop must clear (a 'web' source collapsing toward one
+    language is a crawler regression even when volume holds). The
+    complement view to x_gini_concentration's inequality measure.
+
+    Numerator and denominator are exact bigint pair counts, so the only
+    float op is one division + subtract + round per source row —
+    hash-deterministic with no decimal machinery.
+
+    100 TB design: one partial-aggregable (source, lang) groupBy
+    collapses the corpus to cells, then a per-source groupBy over cells;
+    both shuffle digest-sized rows. Exact by construction at any scale
+    (no sampling), unlike entropy-based mixes that need log tables.
+
+    Reference parity: genre-mix analyses (README.md:8) are the closest
+    reference surface; SURVEY.md §2 EXT quality family."""
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    lc = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = lc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(
+            1.0
+            - F.col("same_pairs").cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
+            6,
+        ).alias("simpson_index"),
+    ).orderBy("source")

@@ -1613,3 +1613,122 @@ def x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     ).orderBy("event_type")
+
+
+RFM_TILES = 5  # quintile scores per RFM axis
+
+
+@register(
+    "x_rfm_segmentation",
+    tags=("EXT", "A1", "O3", "F7"),
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey,
+                   CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_day,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT MAX(last_day) AS maxd FROM per_cust),
+        rfm AS (
+            SELECT custkey,
+                   CAST(date_diff('day', last_day, maxd) AS BIGINT) AS recency_days,
+                   frequency, cents
+            FROM per_cust, anchor
+        ),
+        scored AS (
+            SELECT custkey, frequency, cents,
+                   ntile({RFM_TILES}) OVER (ORDER BY recency_days DESC, custkey)
+                       AS r_score,
+                   ntile({RFM_TILES}) OVER (ORDER BY frequency ASC, custkey)
+                       AS f_score,
+                   ntile({RFM_TILES}) OVER (ORDER BY cents ASC, custkey) AS m_score
+            FROM rfm
+        )
+        SELECT r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+                    ELSE 'regular' END AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+)
+def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994): per-customer recency /
+    frequency / monetary quintile scores (ntile over a TOTAL order with
+    custkey tiebreaks, so bucket edges are engine-identical), rolled up
+    to the (r, f, m) cell grid with a champion/at-risk/recent/regular
+    label — the lifecycle-marketing cut of the customer base, and the
+    per-entity-scoring shape a corpus pipeline reuses to tier documents
+    by (freshness, update cadence, token mass) before sampling weights.
+
+    Determinism: recency is integer days against the dataset's own max
+    date (no wall clock), money is exact cents; ntile over a duplicate-
+    free total order is pure integer bucketing — no floats anywhere.
+
+    100 TB design: one partial-aggregable per-customer groupBy collapses
+    the fact table; the three ntiles order the collapsed (|customers|)
+    frame — at extreme cardinality swap exact ntile for
+    approx-quantile-edge bucketing (same output schema); the final
+    rollup is O(cells). The anchor date is a 1-row broadcast.
+
+    Reference parity: 'top users / most active users' analyses
+    (Queries:22-38 shape) generalized; SURVEY.md §2 EXT analytics."""
+    orders = scan_wide(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("maxd"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff(F.col("maxd"), F.col("last_day")).cast("bigint").alias("recency_days"),
+        "frequency",
+        "cents",
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        "cents",
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.col("recency_days").desc(), "custkey"))
+        .alias("r_score"),
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.col("frequency").asc(), "custkey"))
+        .alias("f_score"),
+        F.ntile(RFM_TILES)
+        .over(W.orderBy(F.col("cents").asc(), "custkey"))
+        .alias("m_score"),
+    )
+    label = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "recent")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            label.alias("segment"),
+            "n_customers",
+            "sum_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

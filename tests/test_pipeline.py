@@ -1088,3 +1088,104 @@ def test_assoc_rules_matches_pandas_reference(spark, reg):
     assert got == expected
     assert len(got) > 0
     assert all(r[2] >= MIN_SUPP for r in got)
+
+
+def test_chi2_and_mi_match_scipy_free_reference(spark, reg):
+    import math
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderpriority"]
+    ]
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    tab = j.groupby(["c_mktsegment", "o_orderpriority"]).size()
+    n = int(tab.sum())
+    ni = tab.groupby(level=0).sum()
+    nj = tab.groupby(level=1).sum()
+    chi2 = mi = 0.0
+    rows = reg["x_chi2_independence"].build(spark, SF_SMOKE).collect()
+    for r in sorted(rows, key=lambda r: (r["segment"], r["priority"])):
+        o = int(tab[(r["segment"], r["priority"])])
+        a, b = int(ni[r["segment"]]), int(nj[r["priority"]])
+        assert r["n_obs"] == o
+        assert r["expected_milli"] == a * b * 1000 // n
+        chi2 += (n * o - a * b) ** 2 / (n * a * b)
+        if o:
+            mi += (o / n) * math.log2(n * o / (a * b))
+    last = max(rows, key=lambda r: (r["segment"], r["priority"]))
+    assert last["chi2_cum"] == pytest.approx(chi2, abs=2e-6)
+    assert last["mi_bits_cum"] == pytest.approx(mi, abs=2e-6)
+    assert last["mi_bits_cum"] >= 0  # MI is nonnegative
+
+
+def test_benford_digits_conserve_and_pin_reference_curve(spark, reg):
+    import math
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    digits = (
+        (orders["o_totalprice"].round(2) * 100)
+        .round()
+        .astype("int64")
+        .astype(str)
+        .str[0]
+        .astype(int)
+    )
+    expect = digits.value_counts().to_dict()
+    rows = {r["digit"]: r for r in reg["x_benford"].build(spark, SF_SMOKE).collect()}
+    assert {d: r["n"] for d, r in rows.items()} == expect
+    assert sum(r["n"] for r in rows.values()) == len(orders)
+    for d, r in rows.items():
+        assert r["benford_freq"] == round(math.log10(1 + 1 / d), 6)
+        assert r["obs_ppm"] == r["n"] * 1_000_000 // len(orders)
+
+
+def test_simpson_diversity_matches_pandas_reference(spark, reg):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source", "lang"]]
+    got = {
+        r["source"]: r
+        for r in reg["x_simpson_diversity"].build(spark, SF_SMOKE).collect()
+    }
+    for source, g in docs.groupby("source"):
+        counts = g["lang"].value_counts()
+        n = len(g)
+        same = int((counts * (counts - 1)).sum())
+        r = got[str(source)]
+        assert r["n_docs"] == n
+        assert r["n_langs"] == len(counts)
+        assert r["simpson_index"] == round(1.0 - same / (n * (n - 1)), 6)
+        assert 0.0 <= r["simpson_index"] < 1.0
+
+
+def test_rfm_scores_partition_customers_into_balanced_quintiles(spark, reg):
+    from music_database_spark.plans.analytics import RFM_TILES
+
+    rows = reg["x_rfm_segmentation"].build(spark, SF_SMOKE).collect()
+    n_cust = sum(r["n_customers"] for r in rows)
+    # every customer with >= 1 order lands in exactly one cell
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert n_cust == orders["o_custkey"].nunique()
+    # each axis's marginal is a balanced ntile partition (sizes differ by <= 1)
+    for axis in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in rows:
+            marg[r[axis]] = marg.get(r[axis], 0) + r["n_customers"]
+        assert set(marg) == set(range(1, RFM_TILES + 1))
+        assert max(marg.values()) - min(marg.values()) <= 1
+    # labels depend only on (r, f)
+    seen = {}
+    for r in rows:
+        key = (r["r_score"], r["f_score"])
+        assert seen.setdefault(key, r["segment"]) == r["segment"]
+    # money conserves in cents
+    total_cents = int((orders["o_totalprice"].round(2) * 100).round().sum())
+    assert sum(r["sum_cents"] for r in rows) == total_cents
