@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -67,6 +67,9 @@ def main() -> int:
         return 0
     if "--spans" in sys.argv[1:]:
         span_growth(ks)
+        return 0
+    if "--basket" in sys.argv[1:]:
+        basket_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -410,6 +413,63 @@ def tpch_growth(ks: list[int]) -> None:
         li.unpersist()
         o.unpersist()
         spark.catalog.clearCache()
+
+def basket_growth(ks: list[int]) -> None:
+    """Association-rule candidate growth: replicate lineitem K times with
+    orderkey offsets (same basket widths, K x more baskets) and measure
+    the pair self-join's candidate volume with and without the a-priori
+    support floor. The claim under test (operators/basket.py): pair
+    expansion is sum-of-squares of basket sizes — LINEAR in baskets —
+    and the floor prunes the item side before pairing."""
+    from music_database_spark.operators.basket import MIN_SUPP
+
+    spark = get_spark("scalecheck_basket")
+    li0 = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    max_ok = li0.agg(F.max("l_orderkey")).collect()[0][0] + 1
+
+    print(
+        f"{'K':>3} {'baskets':>8} {'items':>9} {'freq_items':>10}"
+        f" {'cand_pairs':>10} {'freq_pairs':>10} {'sec':>7}"
+    )
+    for k in ks:
+        li = li0
+        for r in range(1, k):
+            li = li.unionByName(
+                li0.withColumn("l_orderkey", F.col("l_orderkey") + r * max_ok)
+            )
+        items = (
+            li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+            .distinct()
+            .persist()
+        )
+        n_items = items.count()
+        n_baskets = items.select("okey").distinct().count()
+        t0 = time.time()
+        cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+        freq_pk = cnt.filter(F.col("c") >= MIN_SUPP).select("pk")
+        n_freq_items = freq_pk.count()
+        freq = items.join(F.broadcast(freq_pk), "pk").select("okey", "pk")
+        a, b = freq.alias("a"), freq.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") < F.col("b.pk")),
+            )
+            .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .persist()
+        )
+        n_cand = pairs.agg(F.sum("n_ab")).collect()[0][0] or 0
+        n_freq_pairs = pairs.filter(F.col("n_ab") >= MIN_SUPP).count()
+        dt = time.time() - t0
+        print(
+            f"{k:>3} {n_baskets:>8} {n_items:>9} {n_freq_items:>10}"
+            f" {n_cand:>10} {n_freq_pairs:>10} {dt:>7.2f}"
+        )
+        pairs.unpersist()
+        items.unpersist()
+        spark.catalog.clearCache()
+
 
 if __name__ == "__main__":
     sys.exit(main())
