@@ -1291,3 +1291,202 @@ def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+TEMP_TAU_NOTE = "tau = 0.5, i.e. q_l ∝ sqrt(n_l) — pow at 0.5 IS sqrt (exact IEEE)"
+
+
+@register(
+    "x_temperature_sample",
+    tags=("EXT", "A1", "O4", "F4"),
+    oracle="""
+        WITH lc AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        w AS (
+            SELECT lang, n_docs,
+                   CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+                   sqrt(CAST(n_docs AS DOUBLE)) AS s,
+                   SUM(sqrt(CAST(n_docs AS DOUBLE)))
+                       OVER (ORDER BY lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM lc
+        ),
+        z AS (SELECT lang, n_docs, n_total, s, MAX(cum) OVER () AS zsum FROM w)
+        SELECT lang, n_docs,
+               CAST(n_docs * 1000000 // n_total AS BIGINT) AS base_ppm,
+               round(s / zsum, 6) AS weight_temp,
+               round(s * CAST(n_total AS DOUBLE)
+                     / (zsum * CAST(n_docs AS DOUBLE)), 6) AS boost
+        FROM z ORDER BY lang
+    """,
+)
+def x_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (the multilingual
+    training-mix recipe of Conneau & Lample, NeurIPS'19: q_l ∝ p_l^tau,
+    tau=0.5): low-resource languages are upsampled relative to their
+    natural share — the boost column is exactly that upsampling factor.
+    tau=0.5 keeps the float surface honest: pow(x, 0.5) IS sqrt (IEEE
+    correctly rounded), the normalizer is a CUMULATIVE window fold in
+    lang order (the x_ndcg order-determinism recipe) surfaced to every
+    row via MAX over the monotone cumsum, and each output is one fixed
+    division tree — the weights themselves hash-match.
+
+    100 TB design: one partial-aggregable groupBy collapses the corpus
+    to |langs| rows; every window after that orders the tiny lang frame.
+    The weights then FEED x_weighted_sample / x_mixture_sample's
+    md5-threshold sampling — this query is the planning half, those are
+    the apply half.
+
+    Reference parity: no sampling surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT pipeline family."""
+    docs = wide_docs(spark, sf_dir).select("lang")
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wcum = W.orderBy("lang").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = lc.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(W.partitionBy()).cast("bigint").alias("n_total"),
+        F.sqrt(F.col("n_docs").cast("double")).alias("s"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(wcum).alias("cum"),
+    )
+    z = w.select(
+        "lang", "n_docs", "n_total", "s", F.max("cum").over(W.partitionBy()).alias("zsum")
+    )
+    return z.select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias("base_ppm"),
+        F.round(F.col("s") / F.col("zsum"), 6).alias("weight_temp"),
+        F.round(
+            F.col("s")
+            * F.col("n_total").cast("double")
+            / (F.col("zsum") * F.col("n_docs").cast("double")),
+            6,
+        ).alias("boost"),
+    ).orderBy("lang")
+
+
+TOKEN_BUDGET = 2_000_000  # target training tokens to allocate across sources
+BUDGET_CAP_PCT = 30  # no source may exceed this % of the budget
+
+
+@register(
+    "x_token_budget",
+    tags=("EXT", "A1", "O4", "F7"),
+    oracle=f"""
+        WITH st AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT) AS tok
+            FROM documents GROUP BY source
+        ),
+        p1 AS (
+            SELECT source, tok,
+                   CAST(SUM(tok) OVER () AS BIGINT) AS t_total,
+                   CAST({TOKEN_BUDGET} * tok
+                        // SUM(tok) OVER () AS BIGINT) AS want
+            FROM st
+        ),
+        capped AS (
+            SELECT source, tok, t_total, want,
+                   CAST({TOKEN_BUDGET} * {BUDGET_CAP_PCT} // 100 AS BIGINT) AS cap,
+                   want > {TOKEN_BUDGET} * {BUDGET_CAP_PCT} // 100 AS is_capped
+            FROM p1
+        ),
+        p2 AS (
+            SELECT source, tok, want, cap, is_capped,
+                   CAST({TOKEN_BUDGET}
+                        - SUM(LEAST(want, cap)) OVER () AS BIGINT) AS leftover,
+                   CAST(SUM(CASE WHEN is_capped THEN 0 ELSE tok END) OVER ()
+                        AS BIGINT) AS tok_uncapped
+            FROM capped
+        )
+        SELECT source, tok AS tokens_avail,
+               CAST(LEAST(CASE WHEN is_capped OR tok_uncapped = 0
+                               THEN LEAST(want, cap)
+                               ELSE LEAST(want, cap) + leftover * tok // tok_uncapped
+                          END, cap) AS BIGINT) AS alloc_tokens,
+               is_capped,
+               CAST(LEAST(CASE WHEN is_capped OR tok_uncapped = 0
+                               THEN LEAST(want, cap)
+                               ELSE LEAST(want, cap) + leftover * tok // tok_uncapped
+                          END, cap) * 1000000 // {TOKEN_BUDGET} AS BIGINT)
+                   AS fill_ppm
+        FROM p2 ORDER BY source
+    """,
+)
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across corpus sources — the training-mix
+    planning step: give each source its proportional share of
+    TOKEN_BUDGET, cap any source at BUDGET_CAP_PCT% (domain-cap
+    discipline, cf. x_domain_cap's row-level form), and redistribute
+    the capped surplus proportionally among uncapped sources (one
+    waterfilling round; the residual integer slack stays unallocated by
+    design — allocation NEVER exceeds budget). Pure integer arithmetic
+    (floor divisions), so every allocation hash-matches.
+
+    100 TB design: one whitespace-token count pass partial-aggregates
+    the corpus to |sources| rows; all allocation logic is window math
+    over that tiny frame. The alloc_tokens feed x_weighted_sample's
+    md5-threshold apply step per source.
+
+    Reference parity: no planning surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT pipeline family."""
+    docs = wide_docs(spark, sf_dir).select("source", "text")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    st = docs.groupBy("source").agg(F.sum(n_tok).cast("bigint").alias("tok"))
+    cap = TOKEN_BUDGET * BUDGET_CAP_PCT // 100
+    p1 = st.select(
+        "source",
+        "tok",
+        F.sum("tok").over(W.partitionBy()).cast("bigint").alias("t_total"),
+    ).select(
+        "source",
+        "tok",
+        F.expr(f"CAST({TOKEN_BUDGET} * tok div t_total AS BIGINT)").alias("want"),
+    )
+    capped = p1.select(
+        "source",
+        "tok",
+        "want",
+        F.lit(cap).cast("bigint").alias("cap"),
+        (F.col("want") > cap).alias("is_capped"),
+    )
+    p2 = capped.select(
+        "source",
+        "tok",
+        "want",
+        "cap",
+        "is_capped",
+        (
+            F.lit(TOKEN_BUDGET)
+            - F.sum(F.least("want", "cap")).over(W.partitionBy())
+        )
+        .cast("bigint")
+        .alias("leftover"),
+        F.sum(F.when(F.col("is_capped"), 0).otherwise(F.col("tok")))
+        .over(W.partitionBy())
+        .cast("bigint")
+        .alias("tok_uncapped"),
+    )
+    base = F.least("want", "cap")
+    alloc = F.least(
+        F.when(
+            F.col("is_capped") | (F.col("tok_uncapped") == 0), base
+        ).otherwise(
+            base + F.expr("CAST(leftover * tok div tok_uncapped AS BIGINT)")
+        ),
+        F.col("cap"),
+    ).cast("bigint")
+    return p2.select(
+        "source",
+        F.col("tok").alias("tokens_avail"),
+        alloc.alias("alloc_tokens"),
+        "is_capped",
+        (alloc * 1_000_000 / F.lit(TOKEN_BUDGET))
+        .cast("bigint")
+        .alias("fill_ppm"),
+    ).orderBy("source")

@@ -1017,3 +1017,70 @@ def x_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson_index"),
     ).orderBy("source")
+
+
+DP_EPSILON = 1.0  # privacy budget; sensitivity of a count is 1 -> scale b = 1/eps
+DP_SEED_TAG = "dpv1"  # versioned seed namespace for the deterministic exhibit
+
+
+@register(
+    "x_dp_noisy_counts",
+    tags=("EXT", "A1", "F3", "F4"),
+    oracle=f"""
+        WITH cnt AS (
+            SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_mktsegment
+        ),
+        seeded AS (
+            SELECT segment, n,
+                   (CAST('0x' || substr(md5(segment || '|{DP_SEED_TAG}'), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0 AS u,
+                   CASE WHEN CAST('0x' || substr(md5(segment || '|{DP_SEED_TAG}'), 9, 1)
+                             AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+            FROM cnt
+        )
+        SELECT segment,
+               round(CAST(n AS DOUBLE) + sgn * (-(1.0 / {DP_EPSILON}) * ln(u)), 6)
+                   AS noisy_count,
+               {DP_EPSILON} AS epsilon
+        FROM seeded ORDER BY segment
+    """,
+)
+def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-segment customer counts:
+    Laplace mechanism with scale b = sensitivity/epsilon —
+    the aggregate-release gate closing the privacy family (x_redact
+    masks rows, x_kanonymity/x_l_diversity audit groups, this perturbs
+    the published statistic). Laplace noise is built as a signed
+    exponential (sign * Exp(b) ~ Laplace(b)) from an md5-derived
+    uniform — the engine-portable hash family (see x_hash_split) — so
+    this TEST-MODE exhibit is deterministic and hash-checked end to
+    end; production swaps the seeded uniform for a CSPRNG draw per
+    release, everything else unchanged. ln() portability is already
+    pinned by x_ngram_lm_score's oracle-checked log expressions.
+
+    100 TB design: one partial-aggregable groupBy + map-side noise
+    expressions over |groups| rows; noise cost is independent of data
+    volume (that is the point of output perturbation vs input
+    perturbation).
+
+    Reference parity: no privacy surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT privacy family."""
+    customer = _t(spark, sf_dir, "customer").select("c_mktsegment")
+    cnt = customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    seed = F.md5(F.concat(F.col("segment"), F.lit(f"|{DP_SEED_TAG}")))
+    u = (
+        F.conv(F.substring(seed, 1, 8), 16, 10).cast("bigint") + 0.5
+    ) / 4294967296.0
+    sgn = F.when(
+        F.conv(F.substring(seed, 9, 1), 16, 10).cast("bigint") % 2 == 0, 1.0
+    ).otherwise(-1.0)
+    return cnt.select(
+        "segment",
+        F.round(
+            F.col("n").cast("double") + sgn * (-(1.0 / DP_EPSILON) * F.log(u)), 6
+        ).alias("noisy_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    ).orderBy("segment")

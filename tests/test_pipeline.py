@@ -1189,3 +1189,81 @@ def test_rfm_scores_partition_customers_into_balanced_quintiles(spark, reg):
     # money conserves in cents
     total_cents = int((orders["o_totalprice"].round(2) * 100).round().sum())
     assert sum(r["sum_cents"] for r in rows) == total_cents
+
+
+def test_temperature_sampling_upsamples_low_resource_langs(spark, reg):
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    counts = docs.groupby("lang").size().sort_index()
+    n_total = int(counts.sum())
+    s = {lang: math.sqrt(int(n)) for lang, n in counts.items()}
+    zsum = 0.0
+    for lang in sorted(s):  # same left-to-right fold as both engines
+        zsum += s[lang]
+    rows = {
+        r["lang"]: r
+        for r in reg["x_temperature_sample"].build(spark, SF_SMOKE).collect()
+    }
+    for lang, n in counts.items():
+        r = rows[lang]
+        assert r["n_docs"] == int(n)
+        assert r["base_ppm"] == int(n) * 1_000_000 // n_total
+        assert r["weight_temp"] == round(s[lang] / zsum, 6)
+        assert r["boost"] == round(s[lang] * n_total / (zsum * int(n)), 6)
+    # tau<1 compresses the distribution: smallest lang boosted, largest damped
+    smallest = counts.idxmin()
+    largest = counts.idxmax()
+    assert rows[smallest]["boost"] > 1.0 > rows[largest]["boost"]
+    # weights sum to ~1
+    assert sum(r["weight_temp"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_token_budget_conserves_and_respects_cap(spark, reg):
+    from music_database_spark.operators.pipeline import (
+        BUDGET_CAP_PCT,
+        TOKEN_BUDGET,
+    )
+
+    rows = reg["x_token_budget"].build(spark, SF_SMOKE).collect()
+    cap = TOKEN_BUDGET * BUDGET_CAP_PCT // 100
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= TOKEN_BUDGET  # never over-allocates
+    # waterfilling leaves only integer-floor slack: within |sources| + capped mass
+    assert all(r["alloc_tokens"] <= cap for r in rows)
+    assert all(
+        (r["alloc_tokens"] == cap) == bool(r["is_capped"])
+        or r["alloc_tokens"] < cap
+        for r in rows
+    )
+    for r in rows:
+        assert r["fill_ppm"] == r["alloc_tokens"] * 1_000_000 // TOKEN_BUDGET
+        assert r["alloc_tokens"] >= 0
+
+
+def test_dp_noisy_counts_pin_laplace_construction(spark, reg):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from music_database_spark.operators.quality import DP_EPSILON, DP_SEED_TAG
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    counts = cust.groupby("c_mktsegment").size()
+    rows = {
+        r["segment"]: r
+        for r in reg["x_dp_noisy_counts"].build(spark, SF_SMOKE).collect()
+    }
+    for seg, n in counts.items():
+        h = hashlib.md5(f"{seg}|{DP_SEED_TAG}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        sgn = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        noise = sgn * (-(1.0 / DP_EPSILON) * math.log(u))
+        r = rows[seg]
+        assert r["noisy_count"] == round(int(n) + noise, 6)
+        assert r["epsilon"] == DP_EPSILON
+        # noise magnitude is plausibly Laplace(1): |noise| < 25 w.p. ~1-3e-11
+        assert abs(r["noisy_count"] - int(n)) < 25
