@@ -22,7 +22,7 @@ operators/dedup.py (x_dedup_clusters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -698,3 +698,141 @@ def x_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist_cost", "nationkey")
     )
+
+
+@register(
+    "x_modularity",
+    tags=("EXT", "J1", "A7", "F4"),
+    oracle="""
+        WITH e AS (
+            SELECT c_nationkey AS src, s_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            GROUP BY 1, 2
+        ),
+        er AS (
+            SELECT ns.n_regionkey AS rsrc, nd.n_regionkey AS rdst, e.src, e.dst, e.w
+            FROM e
+            JOIN nation ns ON ns.n_nationkey = e.src
+            JOIN nation nd ON nd.n_nationkey = e.dst
+        ),
+        m AS (SELECT CAST(2 * SUM(w) AS BIGINT) AS m2 FROM er),
+        deg AS (
+            SELECT n, CAST(SUM(w) AS BIGINT) AS k FROM (
+                SELECT src AS n, w FROM er
+                UNION ALL
+                SELECT dst AS n, w FROM er
+            ) u GROUP BY n
+        ),
+        dreg AS (
+            SELECT nation.n_regionkey AS rk, CAST(SUM(k) AS BIGINT) AS d_c
+            FROM deg JOIN nation ON n_nationkey = deg.n GROUP BY 1
+        ),
+        ereg AS (
+            SELECT rsrc AS rk, CAST(2 * SUM(w) AS BIGINT) AS e_c
+            FROM er WHERE rsrc = rdst GROUP BY rsrc
+        ),
+        q AS (
+            SELECT r_name AS region,
+                   COALESCE(e_c, 0) AS internal_w, d_c AS degree_w,
+                   CAST(CAST(COALESCE(e_c, 0) AS HUGEINT) * m2
+                        - CAST(d_c AS HUGEINT) * d_c AS DOUBLE)
+                   / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS qc
+            FROM dreg
+            LEFT JOIN ereg ON ereg.rk = dreg.rk
+            JOIN region ON r_regionkey = dreg.rk
+            CROSS JOIN m
+        )
+        SELECT region, internal_w, degree_w,
+               round(qc, 6) AS q_contrib,
+               round(CAST(SUM(qc) OVER (ORDER BY region
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE), 6) AS q_cum
+        FROM q ORDER BY region
+    """,
+)
+def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity (Newman & Girvan 2004) of the REGION partition of the
+    undirected weighted nation trade graph — "is intra-region trade
+    denser than a degree-preserving random rewiring predicts?": per
+    community Q_c = e_c/2m − (d_c/2m)², emitted per region with the
+    running total (the last row's q_cum IS the partition's modularity).
+    The graph-quality metric that scores any clustering the engine
+    produces (components, label-prop, k-core) — here scored against
+    the natural geographic communities.
+
+    Determinism: Q_c is the exact rational (e_c·2m − d_c²)/(2m)² —
+    numerator and denominator as 128-bit integer products (Spark
+    DECIMAL(38,0) / DuckDB HUGEINT), ONE double division per region,
+    and the total folded as a CUMULATIVE window sum in region order
+    (the x_ndcg recipe), so the statistic hash-matches.
+
+    100 TB design: the only scale-bound stage is the fact-chain edge
+    build shared with x_pagerank/x_sssp_weighted (partial-aggregated
+    to a |V|²-bounded edge list); everything after is O(|V| + |C|)
+    joins over broadcast-sized frames.
+
+    Reference parity: no graph surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT graph family."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ns = nation.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rsrc"))
+    nd = nation.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rdst"))
+    er = e.join(F.broadcast(ns), "src").join(F.broadcast(nd), "dst").localCheckpoint()
+    m = er.agg((2 * F.sum("w")).cast("bigint").alias("m2"))
+    deg = (
+        er.select(F.col("src").alias("n"), "w")
+        .unionAll(er.select(F.col("dst").alias("n"), "w"))
+        .groupBy("n")
+        .agg(F.sum("w").cast("bigint").alias("k"))
+    )
+    dreg = (
+        deg.join(F.broadcast(nation), deg.n == nation.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(F.sum("k").cast("bigint").alias("d_c"))
+    )
+    ereg = (
+        er.filter(F.col("rsrc") == F.col("rdst"))
+        .groupBy(F.col("rsrc").alias("rk"))
+        .agg((2 * F.sum("w")).cast("bigint").alias("e_c"))
+    )
+    q = (
+        dreg.join(ereg, "rk", "left")
+        .join(F.broadcast(region), dreg.rk == region.r_regionkey)
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("r_name").alias("region"),
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("internal_w"),
+            F.col("d_c").alias("degree_w"),
+            (
+                (
+                    F.coalesce(F.col("e_c"), F.lit(0)).cast("decimal(38,0)")
+                    * F.col("m2")
+                    - F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+                ).cast("double")
+                / (F.col("m2").cast("decimal(38,0)") * F.col("m2")).cast("double")
+            ).alias("qc"),
+        )
+    )
+    w = W.orderBy("region").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return q.select(
+        "region",
+        "internal_w",
+        "degree_w",
+        F.round("qc", 6).alias("q_contrib"),
+        F.round(F.sum("qc").over(w), 6).alias("q_cum"),
+    ).orderBy("region")

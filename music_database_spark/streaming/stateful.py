@@ -376,3 +376,178 @@ def x_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "r", "col", F.col("s.cnt").alias("cnt"))
     )
     return final.orderBy("event_type", "r", "col")
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (T5 + the x_ewma_smooth family)
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.LongType())),
+        T.StructField("seen", T.LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day_idx", T.LongType()),
+        T.StructField("seen", T.LongType()),
+        T.StructField("num", T.LongType()),
+        T.StructField("den", T.LongType()),
+    ]
+)
+
+
+def _track_ewma(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this microbatch's (day, micros) partials into the per-type
+    day map, then re-emit the truncated-EWMA numerator/denominator for
+    EVERY observed day. Because each emission recomputes from the full
+    day map, the final batch's rows are identical under any microbatch
+    slicing or row order — the invariance that makes an order-dependent
+    recurrence streamable AND hash-checkable (the float division itself
+    happens once, post-drain, JVM-side)."""
+    from ..plans.windows import EWMA_LAGS, EWMA_W
+
+    if state.exists:
+        days, sums, seen = state.get
+        acc = dict(zip(days, sums))
+    else:
+        acc, seen = {}, 0
+    for pdf in pdfs:
+        seen += len(pdf)
+        for d, m in (
+            pdf.groupby("day_idx")["micros"].sum().astype("int64").items()
+        ):
+            acc[int(d)] = acc.get(int(d), 0) + int(m)
+    ordered = sorted(acc)
+    state.update((ordered, [acc[d] for d in ordered], seen))
+    nums, dens = [], []
+    for i in range(len(ordered)):
+        num = den = 0
+        for j in range(min(i + 1, EWMA_LAGS)):
+            num += acc[ordered[i - j]] * EWMA_W[j]
+            den += EWMA_W[j]
+        nums.append(num)
+        dens.append(den)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(ordered),
+            "day_idx": ordered,
+            "seen": [seen] * len(ordered),
+            "num": nums,
+            "den": dens,
+        }
+    )
+
+
+def _ewma_stream_oracle() -> str:
+    from ..plans.windows import EWMA_LAGS, EWMA_W
+
+    lag_cols = ",\n                   ".join(
+        f"lag(micros, {j}) OVER (PARTITION BY event_type ORDER BY day) AS l{j}"
+        for j in range(1, EWMA_LAGS)
+    )
+    num = " + ".join(
+        [f"micros * {EWMA_W[0]}"]
+        + [f"COALESCE(l{j}, 0) * {EWMA_W[j]}" for j in range(1, EWMA_LAGS)]
+    )
+    den = " + ".join(
+        [f"{EWMA_W[0]}"]
+        + [
+            f"CASE WHEN l{j} IS NULL THEN 0 ELSE {EWMA_W[j]} END"
+            for j in range(1, EWMA_LAGS)
+        ]
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT)) AS BIGINT) AS micros
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT event_type, day, micros,
+                   {lag_cols}
+            FROM daily
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)
+                     / 1000000.0, 6) AS ewma
+        FROM lagged ORDER BY event_type, day
+    """
+
+
+@register(
+    "x_stream_ewma",
+    tags=("EXT", "T5", "O4", "D2"),
+    bench=False,
+    oracle=_ewma_stream_oracle(),
+)
+def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exponentially-weighted moving average, fully
+    oracle-checked — the stateful-stream twin of x_ewma_smooth: per
+    event_type the state holds the (day -> exact micros total) map;
+    every emission recomputes the integer-weighted EWMA
+    numerator/denominator over the full observed-day sequence, so the
+    FINAL emission is microbatch-slicing- and row-order-invariant (the
+    same invariance argument as x_stream_kmv/x_stream_cms: state folds
+    are commutative integer additions, the order-dependent part is
+    derived from the total state, not accumulated). Micros are computed
+    JVM-side pre-state (decimal-exact); the only float op is one
+    division per day, post-drain, matching the DuckDB lag-window oracle
+    bit for bit.
+
+    100 TB design: keys shuffle-partition by event_type (a real
+    deployment keys by (entity, metric)); state is O(observed days) of
+    16 bytes — calendar-bounded, not stream-bounded; emission cost is
+    O(days) per key per batch (emit-on-close via watermark trims this
+    to O(1) when the day grain closes, same output).
+
+    Reference parity: the reference has no streaming surface
+    (SURVEY.md §2.8 T5 EXT)."""
+    from pyspark.sql import functions as F
+
+    from .batch_windows import _events_stream
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("micros"),
+        )
+    )
+    tracked = stream.groupBy("event_type").applyInPandasWithState(
+        _track_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_available_now(tracked, "ewma", output_mode="update")
+    final = (
+        out.groupBy("event_type", "day_idx")
+        .agg(F.max(F.struct("seen", "num", "den")).alias("s"))
+        .select("event_type", "day_idx", F.col("s.num").alias("num"), F.col("s.den").alias("den"))
+    )
+    return final.select(
+        "event_type",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0, 6
+        ).alias("ewma"),
+    ).orderBy("event_type", "day")

@@ -1267,3 +1267,44 @@ def test_dp_noisy_counts_pin_laplace_construction(spark, reg):
         assert r["epsilon"] == DP_EPSILON
         # noise magnitude is plausibly Laplace(1): |noise| < 25 w.p. ~1-3e-11
         assert abs(r["noisy_count"] - int(n)) < 25
+
+
+def test_modularity_matches_networkx_free_reference(spark, reg):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")[["n_nationkey", "n_regionkey"]]
+    reg_t = pd.read_parquet(f"{SF_SMOKE}/region.parquet")[["r_regionkey", "r_name"]]
+    e = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["c_nationkey", "s_nationkey"])
+        .size()
+    )
+    r_of = nat.set_index("n_nationkey")["n_regionkey"].to_dict()
+    m2 = 2 * int(e.sum())
+    d_c: dict[int, int] = {}
+    e_c: dict[int, int] = {}
+    for (u, v), w in e.items():
+        d_c[r_of[u]] = d_c.get(r_of[u], 0) + int(w)
+        d_c[r_of[v]] = d_c.get(r_of[v], 0) + int(w)
+        if r_of[u] == r_of[v]:
+            e_c[r_of[u]] = e_c.get(r_of[u], 0) + 2 * int(w)
+    names = reg_t.set_index("r_regionkey")["r_name"].to_dict()
+    rows = {r["region"]: r for r in reg["x_modularity"].build(spark, SF_SMOKE).collect()}
+    q_total = 0.0
+    for rk in sorted(d_c, key=lambda k: names[k]):
+        qc = (e_c.get(rk, 0) * m2 - d_c[rk] ** 2) / (m2 * m2)
+        q_total += qc
+        r = rows[names[rk]]
+        assert r["internal_w"] == e_c.get(rk, 0)
+        assert r["degree_w"] == d_c[rk]
+        assert r["q_contrib"] == round(qc, 6)
+    last = rows[max(rows, key=lambda k: k)]
+    assert last["q_cum"] == pytest.approx(q_total, abs=2e-6)
+    # Q of any partition lies in [-0.5, 1]
+    assert -0.5 <= last["q_cum"] <= 1.0

@@ -344,3 +344,74 @@ def test_stream_recovery_is_exactly_once(spark):
         n, t = expected.get(s, (0, 0))
         expected[s] = (n + 1, t + (i * MIX_MUL + MIX_ADD) % MIX_MOD)
     assert got == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving a stateful tracker
+    function directly (no stream machinery)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_ewma_tracker_is_slicing_and_order_invariant():
+    import pandas as pd
+
+    from music_database_spark.streaming.stateful import _track_ewma
+
+    rows = [(d, m) for d in range(12) for m in [(d + 1) * 1_000_000, 500_000]]
+
+    def run(batches):
+        state = _FakeState()
+        last = None
+        for b in batches:
+            pdf = pd.DataFrame(b, columns=["day_idx", "micros"])
+            last = next(_track_ewma(("click",), iter([pdf]), state))
+        return last.to_dict("records")
+
+    whole = run([rows])
+    sliced = run([rows[:5], rows[5:17], rows[17:]])
+    reversed_rows = run([list(reversed(rows))])
+    assert whole == sliced == reversed_rows
+    assert len(whole) == 12
+
+
+def test_stream_ewma_final_rows_equal_batch_formula(spark):
+    import pandas as pd
+
+    from music_database_spark.plans.windows import EWMA_LAGS, EWMA_W
+    from music_database_spark.registry import load_all
+    from music_database_spark.sources.loader import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").toPandas()
+    ev = ev[ev["value"].notna()]
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["micros"] = (ev["value"].round(6) * 1_000_000).round().astype("int64")
+    daily = ev.groupby(["event_type", "day"])["micros"].sum().sort_index()
+    expected = {}
+    for etype in daily.index.get_level_values(0).unique():
+        series = daily.loc[etype]
+        vals = series.to_numpy()
+        for i, day in enumerate(series.index):
+            num = den = 0
+            for j in range(min(i + 1, EWMA_LAGS)):
+                num += int(vals[i - j]) * EWMA_W[j]
+                den += EWMA_W[j]
+            expected[(etype, str(day))] = round(num / den / 1_000_000.0, 6)
+    got = {
+        (r["event_type"], r["day"]): r["ewma"]
+        for r in load_all()["x_stream_ewma"].build(spark, sf).collect()
+    }
+    assert got == expected
