@@ -513,3 +513,95 @@ class CorpusPipeline:
             .withColumn("bin", F.expr(f"(__cum - __n_tok) div {window_tokens}"))
             .drop("__n_tok", "__cum")
         )
+
+    # ---- mix planning -----------------------------------------------------
+
+    def mix_weights(self, by: str = "lang", tau_sqrt: bool = True) -> DataFrame:
+        """Temperature-scaled sampling weights per group (registered
+        x_temperature_sample semantics, tau=0.5 via exact sqrt): adds
+        (n_docs, base_ppm, weight_temp, boost) per `by` value. Feed the
+        boost into `weighted_sample` to apply the plan."""
+        lc = self.docs.groupBy(by).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+        wcum = W.orderBy(by).rowsBetween(W.unboundedPreceding, W.currentRow)
+        s = (
+            F.sqrt(F.col("n_docs").cast("double"))
+            if tau_sqrt
+            else F.col("n_docs").cast("double")
+        )
+        w = lc.select(
+            by,
+            "n_docs",
+            F.sum("n_docs").over(W.partitionBy()).cast("bigint").alias("__nt"),
+            s.alias("__s"),
+            F.sum(s).over(wcum).alias("__cum"),
+        )
+        z = w.select(
+            by, "n_docs", "__nt", "__s", F.max("__cum").over(W.partitionBy()).alias("__z")
+        )
+        return z.select(
+            by,
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div __nt AS BIGINT)").alias("base_ppm"),
+            F.round(F.col("__s") / F.col("__z"), 6).alias("weight_temp"),
+            F.round(
+                F.col("__s") * F.col("__nt").cast("double")
+                / (F.col("__z") * F.col("n_docs").cast("double")),
+                6,
+            ).alias("boost"),
+        )
+
+    def token_budget(
+        self, budget: int, cap_pct: int = 30, by: str = "source"
+    ) -> DataFrame:
+        """Allocate a token budget across `by` groups: proportional share,
+        per-group cap, one waterfilling redistribution round (registered
+        x_token_budget semantics — integer-exact, never over budget).
+        Returns (group, tokens_avail, alloc_tokens, is_capped)."""
+        st = self.docs.groupBy(by).agg(
+            F.sum(F.size(self._toks())).cast("bigint").alias("tok")
+        )
+        cap = budget * cap_pct // 100
+        p1 = st.select(
+            by,
+            "tok",
+            F.sum("tok").over(W.partitionBy()).cast("bigint").alias("__tt"),
+        ).select(
+            by,
+            "tok",
+            F.expr(f"CAST({budget} * tok div __tt AS BIGINT)").alias("__want"),
+        )
+        p2 = p1.select(
+            by,
+            "tok",
+            "__want",
+            F.lit(cap).cast("bigint").alias("__cap"),
+            (F.col("__want") > cap).alias("is_capped"),
+        ).select(
+            by,
+            "tok",
+            "__want",
+            "__cap",
+            "is_capped",
+            (F.lit(budget) - F.sum(F.least("__want", "__cap")).over(W.partitionBy()))
+            .cast("bigint")
+            .alias("__left"),
+            F.sum(F.when(F.col("is_capped"), 0).otherwise(F.col("tok")))
+            .over(W.partitionBy())
+            .cast("bigint")
+            .alias("__tu"),
+        )
+        base = F.least("__want", "__cap")
+        alloc = F.least(
+            F.when(F.col("is_capped") | (F.col("__tu") == 0), base).otherwise(
+                base + F.expr("CAST(__left * tok div __tu AS BIGINT)")
+            ),
+            F.col("__cap"),
+        ).cast("bigint")
+        return p2.select(
+            by,
+            F.col("tok").alias("tokens_avail"),
+            alloc.alias("alloc_tokens"),
+            "is_capped",
+        )

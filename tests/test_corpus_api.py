@@ -304,3 +304,41 @@ def test_span_surface_matches_registered_queries(spark, pipe):
     # must agree with the registered pair's longest span
     for k, v in api_pairs.items():
         assert reg_pairs[k] == v
+
+
+def test_mix_weights_and_token_budget_match_registered_queries(spark):
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.operators.pipeline import (
+        BUDGET_CAP_PCT,
+        TOKEN_BUDGET,
+    )
+    from music_database_spark.registry import load_all
+    from music_database_spark.sources.loader import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    pipe = CorpusPipeline(docs)
+    reg = load_all()
+
+    got_w = {r["lang"]: r.asDict() for r in pipe.mix_weights().collect()}
+    exp_w = {
+        r["lang"]: r.asDict()
+        for r in reg["x_temperature_sample"].build(spark, sf).collect()
+    }
+    for lang, e in exp_w.items():
+        g = got_w[lang]
+        for col in ("n_docs", "base_ppm", "weight_temp", "boost"):
+            assert g[col] == e[col]
+
+    got_b = {
+        r["source"]: r.asDict()
+        for r in pipe.token_budget(TOKEN_BUDGET, BUDGET_CAP_PCT).collect()
+    }
+    exp_b = {
+        r["source"]: r.asDict() for r in reg["x_token_budget"].build(spark, sf).collect()
+    }
+    for src, e in exp_b.items():
+        g = got_b[src]
+        assert g["tokens_avail"] == e["tokens_avail"]
+        assert g["alloc_tokens"] == e["alloc_tokens"]
+        assert g["is_capped"] == e["is_capped"]
