@@ -1084,3 +1084,193 @@ def x_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_count"),
         F.lit(DP_EPSILON).alias("epsilon"),
     ).orderBy("segment")
+
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 5, 95  # clip tails at p05 / p95
+
+
+@register(
+    "x_winsorize",
+    tags=("EXT", "A5", "O3", "F7"),
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        cuts AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+                            THEN value END) AS p_lo,
+                   MAX(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+                            THEN value END) AS p_hi
+            FROM v GROUP BY event_type
+        ),
+        clipped AS (
+            SELECT v.event_type,
+                   CASE WHEN value < p_lo THEN p_lo
+                        WHEN value > p_hi THEN p_hi ELSE value END AS cv,
+                   CASE WHEN value < p_lo THEN 1 ELSE 0 END AS lo,
+                   CASE WHEN value > p_hi THEN 1 ELSE 0 END AS hi
+            FROM v JOIN cuts ON v.event_type = cuts.event_type
+        )
+        SELECT c.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(p_lo, 6) AS p_lo, round(p_hi, 6) AS p_hi,
+               CAST(SUM(lo) AS BIGINT) AS n_clipped_lo,
+               CAST(SUM(hi) AS BIGINT) AS n_clipped_hi,
+               round(CAST(SUM(CAST(cv AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS winsorized_mean
+        FROM clipped c JOIN cuts ON c.event_type = cuts.event_type
+        GROUP BY c.event_type, p_lo, p_hi
+        ORDER BY c.event_type
+    """,
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (tail-clipped) robust mean per event type: values
+    below p05 / above p95 are clamped to the cut values before
+    averaging — the heavy-tail-resistant center estimate screens use
+    when x_outliers shows the plain mean is hostage to a few extremes.
+    The discrete percentiles are defined by an EXPLICIT engine-shared
+    formula (value at row ceil(q*n) of the per-type value order =
+    MAX over the matching row_number) rather than each engine's
+    percentile builtin — dodging the CONT/DISC and interpolation
+    divergences between implementations; the clipped mean accumulates
+    in exact decimal.
+
+    100 TB design: one rank window per type (high-cardinality partition
+    key distributes), a broadcast-sized cuts frame joined back over the
+    stream, one partial-aggregable clipped-sum pass. At extreme scale
+    the rank window swaps for approx_percentile cut candidates with the
+    same downstream (documented trade like x_rfm_segmentation).
+
+    Reference parity: AVG-family analyses (Queries:44-50 shape) made
+    robust; SURVEY.md §2 EXT quality family."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wv = W.partitionBy("event_type").orderBy("value")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    lo_idx = F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100")
+    hi_idx = F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100")
+    cuts = v.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("value"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("value"))).alias("p_hi"),
+    )
+    clipped = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        F.when(F.col("value") < F.col("p_lo"), F.col("p_lo"))
+        .when(F.col("value") > F.col("p_hi"), F.col("p_hi"))
+        .otherwise(F.col("value"))
+        .alias("cv"),
+        (F.col("value") < F.col("p_lo")).cast("int").alias("lo"),
+        (F.col("value") > F.col("p_hi")).cast("int").alias("hi"),
+    )
+    return (
+        clipped.groupBy("event_type", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("lo").cast("bigint").alias("n_clipped_lo"),
+            F.sum("hi").cast("bigint").alias("n_clipped_hi"),
+            (
+                F.sum(F.col("cv").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("wmean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("p_lo", 6).alias("p_lo"),
+            F.round("p_hi", 6).alias("p_hi"),
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.round("wmean", 6).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HIST_BINS = 20  # equi-width bins over order totals
+
+
+@register(
+    "x_histogram",
+    tags=("EXT", "A1", "F4", "F7"),
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM orders
+        ),
+        bounds AS (
+            SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST((MAX(c) - MIN(c) + {HIST_BINS}) // {HIST_BINS} AS BIGINT)
+                       AS width
+            FROM cents
+        )
+        SELECT CAST((c - lo) // width AS BIGINT) AS bin,
+               CAST(lo + ((c - lo) // width) * width AS BIGINT) AS bin_lo_cents,
+               CAST(lo + ((c - lo) // width + 1) * width - 1 AS BIGINT)
+                   AS bin_hi_cents,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * 1000000 // total AS BIGINT) AS share_ppm
+        FROM cents, bounds
+        GROUP BY bin, bin_lo_cents, bin_hi_cents, total
+        ORDER BY bin
+    """,
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals ({HIST} bins over the exact
+    cents range) — the distribution-shape profile complementing
+    x_quantile_binning's equi-depth cut: integer bin arithmetic (ceil
+    width = (range + bins) // bins guarantees max lands in the last
+    bin), exact ppm shares, no floats at all.
+
+    100 TB design: the min/max pass partial-aggregates, bounds
+    broadcast as one row, binning is a map-side expression, and the
+    final groupBy has HIST_BINS groups — two scans (or one with a
+    pre-known domain), both fully parallel.
+
+    Reference parity: rating-distribution analyses (Queries:44-50
+    shape); SURVEY.md §2 EXT quality family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_totalprice"])
+    cents = orders.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c")
+    )
+    bounds = cents.agg(
+        F.min("c").cast("bigint").alias("lo"),
+        F.max("c").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.expr(f"CAST((MAX(c) - MIN(c) + {HIST_BINS}) div {HIST_BINS} AS BIGINT)").alias(
+            "width"
+        ),
+    )
+    binned = cents.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST((c - lo) div width AS BIGINT)").alias("bin"),
+        F.expr("CAST(lo + ((c - lo) div width) * width AS BIGINT)").alias(
+            "bin_lo_cents"
+        ),
+        F.expr("CAST(lo + ((c - lo) div width + 1) * width - 1 AS BIGINT)").alias(
+            "bin_hi_cents"
+        ),
+        "total",
+    )
+    return (
+        binned.groupBy("bin", "bin_lo_cents", "bin_hi_cents", "total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bin",
+            "bin_lo_cents",
+            "bin_hi_cents",
+            "n",
+            F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -1019,3 +1019,85 @@ def x_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag")
+
+
+@register(
+    "x_seasonal_dow",
+    tags=("EXT", "A1", "O4", "F4"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nd
+            FROM daily
+        ),
+        dow AS (
+            SELECT CAST(dayofweek(day) AS INTEGER) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM daily GROUP BY 1
+        )
+        SELECT dow, n_days, sum_cents,
+               round(CAST(sum_cents AS DOUBLE)
+                     / CAST(n_days AS DOUBLE) / 100.0, 6) AS avg_daily,
+               round(CAST(sum_cents AS HUGEINT) * nd
+                     / (CAST(n_days AS HUGEINT) * t), 6) AS seasonal_ratio
+        FROM dow, tot ORDER BY dow
+    """,
+)
+def x_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of the daily revenue series:
+    per-weekday average daily revenue and its ratio to the overall
+    daily average (the multiplicative seasonal component of a classical
+    decomposition — the grain-picking companion to x_acf's lag-7 probe
+    and x_ewma_smooth's trend). Engine-aligned weekday numbering
+    (Sunday=0): Spark's dayofweek is 1-based, DuckDB's 0-based, so the
+    Spark side subtracts 1 — pinned by the weekday name in tests. The
+    ratio is an exact 128-bit rational (sum_dow·n_days_total)/
+    (n_days_dow·total) under one division; no float accumulates.
+
+    100 TB design: partial agg to |days| rows, then a 7-group rollup
+    and a 1-row broadcast total. Per-entity seasonality adds the entity
+    to both group keys and distributes.
+
+    Reference parity: rating-trend-over-time (README.md:8);
+    SURVEY.md §2 EXT time-series family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    dow = daily.groupBy((F.dayofweek("day") - 1).cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return (
+        dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "sum_cents",
+            F.round(
+                F.col("sum_cents").cast("double")
+                / F.col("n_days").cast("double")
+                / 100.0,
+                6,
+            ).alias("avg_daily"),
+            F.round(
+                (F.col("sum_cents").cast("decimal(38,0)") * F.col("nd")).cast("double")
+                / (F.col("n_days").cast("decimal(38,0)") * F.col("t")).cast("double"),
+                6,
+            ).alias("seasonal_ratio"),
+        )
+        .orderBy("dow")
+    )

@@ -1308,3 +1308,74 @@ def test_modularity_matches_networkx_free_reference(spark, reg):
     assert last["q_cum"] == pytest.approx(q_total, abs=2e-6)
     # Q of any partition lies in [-0.5, 1]
     assert -0.5 <= last["q_cum"] <= 1.0
+
+
+def test_winsorize_matches_numpy_reference(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import WINSOR_HI_PCT, WINSOR_LO_PCT
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    rows = {r["event_type"]: r for r in reg["x_winsorize"].build(spark, SF_SMOKE).collect()}
+    for etype, g in ev.groupby("event_type"):
+        vals = sorted(g["value"])
+        n = len(vals)
+        p_lo = vals[(WINSOR_LO_PCT * n + 99) // 100 - 1]
+        p_hi = vals[(WINSOR_HI_PCT * n + 99) // 100 - 1]
+        clipped = [min(max(v, p_lo), p_hi) for v in vals]
+        r = rows[etype]
+        assert r["n"] == n
+        assert r["p_lo"] == round(p_lo, 6)
+        assert r["p_hi"] == round(p_hi, 6)
+        assert r["n_clipped_lo"] == sum(1 for v in vals if v < p_lo)
+        assert r["n_clipped_hi"] == sum(1 for v in vals if v > p_hi)
+        assert r["winsorized_mean"] == pytest.approx(sum(clipped) / n, abs=2e-6)
+        # robustness: the winsorized mean sits inside the cut interval
+        assert p_lo <= r["winsorized_mean"] <= p_hi
+
+
+def test_histogram_conserves_mass_and_bins_are_exact(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import HIST_BINS
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    lo, hi, total = int(cents.min()), int(cents.max()), len(cents)
+    width = (hi - lo + HIST_BINS) // HIST_BINS
+    expected = cents.map(lambda c: (c - lo) // width).value_counts().to_dict()
+    rows = {r["bin"]: r for r in reg["x_histogram"].build(spark, SF_SMOKE).collect()}
+    assert {b: r["n"] for b, r in rows.items()} == {int(k): int(v) for k, v in expected.items()}
+    assert sum(r["n"] for r in rows.values()) == total
+    for b, r in rows.items():
+        assert r["bin_lo_cents"] == lo + b * width
+        assert r["bin_hi_cents"] == lo + (b + 1) * width - 1
+        assert r["share_ppm"] == r["n"] * 1_000_000 // total
+    assert max(rows) < HIST_BINS  # ceil width keeps the max in range
+
+
+def test_seasonal_dow_pins_weekday_alignment_and_ratios(spark, reg):
+    import pandas as pd
+
+    daily = _daily_cents(SF_SMOKE)
+    idx = pd.to_datetime(pd.Series(daily.index))
+    # Spark dayofweek-1 == DuckDB dayofweek == 0 for Sunday
+    dow = ((idx.dt.dayofweek + 1) % 7).to_numpy()  # pandas: Monday=0 -> Sunday=0
+    cents = daily.to_numpy()
+    t, nd = int(cents.sum()), len(cents)
+    rows = {r["dow"]: r for r in reg["x_seasonal_dow"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(7))
+    for d in range(7):
+        mask = dow == d
+        sum_c, n_days = int(cents[mask].sum()), int(mask.sum())
+        r = rows[d]
+        assert r["n_days"] == n_days
+        assert r["sum_cents"] == sum_c
+        # approx, not round(): Python rounds half-to-even, the engines
+        # round half-up — they disagree exactly on .5 boundaries
+        assert r["avg_daily"] == pytest.approx(sum_c / n_days / 100.0, abs=1e-6)
+        assert r["seasonal_ratio"] == pytest.approx(sum_c * nd / (n_days * t), abs=2e-6)
+    # ratios average to ~1 weighted by day counts
+    wavg = sum(rows[d]["seasonal_ratio"] * rows[d]["n_days"] for d in range(7)) / nd
+    assert wavg == pytest.approx(1.0, abs=1e-3)
