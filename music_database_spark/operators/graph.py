@@ -625,6 +625,35 @@ def _sssp_oracle() -> str:
     )
 
 
+def sssp_rounds(edges: DataFrame, src: int, rounds: int) -> DataFrame:
+    """Bounded Bellman-Ford over a (src, dst, w) edge frame: per round,
+    relax every edge out of the current distance vector and take the
+    per-node MIN; early exit when the (count, sum-of-dists) pair stops
+    changing (nodes only get added and dists only shrink, so the
+    monotone pair is a sound fixpoint witness). localCheckpoint per
+    round truncates lineage (the components-loop recipe, dedup.py:314).
+    Shared by x_sssp_weighted and the random-graph property test."""
+    spark_ = edges.sparkSession
+    dist = spark_.createDataFrame([(src, 0)], "n long, d long").localCheckpoint()
+    last = (0, -1)
+    for _ in range(rounds):
+        relaxed = edges.join(dist.withColumnRenamed("n", "src"), "src").select(
+            F.col("dst").alias("n"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("n")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint()
+        )
+        row = dist.agg(F.count(F.lit(1)).alias("c"), F.sum("d").alias("s")).collect()[0]
+        cur = (row["c"], row["s"])
+        if cur == last:  # fixpoint: monotone pair unchanged => converged
+            break
+        last = cur
+    return dist
+
+
 @register("x_sssp_weighted", tags=("EXT", "J1", "A4", "A7"), oracle=_sssp_oracle())
 def x_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (Bellman-Ford relaxation
@@ -668,27 +697,7 @@ def x_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    spark_ = edges.sparkSession
-    dist = spark_.createDataFrame([(SSSP_SRC, 0)], "n long, d long").localCheckpoint()
-    last = (0, -1)
-    for _ in range(SSSP_ROUNDS):
-        relaxed = (
-            edges.join(dist.withColumnRenamed("n", "src"), "src")
-            .select(F.col("dst").alias("n"), (F.col("d") + F.col("w")).alias("d"))
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("n")
-            .agg(F.min("d").cast("bigint").alias("d"))
-            .localCheckpoint()
-        )
-        row = dist.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("d").alias("s")
-        ).collect()[0]
-        cur = (row["c"], row["s"])
-        if cur == last:  # fixpoint: monotone pair unchanged => converged
-            break
-        last = cur
+    dist = sssp_rounds(edges, SSSP_SRC, SSSP_ROUNDS)
     return (
         dist.join(F.broadcast(nation), dist.n == nation.n_nationkey)
         .select(

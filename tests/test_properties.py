@@ -246,3 +246,42 @@ def test_components_match_union_find_on_random_graphs(spark, raw_edges):
     assert {r["node"]: r["label"] for r in star.collect()} == want
     prop, _ = label_propagation_components(df)
     assert {r["node"]: r["label"] for r in prop.collect()} == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 12), st.integers(0, 12), st.integers(1, 50)
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sssp_matches_bellman_ford_on_random_weighted_graphs(spark, raw_edges):
+    """The distributed bounded-round SSSP must agree with a plain
+    Bellman-Ford reference (run to convergence, round-capped the same
+    way) on arbitrary hypothesis-generated weighted digraphs —
+    including unreachable nodes and parallel edges (min weight wins)."""
+    from music_database_spark.operators.graph import sssp_rounds
+
+    # parallel edges: keep the minimum weight, like a groupBy-min build
+    best: dict[tuple[int, int], int] = {}
+    for a, b, w in raw_edges:
+        best[(a, b)] = min(w, best.get((a, b), 10**9))
+    edges = [(a, b, w) for (a, b), w in sorted(best.items())]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    rounds = 13  # >= |V| - 1, so bounded == converged on every input
+
+    dist = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, 10**18):
+                nxt[b] = dist[a] + w
+        if nxt == dist:
+            break
+        dist = nxt
+
+    got = {r["n"]: r["d"] for r in sssp_rounds(df, 0, rounds).collect()}
+    assert got == dist
