@@ -2050,3 +2050,62 @@ def mask_budget_from_runs(runs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(id_col, "n_sources", "n_raw_spans", "n_spans_merged", "n_tokens_masked")
         .orderBy(id_col)
     )
+
+
+@register(
+    "x_lsh_curve",
+    tags=("EXT", "F4", "X2"),
+    oracle="""
+        WITH grid AS (
+            SELECT CAST((n_nationkey + 1) * 5 AS INTEGER) AS s_pct,
+                   CAST((n_nationkey + 1) * 5 AS DOUBLE) / 100.0 AS s
+            FROM nation WHERE n_nationkey < 19
+        ),
+        powed AS (
+            SELECT s_pct, s, (s * s) * (s * s) AS s_r FROM grid
+        ),
+        banded AS (
+            SELECT s_pct, s_r,
+                   (1.0 - s_r) * (1.0 - s_r) AS t2
+            FROM powed
+        )
+        SELECT s_pct,
+               round(s_r, 6) AS p_band_match,
+               round(1.0 - (t2 * t2) * (t2 * t2), 6) AS p_candidate,
+               1.0 - (t2 * t2) * (t2 * t2) >= 0.5 AS above_half
+        FROM banded ORDER BY s_pct
+    """,
+)
+def x_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytical S-curve of the production MinHash-LSH config
+    (N_BANDS=8 bands x 4 rows: P(candidate | Jaccard=s) =
+    1-(1-s^4)^8), evaluated on a 5%-step similarity grid — the tuning
+    exhibit that justifies the \"catches Jaccard >~ 0.6\" claim
+    stamped on the dedup family (dedup.py:29): the curve crosses 1/2
+    between 50% and 55% and reaches ~0.67 at s=0.6. Exponentiation is spelled as explicit
+    squaring chains (s^4 = (s*s)*(s*s); t^8 = ((t*t)*(t*t))... ) in
+    BOTH engines — never POWER(), whose exp/log path is not
+    bit-portable — so the curve itself hash-matches.
+
+    100 TB relevance: this is how you retune (b, r) before a run —
+    the curve is closed-form, evaluated over a 19-row grid; zero data
+    touched beyond the constant grid carrier.
+
+    Reference parity: analytical exhibit for SURVEY.md §2 X2;
+    Leskovec-Rajaraman-Ullman ch.3 construction."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    grid = nation.filter(F.col("n_nationkey") < 19).select(
+        ((F.col("n_nationkey") + 1) * 5).cast("int").alias("s_pct"),
+        (((F.col("n_nationkey") + 1) * 5).cast("double") / 100.0).alias("s"),
+    )
+    s_r = (F.col("s") * F.col("s")) * (F.col("s") * F.col("s"))
+    powed = grid.select("s_pct", s_r.alias("s_r"))
+    t2 = (1.0 - F.col("s_r")) * (1.0 - F.col("s_r"))
+    banded = powed.select("s_pct", "s_r", t2.alias("t2"))
+    p_cand = 1.0 - (F.col("t2") * F.col("t2")) * (F.col("t2") * F.col("t2"))
+    return banded.select(
+        "s_pct",
+        F.round("s_r", 6).alias("p_band_match"),
+        F.round(p_cand, 6).alias("p_candidate"),
+        (p_cand >= 0.5).alias("above_half"),
+    ).orderBy("s_pct")

@@ -845,3 +845,93 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("qc", 6).alias("q_contrib"),
         F.round(F.sum("qc").over(w), 6).alias("q_cum"),
     ).orderBy("region")
+
+
+@register(
+    "x_assortativity",
+    tags=("EXT", "J1", "A7", "F4"),
+    oracle="""
+        WITH e0 AS (
+            SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        und AS (SELECT u AS n, v AS m FROM e0 UNION ALL SELECT v AS n, u AS m FROM e0),
+        deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY n),
+        xy AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM und JOIN deg du ON und.n = du.n JOIN deg dv ON und.m = dv.n
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM xy
+        )
+        SELECT m AS m_directed_edges,
+               round(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(m * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(m * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+                     6) AS assortativity
+        FROM s
+    """,
+)
+def x_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the bipartite
+    customer-supplier graph: Pearson correlation of endpoint degrees
+    over the symmetrized edge list — do high-degree customers trade
+    with high-degree suppliers (r>0) or with the long tail (r<0)? The
+    structural health probe for any similarity graph the dedup family
+    builds (strong disassortativity flags hub-and-spoke near-dup blobs
+    — boilerplate templates matched by thousands of singletons).
+
+    Determinism: every moment is an exact integer sum (Spark
+    DECIMAL(38,0) partials == DuckDB HUGEINT); the correlation is one
+    fixed sqrt/division tree over those exacts — hash-checked like
+    x_acf, whose division-free centering this reuses.
+
+    100 TB design: degree count = one partial-aggregable groupBy of
+    2-bigint rows; the moments pass joins the edge list against the
+    broadcast-sized degree table twice and reduces map-side to ONE
+    row. Nothing but the edge build scales.
+
+    Reference parity: no graph surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT graph family."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e0.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    ).localCheckpoint()
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    xy = (
+        und.join(deg.withColumnRenamed("n", "__n").withColumnRenamed("d", "x"),
+                 F.col("n") == F.col("__n"))
+        .join(deg.withColumnRenamed("n", "__m").withColumnRenamed("d", "y"),
+              F.col("m") == F.col("__m"))
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("m") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("m") * F.col("syy") - dec("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        F.col("m").alias("m_directed_edges"),
+        F.round(num / (denx * deny), 6).alias("assortativity"),
+    )

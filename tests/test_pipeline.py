@@ -1379,3 +1379,55 @@ def test_seasonal_dow_pins_weekday_alignment_and_ratios(spark, reg):
     # ratios average to ~1 weighted by day counts
     wavg = sum(rows[d]["seasonal_ratio"] * rows[d]["n_days"] for d in range(7)) / nd
     assert wavg == pytest.approx(1.0, abs=1e-3)
+
+
+def test_assortativity_matches_plain_python_pearson(spark, reg):
+    import math
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    e0 = {
+        (int(u) * 2, int(v) * 2 + 1)
+        for u, v in li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ].itertuples(index=False)
+    }
+    und = [(a, b) for a, b in e0] + [(b, a) for a, b in e0]
+    deg: dict[int, int] = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, _ in und]
+    ys = [deg[b] for _, b in und]
+    m = len(und)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    r = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    row = reg["x_assortativity"].build(spark, SF_SMOKE).collect()[0]
+    assert row["m_directed_edges"] == m
+    assert row["assortativity"] == pytest.approx(r, abs=2e-6)
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_lsh_curve_crosses_half_at_the_documented_threshold(spark, reg):
+    from music_database_spark.operators.dedup import N_BANDS
+
+    assert N_BANDS == 8  # the curve below is the (b=8, r=4) instance
+    rows = {r["s_pct"]: r for r in reg["x_lsh_curve"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(5, 100, 5))
+    for s_pct, r in rows.items():
+        s = s_pct / 100.0
+        assert r["p_band_match"] == pytest.approx(s**4, abs=2e-6)
+        assert r["p_candidate"] == pytest.approx(1 - (1 - s**4) ** 8, abs=2e-6)
+    # the S-curve is monotone and crosses 1/2 between 50% and 55% —
+    # backing the "catches Jaccard >~ 0.6" claim stamped on the dedup
+    # family (p(0.6) ~ 0.67, comfortably above the coin flip)
+    ps = [rows[s]["p_candidate"] for s in range(5, 100, 5)]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    assert not rows[50]["above_half"] and rows[55]["above_half"]
+    assert rows[60]["p_candidate"] > 0.6
