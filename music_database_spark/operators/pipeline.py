@@ -1490,3 +1490,117 @@ def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fill_ppm"),
     ).orderBy("source")
+
+
+@register(
+    "x_mann_whitney",
+    tags=("EXT", "A5", "O4", "X4"),
+    oracle="""
+        WITH b AS (
+            SELECT n_chars AS v,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100
+                       AS bucket
+            FROM documents
+        ),
+        lab AS (
+            SELECT v, CASE WHEN bucket < 80 THEN 1 ELSE 0 END AS is_a
+            FROM b WHERE bucket < 90
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS cb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY v
+        ),
+        cum AS (
+            SELECT v, ca, cb, c,
+                   CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cumprev
+            FROM per_v
+        ),
+        s AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(SUM(ca * (2 * cumprev + c + 1)) AS BIGINT) AS r1x2,
+                   CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+            FROM cum
+        )
+        SELECT na, nb,
+               CAST(r1x2 - na * (na + 1) AS BIGINT) AS u1_x2,
+               round((CAST(r1x2 - na * (na + 1) AS DOUBLE) - CAST(na * nb AS DOUBLE))
+                     / (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                        * (CAST(na + nb + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE)
+                                * CAST(na + nb - 1 AS DOUBLE))))), 6) AS z
+        FROM s
+    """,
+)
+def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the train and validation
+    hash splits of the document-length distribution — the
+    NONPARAMETRIC location-shift gate next to x_ks_drift's max-gap
+    statistic (U is sensitive to median shift, KS to any shape
+    change; a healthy md5 split should pass both, |z| < ~2). Tie
+    handling is exact: ranks never materialize per row — on the
+    grouped value frame the doubled average rank of a tie group is the
+    integer 2·cumprev + c + 1, so the doubled rank sum, U·2, and the
+    tie-correction term Σ(c³−c) are all exact bigints; the z-score is
+    one fixed sqrt/division tree at the end.
+
+    100 TB design: one partial-aggregable groupBy collapses the corpus
+    to |distinct values| rows; the cumulative window orders only that
+    collapsed frame; the statistic reduces to ONE row map-side. Same
+    shape as x_ks_drift, sharing its split convention.
+
+    Reference parity: no statistics surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT pipeline-monitoring family."""
+    docs = wide_docs(spark, sf_dir).select("doc_id", "n_chars")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    lab = docs.select(
+        F.col("n_chars").alias("v"), bucket.alias("bucket")
+    ).filter(F.col("bucket") < 90).select(
+        "v", F.when(F.col("bucket") < 80, 1).otherwise(0).alias("is_a")
+    )
+    per_v = lab.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wprev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = per_v.select(
+        "ca",
+        "cb",
+        "c",
+        F.coalesce(F.sum("c").over(wprev), F.lit(0)).cast("bigint").alias("cumprev"),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cumprev") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    u1x2 = F.col("r1x2") - F.col("na") * (F.col("na") + 1)
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    nn = nad + nbd
+    sigma = F.sqrt(
+        (nad * nbd / 12.0)
+        * ((nn + 1.0) - F.col("ties").cast("double") / (nn * (nn - 1.0)))
+    )
+    return s.select(
+        "na",
+        "nb",
+        u1x2.cast("bigint").alias("u1_x2"),
+        F.round(
+            (u1x2.cast("double") - nad * nbd) / (2.0 * sigma), 6
+        ).alias("z"),
+    )

@@ -1431,3 +1431,43 @@ def test_lsh_curve_crosses_half_at_the_documented_threshold(spark, reg):
     assert all(a <= b for a, b in zip(ps, ps[1:]))
     assert not rows[50]["above_half"] and rows[55]["above_half"]
     assert rows[60]["p_candidate"] > 0.6
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark, reg):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "n_chars"]]
+    docs["bucket"] = docs["doc_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+    )
+    lab = docs[docs["bucket"] < 90]
+    a = sorted(lab[lab["bucket"] < 80]["n_chars"])
+    b = sorted(lab[lab["bucket"] >= 80]["n_chars"])
+    na, nb = len(a), len(b)
+    combined = sorted(a + b)
+    # doubled average ranks via tie groups
+    rank2: dict[int, int] = {}
+    ties = 0
+    i = 0
+    while i < len(combined):
+        j = i
+        while j < len(combined) and combined[j] == combined[i]:
+            j += 1
+        c = j - i
+        rank2[combined[i]] = 2 * i + c + 1
+        ties += c**3 - c
+        i = j
+    r1x2 = sum(rank2[v] for v in a)
+    u1x2 = r1x2 - na * (na + 1)
+    n = na + nb
+    sigma = math.sqrt((na * nb / 12) * ((n + 1) - ties / (n * (n - 1))))
+    z = (u1x2 - na * nb) / (2 * sigma)
+    row = reg["x_mann_whitney"].build(spark, SF_SMOKE).collect()[0]
+    assert (row["na"], row["nb"]) == (na, nb)
+    assert row["u1_x2"] == u1x2
+    assert row["z"] == pytest.approx(z, abs=2e-6)
+    # a correct md5 split should not show a location shift
+    assert abs(row["z"]) < 4
