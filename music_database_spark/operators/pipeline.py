@@ -1604,3 +1604,56 @@ def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u1x2.cast("double") - nad * nbd) / (2.0 * sigma), 6
         ).alias("z"),
     )
+
+
+@register(
+    "x_drop_manifest",
+    tags=("EXT", "A1", "F3", "S6"),
+    oracle="""
+        WITH d AS (
+            SELECT source, md5(text) AS h
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+               md5(string_agg(h, '' ORDER BY h)) AS manifest_md5
+        FROM d GROUP BY source ORDER BY source
+    """,
+)
+def x_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable drop manifest (the dataset-versioning
+    commit hash): per source, the md5 of the SORTED concatenation of
+    every document's content digest — two drops with identical
+    manifests are bit-identical corpora regardless of row order or
+    file layout, and a one-doc change flips the manifest. The cheap
+    equality primitive backing x_snapshot_diff (which answers the
+    row-level WHY once manifests differ) and the lineage stamp a
+    training run records next to x_dataset_card.
+
+    Determinism: content digests sort lexicographically the same
+    everywhere; Spark folds them via sort_array(collect_list()) +
+    concat, DuckDB via ORDER BY string_agg — identical byte strings
+    into the outer md5.
+
+    100 TB design: digests (16 B) are the only thing shuffled, one
+    partial-aggregable pass; the per-group sorted concat is
+    group-bounded (~32 B x docs-per-source) — past memory bounds the
+    same manifest becomes a Merkle tree (md5 of sorted per-shard
+    manifest md5s), associative by construction with the same
+    equality semantics; documented, not needed at test scale.
+
+    Reference parity: no versioning surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT versioning family."""
+    docs = wide_docs(spark, sf_dir).select("source", F.md5("text").alias("h"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_unique"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("h")))
+            ).alias("manifest_md5"),
+        )
+        .orderBy("source")
+    )

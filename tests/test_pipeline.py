@@ -1471,3 +1471,29 @@ def test_mann_whitney_matches_scipy_free_reference(spark, reg):
     assert row["z"] == pytest.approx(z, abs=2e-6)
     # a correct md5 split should not show a location shift
     assert abs(row["z"]) < 4
+
+
+def test_drop_manifest_is_order_invariant_and_change_sensitive(spark, reg):
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source", "text"]]
+    rows = {r["source"]: r for r in reg["x_drop_manifest"].build(spark, SF_SMOKE).collect()}
+    for source, g in docs.groupby("source"):
+        hs = sorted(hashlib.md5(t.encode()).hexdigest() for t in g["text"])
+        want = hashlib.md5("".join(hs).encode()).hexdigest()
+        r = rows[str(source)]
+        assert r["manifest_md5"] == want
+        assert r["n_docs"] == len(g)
+        assert r["n_unique"] == len(set(hs))
+    # change sensitivity: flipping one doc's text flips that source's manifest
+    g0 = docs[docs["source"] == docs["source"].iloc[0]].copy()
+    hs0 = sorted(
+        hashlib.md5((t + "!").encode() if i == 0 else t.encode()).hexdigest()
+        for i, t in enumerate(g0["text"])
+    )
+    assert (
+        hashlib.md5("".join(hs0).encode()).hexdigest()
+        != rows[str(docs["source"].iloc[0])]["manifest_md5"]
+    )
