@@ -763,3 +763,115 @@ def x_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
          ORDER BY total_spend DESC, custkey'
         """
     )
+
+
+SPATIAL_SPAN = 1_000_000  # synthetic plane edge length (integer units)
+SPATIAL_R = 20_000  # radius for the within-distance join
+SPATIAL_TOP = 25  # closest pairs reported
+
+
+def _spatial_md5(prefix: str, key: str) -> str:
+    """Engine-portable coordinate: md5-derived integer in [0, SPAN)."""
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {SPATIAL_SPAN}"
+    )
+
+
+@register(
+    "x_spatial_join",
+    tags=("EXT", "J8", "J9", "F4"),
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   {_spatial_md5('cx:', 'c_custkey')} AS x,
+                   {_spatial_md5('cy:', 'c_custkey')} AS y
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   {_spatial_md5('sx:', 's_suppkey')} AS x,
+                   {_spatial_md5('sy:', 's_suppkey')} AS y
+            FROM supplier
+        )
+        SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+               CAST((c.x - s.x) * (c.x - s.x)
+                    + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS d2
+        FROM c CROSS JOIN s
+        WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+              <= {SPATIAL_R} * {SPATIAL_R}
+        ORDER BY d2, custkey, suppkey LIMIT {SPATIAL_TOP}
+    """,
+)
+def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial within-radius join on a synthetic integer plane — the 2D
+    instance of the banded-range-join discipline (J8's as-of/interval
+    joins are its 1D siblings): each point lands in an R-sized grid
+    cell, one side explodes to its 3x3 cell neighborhood, candidates
+    join on the cell key, and the EXACT integer squared-distance
+    predicate filters — every true pair is within one cell of its
+    partner's neighborhood by the triangle inequality, so grid+filter
+    finds exactly what the oracle's brute-force cross join finds (the
+    oracle IS the completeness proof). Coordinates are md5-derived
+    integers (engine-portable hash family), so the whole query is
+    integer-exact.
+
+    100 TB design: the cross join never happens on the Spark side —
+    candidates are an equi-join on (cellx, celly) with a constant 9x
+    explode on the smaller side; uniform cells keep bucket sizes
+    bounded (real skewed geodata adds the hot-cell cap / quadtree
+    split, the MAX_BAND_FREQ discipline of dedup.py). Top-k is a
+    TakeOrdered, no global sort.
+
+    Reference parity: no spatial surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT join family."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def pt(df, key, px, py):
+        h = lambda p: (  # noqa: E731
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(p), F.col(key).cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % SPATIAL_SPAN
+        )
+        return df.select(key, h(px).alias("x"), h(py).alias("y"))
+
+    c = pt(customer, "c_custkey", "cx:", "cy:")
+    s = pt(supplier, "s_suppkey", "sx:", "sy:")
+    offsets = spark.range(-1, 2).crossJoin(
+        spark.range(-1, 2).withColumnRenamed("id", "id2")
+    )
+    c_cells = (
+        c.crossJoin(F.broadcast(offsets))
+        .select(
+            "c_custkey",
+            "x",
+            "y",
+            (F.expr(f"x div {SPATIAL_R}") + F.col("id")).alias("cellx"),
+            (F.expr(f"y div {SPATIAL_R}") + F.col("id2")).alias("celly"),
+        )
+    )
+    s_cells = s.select(
+        "s_suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.expr(f"x div {SPATIAL_R}").alias("cellx"),
+        F.expr(f"y div {SPATIAL_R}").alias("celly"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        c_cells.join(s_cells, ["cellx", "celly"])
+        .filter(d2 <= SPATIAL_R * SPATIAL_R)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            d2.cast("bigint").alias("d2"),
+        )
+        .orderBy("d2", "custkey", "suppkey")
+        .limit(SPATIAL_TOP)
+    )

@@ -1497,3 +1497,38 @@ def test_drop_manifest_is_order_invariant_and_change_sensitive(spark, reg):
         hashlib.md5("".join(hs0).encode()).hexdigest()
         != rows[str(docs["source"].iloc[0])]["manifest_md5"]
     )
+
+
+def test_spatial_grid_join_equals_brute_force_on_full_pair_set(spark, reg):
+    import hashlib
+
+    import pandas as pd
+
+    from music_database_spark.plans.relational import (
+        SPATIAL_R,
+        SPATIAL_SPAN,
+        SPATIAL_TOP,
+    )
+
+    def h(prefix, key):
+        return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8], 16) % SPATIAL_SPAN
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")["c_custkey"]
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")["s_suppkey"]
+    cpts = [(int(k), h("cx:", int(k)), h("cy:", int(k))) for k in cust]
+    spts = [(int(k), h("sx:", int(k)), h("sy:", int(k))) for k in supp]
+    brute = sorted(
+        (
+            ((cx - sx) ** 2 + (cy - sy) ** 2, ck, sk)
+            for ck, cx, cy in cpts
+            for sk, sx, sy in spts
+            if (cx - sx) ** 2 + (cy - sy) ** 2 <= SPATIAL_R**2
+        )
+    )
+    expected = [(ck, sk, d2) for d2, ck, sk in brute[:SPATIAL_TOP]]
+    got = [
+        (r["custkey"], r["suppkey"], r["d2"])
+        for r in reg["x_spatial_join"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    assert len(got) > 0  # the radius actually captures pairs at this sf
