@@ -1274,3 +1274,214 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "x_prf_eval",
+    tags=("EXT", "A1", "F4", "F7"),
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN n_chars >= {KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+                        >= {KAPPA_STOP_PCT} * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS truth
+            FROM documents
+        ),
+        counts AS (
+            SELECT CAST(SUM(pred * truth) AS BIGINT) AS tp1,
+                   CAST(SUM(pred * (1 - truth)) AS BIGINT) AS fp1,
+                   CAST(SUM((1 - pred) * truth) AS BIGINT) AS fn1,
+                   CAST(SUM((1 - pred) * (1 - truth)) AS BIGINT) AS tn1
+            FROM labeled
+        ),
+        per_class AS (
+            SELECT 1 AS class, tp1 AS tp, fp1 AS fp, fn1 AS fn FROM counts
+            UNION ALL
+            SELECT 0, tn1, fn1, fp1 FROM counts
+        )
+        SELECT class, tp, fp, fn,
+               round(CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 6)
+                   AS precision,
+               round(CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 6)
+                   AS recall,
+               round(2.0 * CAST(tp AS DOUBLE)
+                     / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
+        FROM per_class ORDER BY class
+    """,
+)
+def x_prf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 between two deterministic
+    labelers (x_kappa's annotator pair recast as predicted-vs-truth) —
+    the classifier-eval primitive next to the retrieval (x_ndcg) and
+    dedup (x_dedup_recall) harnesses: when a cheap heuristic gates an
+    expensive pipeline stage, these are the numbers that justify it.
+    F1 uses the division-stable 2tp/(2tp+fp+fn) identity — one exact
+    integer ratio per metric, no chained float divisions; empty
+    denominators yield NULL on both engines (NULLIF), the honest
+    undefined-metric convention.
+
+    100 TB design: one conditional-sum scan reduces to a 2x2 table
+    map-side; the per-class unpivot is constant rows. Multi-class
+    generalizes to a groupBy over (pred, truth) cells — the
+    x_chi2_independence frame — with the same per-class arithmetic.
+
+    Reference parity: no eval surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT eval family."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]]
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    pred = F.when(F.col("n_chars") >= KAPPA_LEN_MIN, 1).otherwise(0)
+    truth = F.when(hits * 100 >= F.size(toks) * KAPPA_STOP_PCT, 1).otherwise(0)
+    counts = docs.select(pred.alias("p"), truth.alias("t")).agg(
+        F.sum(F.col("p") * F.col("t")).cast("bigint").alias("tp1"),
+        F.sum(F.col("p") * (1 - F.col("t"))).cast("bigint").alias("fp1"),
+        F.sum((1 - F.col("p")) * F.col("t")).cast("bigint").alias("fn1"),
+        F.sum((1 - F.col("p")) * (1 - F.col("t"))).cast("bigint").alias("tn1"),
+    )
+    pos = counts.select(
+        F.lit(1).alias("class"),
+        F.col("tp1").alias("tp"),
+        F.col("fp1").alias("fp"),
+        F.col("fn1").alias("fn"),
+    )
+    neg = counts.select(
+        F.lit(0).alias("class"),
+        F.col("tn1").alias("tp"),
+        F.col("fn1").alias("fp"),
+        F.col("fp1").alias("fn"),
+    )
+    per_class = pos.unionByName(neg)
+    nz = lambda c: F.nullif(c.cast("bigint"), F.lit(0)).cast("double")  # noqa: E731
+    return per_class.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp").cast("double") / nz(F.col("tp") + F.col("fp")), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp").cast("double") / nz(F.col("tp") + F.col("fn")), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2.0
+            * F.col("tp").cast("double")
+            / nz(2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    ).orderBy("class")
+
+
+CALIB_BINS = 10
+CALIB_CAP = 2000  # n_chars cap mapping length to a [0,1] confidence score
+
+
+@register(
+    "x_calibration",
+    tags=("EXT", "A1", "O4", "F4"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT LEAST(n_chars, {CALIB_CAP}) AS capped,
+                   CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+                        >= {KAPPA_STOP_PCT} * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS outcome
+            FROM documents
+        ),
+        binned AS (
+            SELECT LEAST(capped * {CALIB_BINS} // {CALIB_CAP}, {CALIB_BINS - 1}) AS bin,
+                   capped, outcome
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(capped) AS BIGINT) AS sum_capped,
+                   CAST(SUM(outcome) AS BIGINT) AS n_pos
+            FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per_bin),
+        gaps AS (
+            SELECT bin, n, n_pos,
+                   CAST(sum_capped AS DOUBLE) / (CAST(n AS DOUBLE) * {CALIB_CAP}.0)
+                       AS conf,
+                   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+                   abs(CAST(sum_capped AS DOUBLE) / (CAST(n AS DOUBLE) * {CALIB_CAP}.0)
+                       - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS w_gap
+            FROM per_bin, tot
+        )
+        SELECT bin, n, n_pos,
+               round(conf, 6) AS mean_score,
+               round(acc, 6) AS outcome_rate,
+               round(CAST(SUM(w_gap) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE), 6) AS ece_cum
+        FROM gaps ORDER BY bin
+    """,
+)
+def x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + expected calibration error of a
+    length-derived confidence score against a binary quality outcome —
+    the reliability diagnostic for any heuristic score the pipeline
+    gates on (a well-calibrated score's bin-mean equals its outcome
+    rate; the last row's ece_cum IS the ECE). Confidence = capped
+    length / cap (an exact rational), bins by integer floor division,
+    per-bin means as single divisions over exact integer sums, and the
+    ECE folded as a CUMULATIVE window sum in bin order (the x_ndcg
+    determinism recipe) — the whole curve hash-matches.
+
+    100 TB design: one conditional-sum scan partial-aggregates to
+    CALIB_BINS rows; everything after is window math over those rows.
+
+    Reference parity: no eval surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT eval family."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]]
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    outcome = F.when(hits * 100 >= F.size(toks) * KAPPA_STOP_PCT, 1).otherwise(0)
+    capped = F.least(F.col("n_chars"), F.lit(CALIB_CAP))
+    scored = docs.select(capped.alias("capped"), outcome.alias("outcome"))
+    per_bin = (
+        scored.select(
+            F.least(
+                F.expr(f"capped * {CALIB_BINS} div {CALIB_CAP}"),
+                F.lit(CALIB_BINS - 1),
+            ).alias("bin"),
+            "capped",
+            "outcome",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("capped").cast("bigint").alias("sum_capped"),
+            F.sum("outcome").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = per_bin.agg(F.sum("n").cast("bigint").alias("nt"))
+    nd = F.col("n").cast("double")
+    conf = F.col("sum_capped").cast("double") / (nd * float(CALIB_CAP))
+    acc = F.col("n_pos").cast("double") / nd
+    gaps = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        (F.abs(conf - acc) * nd / F.col("nt").cast("double")).alias("w_gap"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return gaps.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("conf", 6).alias("mean_score"),
+        F.round("acc", 6).alias("outcome_rate"),
+        F.round(F.sum("w_gap").over(w), 6).alias("ece_cum"),
+    ).orderBy("bin")

@@ -1532,3 +1532,60 @@ def test_spatial_grid_join_equals_brute_force_on_full_pair_set(spark, reg):
     ]
     assert got == expected
     assert len(got) > 0  # the radius actually captures pairs at this sf
+
+
+def test_prf_eval_matches_sklearn_free_reference(spark, reg):
+    rows = {r["class"]: r for r in reg["x_prf_eval"].build(spark, SF_SMOKE).collect()}
+    kap = reg["x_kappa"].build(spark, SF_SMOKE).collect()[0]
+    # the 2x2 table is shared with x_kappa: pred=a, truth=b
+    tp, fp, fn, tn = kap["n11"], kap["n10"], kap["n01"], kap["n00"]
+    assert (rows[1]["tp"], rows[1]["fp"], rows[1]["fn"]) == (tp, fp, fn)
+    assert (rows[0]["tp"], rows[0]["fp"], rows[0]["fn"]) == (tn, fn, fp)
+    for cls, (t, p_, n_) in {1: (tp, fp, fn), 0: (tn, fn, fp)}.items():
+        r = rows[cls]
+        if t + p_:
+            assert r["precision"] == pytest.approx(t / (t + p_), abs=1e-6)
+        else:
+            assert r["precision"] is None
+        if t + n_:
+            assert r["recall"] == pytest.approx(t / (t + n_), abs=1e-6)
+        if 2 * t + p_ + n_:
+            assert r["f1"] == pytest.approx(2 * t / (2 * t + p_ + n_), abs=1e-6)
+
+
+def test_calibration_ece_matches_pandas_reference(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import (
+        CALIB_BINS,
+        CALIB_CAP,
+        KAPPA_STOP_PCT,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    stop = {"the", "a", "of", "and", "to", "in", "is", "that"}
+
+    def outcome(text):
+        toks = text.split(" ")
+        hits = sum(1 for t in toks if t in stop)
+        return 1 if hits * 100 >= len(toks) * KAPPA_STOP_PCT else 0
+
+    docs["capped"] = docs["n_chars"].clip(upper=CALIB_CAP)
+    docs["outcome"] = docs["text"].map(outcome)
+    docs["bin"] = (docs["capped"] * CALIB_BINS // CALIB_CAP).clip(upper=CALIB_BINS - 1)
+    nt = len(docs)
+    rows = {r["bin"]: r for r in reg["x_calibration"].build(spark, SF_SMOKE).collect()}
+    ece = 0.0
+    for b in sorted(rows):
+        g = docs[docs["bin"] == b]
+        conf = g["capped"].sum() / (len(g) * CALIB_CAP)
+        acc = g["outcome"].sum() / len(g)
+        ece += abs(conf - acc) * len(g) / nt
+        r = rows[b]
+        assert r["n"] == len(g)
+        assert r["n_pos"] == int(g["outcome"].sum())
+        assert r["mean_score"] == pytest.approx(conf, abs=1e-6)
+        assert r["outcome_rate"] == pytest.approx(acc, abs=1e-6)
+    last = rows[max(rows)]
+    assert last["ece_cum"] == pytest.approx(ece, abs=2e-6)
+    assert 0.0 <= last["ece_cum"] <= 1.0
