@@ -1101,3 +1101,74 @@ def x_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "x_twap",
+    tags=("EXT", "O4", "A7", "F4"),
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, value,
+                   epoch_us(ts) AS t,
+                   lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS t_next
+            FROM events WHERE value IS NOT NULL
+        ),
+        seg AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * (t_next - t)
+                                 AS DECIMAL(38,6)) ) AS DECIMAL(38,6)) AS wsum,
+                   CAST(SUM(t_next - t) AS BIGINT) AS tspan,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments
+            FROM seq WHERE t_next IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n_segments, tspan AS span_us,
+               round(CAST(wsum AS DOUBLE) / CAST(tspan AS DOUBLE), 6) AS twap
+        FROM seg ORDER BY event_type
+    """,
+)
+def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (the TWAP/sensor
+    mean): each observation weighted by how long it was current
+    (lead-timestamp gap), so irregular sampling doesn't bias the mean
+    toward chatty periods — the right mean for sparse telemetry, and
+    the value-weighting shape behind time-weighted SLO/uptime math.
+    Weights are exact integer microsecond gaps; value x gap products
+    accumulate in DECIMAL(38,6) (order-independent exact), one
+    division at the end.
+
+    100 TB design: ONE shuffle on the (high-cardinality in production)
+    partition key for the lead window, then a partial-aggregable
+    groupBy; no global sort. The last observation per key carries no
+    weight (no successor) — the standard left-closed convention,
+    explicit in both engines via the t_next IS NOT NULL filter.
+
+    Reference parity: AVG-family analyses (Queries:44-50) made
+    time-aware; SURVEY.md §2 EXT time-series family."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wlead = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(wlead).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    seg = seq.groupBy("event_type").agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * (F.col("t_next") - F.col("t"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("wsum"),
+        F.sum(F.col("t_next") - F.col("t")).cast("bigint").alias("tspan"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )
+    return seg.select(
+        "event_type",
+        "n_segments",
+        F.col("tspan").alias("span_us"),
+        F.round(F.col("wsum").cast("double") / F.col("tspan").cast("double"), 6).alias(
+            "twap"
+        ),
+    ).orderBy("event_type")

@@ -1589,3 +1589,24 @@ def test_calibration_ece_matches_pandas_reference(spark, reg):
     last = rows[max(rows)]
     assert last["ece_cum"] == pytest.approx(ece, abs=2e-6)
     assert 0.0 <= last["ece_cum"] <= 1.0
+
+
+def test_twap_matches_pandas_reference_and_beats_chatty_bias(spark, reg):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev["value"].notna()].sort_values(["event_type", "ts", "event_id"])
+    rows = {r["event_type"]: r for r in reg["x_twap"].build(spark, SF_SMOKE).collect()}
+    for etype, g in ev.groupby("event_type"):
+        # normalize to ns first: the parquet ts ships as [us] in some
+        # testdata generations and [ns]-as-long in others
+        t = pd.to_datetime(g["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+        gaps = t.shift(-1) - t
+        seg = g.iloc[:-1]
+        w = gaps.iloc[:-1]
+        wsum = float((seg["value"].to_numpy() * w.to_numpy()).sum())
+        tspan = int(w.sum())
+        r = rows[etype]
+        assert r["n_segments"] == len(seg)
+        assert r["span_us"] == tspan
+        assert r["twap"] == pytest.approx(wsum / tspan, rel=1e-6)
