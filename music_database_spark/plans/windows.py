@@ -1172,3 +1172,90 @@ def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     ).orderBy("event_type")
+
+
+ROLL_SLOPE_DAYS = 30  # trailing regression window (rows = observed days)
+
+
+@register(
+    "x_rolling_slope",
+    tags=("EXT", "O4", "O5", "F4"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        idx AS (
+            SELECT day, cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        win AS (
+            SELECT day, cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(i) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(CAST(i AS HUGEINT) * cents) OVER w AS HUGEINT) AS sxy,
+                   CAST(SUM(i * i) OVER w AS BIGINT) AS sxx
+            FROM idx
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {ROLL_SLOPE_DAYS - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, cents AS daily_cents,
+               round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+                   AS slope_per_day
+        FROM win WHERE n >= {ROLL_SLOPE_DAYS}
+        ORDER BY day
+    """,
+)
+def x_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend: the OLS slope of daily revenue over
+    a trailing {ROLL_SLOPE_DAYS}-observation window, in dollars/day —
+    the trend-detection monitor that turns "is ingest volume drifting"
+    into a signed rate (x_anomaly_zscore flags days, x_cusum_changepoint
+    localizes one shift, this tracks the continuous local trend). Day
+    index i (dense row_number) keeps x exactly integer, so every moment
+    (Σx, Σy, Σxy, Σx²) is an exact integer window sum (HUGEINT /
+    DECIMAL(38,0) for the products) and the slope is one fixed division
+    tree per row — the whole trend series hash-matches.
+
+    100 TB design: partial agg to |days| rows before the windows; the
+    trailing frames then slide over the calendar-grain series (same
+    shape as x_ewma_smooth; per-entity trends add PARTITION BY).
+
+    Reference parity: rating-trend-over-time (README.md:8) as a
+    quantified rate; SURVEY.md §2 EXT time-series family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    idx = daily.select(
+        "day", "cents", F.row_number().over(W.orderBy("day")).cast("bigint").alias("i")
+    )
+    w = W.orderBy("day").rowsBetween(-(ROLL_SLOPE_DAYS - 1), W.currentRow)
+    win = idx.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("i").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(w).cast("bigint").alias("sxx"),
+    ).filter(F.col("n") >= ROLL_SLOPE_DAYS)
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return win.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("daily_cents"),
+        F.round(num / den / 100.0, 6).alias("slope_per_day"),
+    ).orderBy("day")

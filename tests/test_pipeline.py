@@ -1610,3 +1610,21 @@ def test_twap_matches_pandas_reference_and_beats_chatty_bias(spark, reg):
         assert r["n_segments"] == len(seg)
         assert r["span_us"] == tspan
         assert r["twap"] == pytest.approx(wsum / tspan, rel=1e-6)
+
+
+def test_rolling_slope_matches_numpy_ols(spark, reg):
+    import numpy as np
+
+    from music_database_spark.plans.windows import ROLL_SLOPE_DAYS
+
+    daily = _daily_cents(SF_SMOKE)
+    y = daily.to_numpy().astype(float)
+    rows = {r["day"]: r for r in reg["x_rolling_slope"].build(spark, SF_SMOKE).collect()}
+    n_expected = max(0, len(y) - ROLL_SLOPE_DAYS + 1)
+    assert len(rows) == n_expected
+    for end in range(ROLL_SLOPE_DAYS - 1, len(y)):
+        xs = np.arange(end - ROLL_SLOPE_DAYS + 2, end + 2, dtype=float)
+        ys = y[end - ROLL_SLOPE_DAYS + 1 : end + 1]
+        slope = np.polyfit(xs, ys, 1)[0] / 100.0
+        r = rows[str(daily.index[end])]
+        assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4, abs=1e-4)
