@@ -935,3 +935,96 @@ def x_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("m_directed_edges"),
         F.round(num / (denx * deny), 6).alias("assortativity"),
     )
+
+
+LP_MAX_PART_FREQ = 35  # drop parts co-supplied by more suppliers (hub cap)
+LP_TOP = 20  # candidate pairs returned
+
+
+@register(
+    "x_link_prediction",
+    tags=("EXT", "J1", "A1", "F4"),
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        keep AS (
+            SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {LP_MAX_PART_FREQ}
+        ),
+        cps AS (SELECT ps.p, ps.s FROM ps JOIN keep USING (p)),
+        deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM cps GROUP BY s),
+        pairs AS (
+            SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS common
+            FROM cps a JOIN cps b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        )
+        SELECT s1 AS supp_a, s2 AS supp_b, common,
+               da.d AS deg_a, db.d AS deg_b,
+               CAST(da.d * db.d AS BIGINT) AS pref_attach,
+               round(CAST(common AS DOUBLE) / (da.d + db.d - common), 6)
+                   AS jaccard
+        FROM pairs JOIN deg da ON pairs.s1 = da.s
+                   JOIN deg db ON pairs.s2 = db.s
+        ORDER BY jaccard DESC, s1, s2 LIMIT {LP_TOP}
+    """,
+)
+def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier co-supply graph: rank
+    not-necessarily-adjacent supplier pairs by neighborhood Jaccard
+    (common co-supplied parts / union), with common-neighbor and
+    preferential-attachment scores alongside (Liben-Nowell & Kleinberg
+    2003) — the similarity-graph probe behind "which entities will
+    trade next" and a structural cousin of the dedup candidate pass.
+
+    Determinism: common/deg are exact integers; Jaccard is ONE IEEE
+    division per pair; the top-{LP_TOP} picks order by the unique key
+    (jaccard DESC, s1, s2) so the cut is tie-stable.
+
+    100 TB design: the SAME rare-feature inverted-index machinery as
+    MinHash-LSH dedup (operators/dedup.py:8) — candidate pairs come
+    only from shared parts, hub parts co-supplied by >{LP_MAX_PART_FREQ}
+    suppliers are capped out BEFORE the self-join (bounding pair fanout
+    per part at {LP_MAX_PART_FREQ}^2/2), the pair count partial-aggregates
+    on (s1,s2) through the shuffle, and the top-k is a distributed
+    TakeOrderedAndProject — no global window, no all-pairs join.
+
+    Reference parity: no graph surface in the reference
+    (music_db.sql:6-106); SURVEY.md §2 EXT graph family."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    keep = ps.groupBy("p").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") <= LP_MAX_PART_FREQ
+    ).select("p")
+    cps = ps.join(keep, "p").localCheckpoint()
+    deg = cps.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = cps.select(F.col("p").alias("pa"), F.col("s").alias("s1"))
+    b = cps.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("s").alias("__sa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("s").alias("__sb"), F.col("d").alias("deg_b"))
+    scored = (
+        pairs.join(F.broadcast(da), F.col("s1") == F.col("__sa"))
+        .join(F.broadcast(db), F.col("s2") == F.col("__sb"))
+        .select(
+            F.col("s1").alias("supp_a"),
+            F.col("s2").alias("supp_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") * F.col("deg_b")).cast("bigint").alias("pref_attach"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("supp_a"), F.col("supp_b")
+    ).limit(LP_TOP)

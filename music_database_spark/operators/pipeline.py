@@ -1657,3 +1657,78 @@ def x_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+GROUP_SAMPLE_K = 5  # exact per-stratum quota
+
+
+@register(
+    "x_group_sample",
+    tags=("EXT", "X4", "O3", "O2"),
+    oracle=f"""
+        WITH h AS (
+            SELECT lang, source, doc_id, n_chars,
+                   ('0x' || substr(md5('gsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       AS hv
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, source, doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                           ORDER BY hv, doc_id) AS BIGINT)
+                       AS sample_rank
+            FROM h
+        )
+        SELECT lang, source, sample_rank, doc_id, n_chars
+        FROM r WHERE sample_rank <= {GROUP_SAMPLE_K}
+        ORDER BY lang, source, sample_rank
+    """,
+)
+def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota per-stratum sampling: a uniform {GROUP_SAMPLE_K}-document
+    sample from EVERY (lang, source) stratum via min-wise hashing — the
+    k smallest salted-md5 values per group are a uniform without-
+    replacement draw (Broder's min-wise property), where
+    x_stratified_sample's Bernoulli draw gives a binomial count that
+    can be 0 for thin strata. This is the "eyeball N docs from every
+    domain" audit sampler and the per-stratum eval-set builder;
+    membership is reproducible across engines, runs, and
+    repartitionings, and stable under corpus growth (a doc's hash
+    never changes, it can only be displaced by a new smaller one).
+
+    Determinism: ranking key (hv, doc_id) is a unique integer pair; no
+    floats anywhere.
+
+    100 TB design: Catalyst rewrites the rank<=k filter to
+    WindowGroupLimit, so each map task keeps a k-row heap per group
+    BEFORE the (lang, source)-keyed shuffle — the exchange carries
+    O(k * strata * tasks) rows, not the corpus (same physical shape as
+    the x_rank_per_group top-k, pinned in tests/test_scale_plans.py
+    patterns). Bodies ride only for the k winners when the sample
+    projects them.
+
+    Reference parity: no sampling surface in the reference; SURVEY.md
+    §2.10 X4 sharding/sampling family."""
+    docs = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsamp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    r = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("lang", "source").orderBy(hv.asc(), F.col("doc_id").asc()))
+        .cast("bigint")
+        .alias("sample_rank"),
+    )
+    return (
+        r.filter(F.col("sample_rank") <= GROUP_SAMPLE_K)
+        .select("lang", "source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("lang", "source", "sample_rank")
+    )

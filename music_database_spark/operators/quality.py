@@ -1485,3 +1485,103 @@ def x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("acc", 6).alias("outcome_rate"),
         F.round(F.sum("w_gap").over(w), 6).alias("ece_cum"),
     ).orderBy("bin")
+
+
+LORENZ_BINS = 10  # decile resolution of the concentration curve
+
+
+@register(
+    "x_lorenz_curve",
+    tags=("EXT", "A7", "O3", "O4", "F4"),
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                       AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM rev
+        ),
+        bins AS (
+            SELECT (rn * {LORENZ_BINS} + n - 1) // n AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS customers,
+                   CAST(SUM(cents) AS BIGINT) AS decile_cents
+            FROM ranked GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS total FROM bins)
+        SELECT decile, customers, decile_cents,
+               round(CAST(decile_cents AS DOUBLE) / total, 6) AS pct_of_total,
+               round(CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+                     / total, 6) AS cum_pct
+        FROM bins, tot ORDER BY decile
+    """,
+)
+def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: customers sorted
+    ascending by lifetime spend, cut into {LORENZ_BINS} equal-count
+    deciles, each with its share and cumulative share of total revenue
+    — the curve whose area x_gini_concentration summarizes to one
+    number, read directly ("the top decile carries X% of revenue"; for
+    a corpus, swap customers->sources and revenue->characters and it is
+    the domain-cap planning curve behind x_domain_cap).
+
+    Determinism: revenue is exact integer cents; the decile of rank rn
+    is the pure-integer ceil((rn*{LORENZ_BINS})/n) = (rn*{LORENZ_BINS}+n-1) div n
+    (rank ties broken by custkey; equal-cents ties across a boundary
+    sum identically either side under the rank order, since the
+    per-decile sum only depends on the multiset cut at identical
+    values); shares are single divisions of exact integers.
+
+    100 TB design: the fact table partial-aggregates to one row per
+    customer first. The exact global rank is the scale-bound stage (a
+    total sort); past ~10^9 entities swap in range-partitioned ranking
+    (sort + per-partition offsets) or the x_histogram equi-width
+    pre-binning — the decile cut formula is unchanged. The curve
+    itself is {LORENZ_BINS} rows.
+
+    Reference parity: 'top rated / most active' leaderboards
+    (Queries:28-44) generalized to a whole-population concentration
+    statement; SURVEY.md §2 EXT analytics family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    bins = (
+        ranked.select(
+            F.expr(f"(rn * {LORENZ_BINS} + n - 1) div n").alias("decile"), "cents"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+    )
+    tot = bins.agg(F.sum("decile_cents").cast("bigint").alias("total"))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "customers",
+            "decile_cents",
+            F.round(F.col("decile_cents").cast("double") / F.col("total"), 6).alias(
+                "pct_of_total"
+            ),
+            F.round(
+                F.sum("decile_cents").over(w).cast("double") / F.col("total"), 6
+            ).alias("cum_pct"),
+        )
+        .orderBy("decile")
+    )

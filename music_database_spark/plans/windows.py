@@ -1259,3 +1259,307 @@ def x_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("daily_cents"),
         F.round(num / den / 100.0, 6).alias("slope_per_day"),
     ).orderBy("day")
+
+
+TS_EPOCH = "1992-01-01"  # fixed x-origin for the Theil-Sen day index
+TS_WINDOW_DAYS = 365  # trailing calendar window the trend is fit over
+
+
+@register(
+    "x_theilsen_slope",
+    tags=("EXT", "O4", "F4", "J9"),
+    oracle=f"""
+        WITH daily0 AS (
+            SELECT CAST(o_orderdate AS DATE) - DATE '{TS_EPOCH}' AS x,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        daily AS (
+            SELECT x, cents FROM daily0
+            WHERE x > (SELECT MAX(x) FROM daily0) - {TS_WINDOW_DAYS}
+        ),
+        slopes AS (
+            SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x) AS s,
+                   a.x AS i, b.x AS j
+            FROM daily a JOIN daily b ON a.x < b.x
+        ),
+        ranked AS (
+            SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s, i, j) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+            FROM slopes
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               MAX(cnt) AS n_pairs,
+               round(MAX(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT)
+                              THEN s END) / 100.0, 6) AS slope_q25,
+               round(MAX(CASE WHEN rn = CAST(ceil(cnt * 0.50) AS BIGINT)
+                              THEN s END) / 100.0, 6) AS slope_median,
+               round(MAX(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT)
+                              THEN s END) / 100.0, 6) AS slope_q75
+        FROM ranked
+    """,
+)
+def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median (and quartile band) of the
+    pairwise slopes of daily revenue over the trailing {TS_WINDOW_DAYS}
+    observed days, in dollars/day — the outlier-proof companion to
+    x_rolling_slope's OLS (a single bulk-load day drags OLS, but moves
+    the slope median not at all; the quartile band doubles as a
+    distribution-free trend CI). Breakdown point 29.3% vs OLS's 0%.
+
+    Determinism: x is the exact day offset from {TS_EPOCH} and y the
+    exact integer cents, so each pairwise slope is ONE IEEE division of
+    exact integers — bit-identical across engines — and the quantiles
+    are explicit ceil(q*n) row_number picks under the unique (s, i, j)
+    order (never the engines' divergent percentile builtins).
+
+    100 TB design: the fact scan partial-aggregates to calendar grain
+    BEFORE the O(W^2) pair join, so the quadratic is bounded by the
+    trend window ({TS_WINDOW_DAYS} days -> 66k slope pairs, constant in
+    row count; the self-join broadcasts the daily frame). The quantile
+    picks use exact two-level rank selection — monotone range-bucket,
+    cum-sum the tiny per-bucket counts into offsets, rank only WITHIN
+    buckets — so no stage ever globally sorts the pair frame in one
+    partition (the same range-partitioned-ranking escape x_lorenz_curve
+    documents). Per-entity Theil-Sen adds PARTITION BY with the same
+    per-entity bound; unwindowed series past ~100k points switch to the
+    Siegel repeated-median or sampled-pairs variant, same plan shape.
+
+    Reference parity: rating-trend-over-time (README.md:8) made robust;
+    SURVEY.md §2 EXT time-series family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily0 = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(TS_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    xmax = daily0.agg(F.max("x").alias("xmax"))
+    daily = (
+        daily0.crossJoin(F.broadcast(xmax))
+        .filter(F.col("x") > F.col("xmax") - TS_WINDOW_DAYS)
+        .select("x", "cents")
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("x").alias("i"), F.col("cents").alias("ya"))
+    b = daily.select(F.col("x").alias("j"), F.col("cents").alias("yb"))
+    slopes = (
+        a.repartition(32, "i")
+        .join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select(
+            ((F.col("yb") - F.col("ya")).cast("double") / (F.col("j") - F.col("i"))).alias("s"),
+            "i",
+            "j",
+        )
+    )
+    # Exact rank-selection WITHOUT a global single-partition sort:
+    # monotone range-bucket the slopes, cum-sum the (tiny) per-bucket
+    # counts into offsets, then rank only WITHIN each bucket — global
+    # rank = bucket offset + within-bucket row_number. Order by the
+    # unique (s, i, j) key is preserved because bucketing is monotone
+    # in s (equal s always share a bucket).
+    nb = 1024
+    stats = slopes.agg(
+        F.min("s").alias("smin"),
+        F.max("s").alias("smax"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    width = (F.col("smax") - F.col("smin")) / nb
+    bucketed = (
+        slopes.crossJoin(F.broadcast(stats))
+        .select(
+            "s",
+            "i",
+            "j",
+            "cnt",
+            F.when(F.col("smax") == F.col("smin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(nb - 1),
+                    F.floor((F.col("s") - F.col("smin")) / width).cast("int"),
+                )
+            )
+            .alias("bkt"),
+        )
+        .localCheckpoint()
+    )
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+        .select(
+            F.col("bkt").alias("__bkt"),
+            (
+                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1))
+            ).alias("off"),
+        )
+        .fillna({"off": 0})
+    )
+    ranked = bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt")).select(
+        "s",
+        "cnt",
+        (
+            F.col("off")
+            + F.row_number().over(W.partitionBy("bkt").orderBy("s", "i", "j"))
+        )
+        .cast("bigint")
+        .alias("rn"),
+    )
+    ndays = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("cnt") * q).cast("bigint"), F.col("s"))
+    )
+    is_target = None
+    for q in (0.25, 0.50, 0.75):
+        c = F.col("rn") == F.ceil(F.col("cnt") * q).cast("bigint")
+        is_target = c if is_target is None else (is_target | c)
+    return (
+        ranked.filter(is_target)
+        .agg(
+            F.max("cnt").alias("n_pairs"),
+            F.round(pick(0.25) / 100.0, 6).alias("slope_q25"),
+            F.round(pick(0.50) / 100.0, 6).alias("slope_median"),
+            F.round(pick(0.75) / 100.0, 6).alias("slope_q75"),
+        )
+        .crossJoin(F.broadcast(ndays))
+        .select("n_days", "n_pairs", "slope_q25", "slope_median", "slope_q75")
+    )
+
+
+XCORR_LAGS: tuple[int, ...] = (0, 1, 7)  # lead of y relative to x, in days
+XCORR_X, XCORR_Y = "view", "purchase"  # does browsing predict buying?
+
+
+def _xcorr_oracle() -> str:
+    case = (
+        "CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) "
+        "END) * 1000000 AS BIGINT)"
+    )
+    lag_cols = ",\n                   ".join(
+        f"LEAD(y, {k}) OVER (ORDER BY day) AS y{k}" for k in XCORR_LAGS
+    )
+    arms = "\n            UNION ALL ".join(
+        f"""SELECT {k} AS lag, n{k} AS n_pairs,
+                   round(CAST(n{k} * sxy{k} - CAST(sx{k} AS HUGEINT) * sy{k} AS DOUBLE)
+                         / (sqrt(CAST(n{k} * sxx{k} - CAST(sx{k} AS HUGEINT) * sx{k} AS DOUBLE))
+                            * sqrt(CAST(n{k} * syy{k} - CAST(sy{k} AS HUGEINT) * sy{k} AS DOUBLE))),
+                         6) AS xcorr
+            FROM s"""
+        for k in XCORR_LAGS
+    )
+    moments = ",\n                   ".join(
+        f"""CAST(COUNT(y{k}) AS BIGINT) AS n{k},
+                   CAST(SUM(x) FILTER (WHERE y{k} IS NOT NULL) AS BIGINT) AS sx{k},
+                   CAST(SUM(y{k}) AS BIGINT) AS sy{k},
+                   CAST(SUM(CAST(x AS HUGEINT) * y{k}) AS HUGEINT) AS sxy{k},
+                   CAST(SUM(CAST(x AS HUGEINT) * x) FILTER (WHERE y{k} IS NOT NULL) AS HUGEINT) AS sxx{k},
+                   CAST(SUM(CAST(y{k} AS HUGEINT) * y{k}) AS HUGEINT) AS syy{k}"""
+        for k in XCORR_LAGS
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   COALESCE({case.format(t=XCORR_X)}, 0) AS x,
+                   COALESCE({case.format(t=XCORR_Y)}, 0) AS y
+            FROM events WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+            GROUP BY CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT x, y,
+                   {lag_cols}
+            FROM daily
+        ),
+        s AS (
+            SELECT {moments}
+            FROM lagged
+        )
+        SELECT lag, n_pairs, xcorr FROM ({arms}) u ORDER BY lag
+    """
+
+
+@register("x_crosscorr", tags=("EXT", "O4", "A7", "F4"), oracle=_xcorr_oracle())
+def x_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event-type daily series
+    (does '{XCORR_X}' volume predict '{XCORR_Y}' volume k days later?)
+    at leads {XCORR_LAGS} — the lead-lag probe behind funnel latency
+    and capacity forecasting, and the bivariate sibling of x_acf.
+
+    Determinism: daily sums are exact integer MICROS (decimal(18,6)
+    partials scaled by 1e6), so every Pearson moment at every lag is an
+    exact 128-bit integer sum (Spark DECIMAL(38,0) == DuckDB HUGEINT)
+    and each correlation is one fixed sqrt/division tree — the x_acf /
+    x_assortativity recipe applied bivariate.
+
+    100 TB design: one partial-aggregable conditional groupBy to
+    calendar grain before the (unpartitioned-at-|days|) lead window;
+    per-segment cross-correlation adds PARTITION BY. All {len(XCORR_LAGS)}
+    lags share one window pass and reduce map-side to a single moments
+    row.
+
+    Reference parity: no stats surface in the reference; SURVEY.md §2
+    EXT time-series family."""
+    events = scan_wide(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    micro = lambda t: (  # noqa: E731
+        F.sum(
+            F.when(F.col("event_type") == t, F.col("value").cast("decimal(18,6)"))
+        )
+        * 1000000
+    ).cast("bigint")
+    daily = (
+        events.filter(F.col("event_type").isin(XCORR_X, XCORR_Y))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.coalesce(micro(XCORR_X), F.lit(0)).alias("x"),
+            F.coalesce(micro(XCORR_Y), F.lit(0)).alias("y"),
+        )
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "x", "y", *[F.lead("y", k).over(w).alias(f"y{k}") for k in XCORR_LAGS]
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = lagged.agg(
+        *[
+            c
+            for k in XCORR_LAGS
+            for c in (
+                F.count(F.col(f"y{k}")).cast("bigint").alias(f"n{k}"),
+                F.sum(F.when(F.col(f"y{k}").isNotNull(), F.col("x")))
+                .cast("bigint")
+                .alias(f"sx{k}"),
+                F.sum(f"y{k}").cast("bigint").alias(f"sy{k}"),
+                F.sum(dec("x") * F.col(f"y{k}")).cast("decimal(38,0)").alias(f"sxy{k}"),
+                F.sum(F.when(F.col(f"y{k}").isNotNull(), dec("x") * F.col("x")))
+                .cast("decimal(38,0)")
+                .alias(f"sxx{k}"),
+                F.sum(dec(f"y{k}") * F.col(f"y{k}"))
+                .cast("decimal(38,0)")
+                .alias(f"syy{k}"),
+            )
+        ]
+    )
+    out = None
+    for k in XCORR_LAGS:
+        num = (F.col(f"n{k}") * F.col(f"sxy{k}") - dec(f"sx{k}") * F.col(f"sy{k}")).cast(
+            "double"
+        )
+        dx = F.sqrt(
+            (F.col(f"n{k}") * F.col(f"sxx{k}") - dec(f"sx{k}") * F.col(f"sx{k}")).cast(
+                "double"
+            )
+        )
+        dy = F.sqrt(
+            (F.col(f"n{k}") * F.col(f"syy{k}") - dec(f"sy{k}") * F.col(f"sy{k}")).cast(
+                "double"
+            )
+        )
+        row = agg.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"n{k}").alias("n_pairs"),
+            F.round(num / (dx * dy), 6).alias("xcorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")

@@ -1628,3 +1628,146 @@ def test_rolling_slope_matches_numpy_ols(spark, reg):
         slope = np.polyfit(xs, ys, 1)[0] / 100.0
         r = rows[str(daily.index[end])]
         assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4, abs=1e-4)
+
+
+def test_theilsen_slope_matches_numpy_pairwise_median(spark, reg):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from music_database_spark.plans.windows import TS_EPOCH, TS_WINDOW_DAYS
+
+    daily = _daily_cents(SF_SMOKE)
+    epoch = pd.Timestamp(TS_EPOCH).date()
+    xs = np.array([(d - epoch).days for d in daily.index], dtype="int64")
+    ys = daily.to_numpy()
+    keep = xs > xs.max() - TS_WINDOW_DAYS
+    xs, ys = xs[keep], ys[keep]
+    slopes = [
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    slopes.sort()
+    cnt = len(slopes)
+    row = reg["x_theilsen_slope"].build(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == len(xs)
+    assert row["n_pairs"] == cnt
+    for col, q in (("slope_q25", 0.25), ("slope_median", 0.50), ("slope_q75", 0.75)):
+        want = slopes[math.ceil(cnt * q) - 1] / 100.0
+        assert row[col] == pytest.approx(want, abs=2e-6)
+    assert row["slope_q25"] <= row["slope_median"] <= row["slope_q75"]
+
+
+def test_crosscorr_matches_numpy_pearson_at_each_lag(spark, reg):
+    import numpy as np
+    import pandas as pd
+
+    from music_database_spark.plans.windows import XCORR_LAGS, XCORR_X, XCORR_Y
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev["event_type"].isin([XCORR_X, XCORR_Y])].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["micros"] = (ev["value"].round(6) * 1_000_000).round().astype("int64")
+    daily = (
+        ev.pivot_table(
+            index="day", columns="event_type", values="micros", aggfunc="sum", fill_value=0
+        )
+        .sort_index()
+        .astype("int64")
+    )
+    x = daily[XCORR_X].to_numpy(dtype=float)
+    y = daily[XCORR_Y].to_numpy(dtype=float)
+    rows = {r["lag"]: r for r in reg["x_crosscorr"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(XCORR_LAGS)
+    for k in XCORR_LAGS:
+        a = x[: len(x) - k] if k else x
+        b = y[k:]
+        assert rows[k]["n_pairs"] == len(a)
+        want = np.corrcoef(a, b)[0, 1]
+        assert rows[k]["xcorr"] == pytest.approx(want, abs=2e-6)
+
+
+def test_link_prediction_matches_pandas_set_jaccard(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.graph import LP_MAX_PART_FREQ, LP_TOP
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[["l_partkey", "l_suppkey"]]
+    ps = li.drop_duplicates()
+    freq = ps.groupby("l_partkey").size()
+    capped = ps[ps["l_partkey"].map(freq) <= LP_MAX_PART_FREQ]
+    parts_of: dict[int, set[int]] = {
+        int(s): set(g["l_partkey"]) for s, g in capped.groupby("l_suppkey")
+    }
+    scored = []
+    supps = sorted(parts_of)
+    for ia, s1 in enumerate(supps):
+        for s2 in supps[ia + 1 :]:
+            c = len(parts_of[s1] & parts_of[s2])
+            if c:
+                d1, d2 = len(parts_of[s1]), len(parts_of[s2])
+                scored.append((round(c / (d1 + d2 - c), 6), s1, s2, c, d1, d2))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = reg["x_link_prediction"].build(spark, SF_SMOKE).collect()
+    assert len(got) == min(LP_TOP, len(scored))
+    for row, (j, s1, s2, c, d1, d2) in zip(got, scored):
+        assert (row["supp_a"], row["supp_b"], row["common"]) == (s1, s2, c)
+        assert (row["deg_a"], row["deg_b"]) == (d1, d2)
+        assert row["pref_attach"] == d1 * d2
+        assert row["jaccard"] == pytest.approx(j, abs=2e-6)
+
+
+def test_lorenz_curve_is_a_valid_concentration_curve(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import LORENZ_BINS
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    rev = cents.groupby(orders["o_custkey"]).sum().sort_values(kind="stable")
+    # rank ties broken by custkey: sort by (cents, custkey)
+    rev = rev.reset_index().sort_values(["o_totalprice", "o_custkey"]).reset_index(drop=True)
+    n = len(rev)
+    rev["decile"] = ((rev.index + 1) * LORENZ_BINS + n - 1) // n
+    bins = rev.groupby("decile")["o_totalprice"].agg(["count", "sum"])
+    total = int(bins["sum"].sum())
+    rows = {r["decile"]: r for r in reg["x_lorenz_curve"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(bins.index)
+    cum = 0
+    for d in sorted(bins.index):
+        cum += int(bins.loc[d, "sum"])
+        assert rows[d]["customers"] == int(bins.loc[d, "count"])
+        assert rows[d]["decile_cents"] == int(bins.loc[d, "sum"])
+        assert rows[d]["pct_of_total"] == pytest.approx(
+            int(bins.loc[d, "sum"]) / total, abs=2e-6
+        )
+        assert rows[d]["cum_pct"] == pytest.approx(cum / total, abs=2e-6)
+    # curve sanity: cumulative, ends at 1, deciles ascending in share
+    shares = [rows[d]["pct_of_total"] for d in sorted(rows)]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert rows[max(rows)]["cum_pct"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_group_sample_picks_k_minwise_hashes_per_stratum(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.pipeline import GROUP_SAMPLE_K
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs["hv"] = [
+        int(hashlib.md5(f"gsamp:{d}".encode()).hexdigest()[:8], 16)
+        for d in docs["doc_id"]
+    ]
+    got = reg["x_group_sample"].build(spark, SF_SMOKE).collect()
+    by_group: dict[tuple, list] = {}
+    for r in got:
+        by_group.setdefault((r["lang"], r["source"]), []).append(r)
+    for (lang, source), g in docs.groupby(["lang", "source"]):
+        want = g.sort_values(["hv", "doc_id"]).head(GROUP_SAMPLE_K)
+        rows = sorted(by_group[(lang, source)], key=lambda r: r["sample_rank"])
+        assert len(rows) == min(GROUP_SAMPLE_K, len(g))
+        assert [r["sample_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert [r["doc_id"] for r in rows] == list(want["doc_id"])
+    assert sum(len(v) for v in by_group.values()) == len(got)
