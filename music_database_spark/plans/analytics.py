@@ -1732,3 +1732,102 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+PATH_LEN = 3  # steps per mined path
+PATH_TOP = 20  # paths returned
+PATH_GAP_US = 30 * 60 * 1_000_000  # session break, matches x_sessionize_lag
+
+
+@register(
+    "x_path_mining",
+    tags=("EXT", "O4", "A1", "F3"),
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > {PATH_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g
+        ),
+        tri AS (
+            SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                       || '>' || LEAD(event_type, 2) OVER w2 AS path
+            FROM s
+            WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions_hit
+        FROM tri WHERE path IS NOT NULL
+        GROUP BY path ORDER BY n_sessions_hit DESC, path LIMIT {PATH_TOP}
+    """,
+)
+def x_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: the {PATH_TOP} most frequent
+    {PATH_LEN}-step event-type paths taken WITHIN a session (30-minute
+    gap rule shared with x_sessionize_lag) — the contiguous-sequence
+    miner behind "how do users actually reach purchase", one order up
+    from x_event_transitions' first-order Markov pairs and the
+    sequence-aware sibling of x_assoc_rules' unordered baskets.
+
+    Determinism: windows order by the unique (ts, event_id); the path
+    string and counts are exact; the top-{PATH_TOP} cut orders by the
+    unique (count DESC, path) key.
+
+    100 TB design: both windows (session numbering, {PATH_LEN}-gram
+    lead) share the single (user_id)-keyed exchange — Catalyst plans
+    one sort satisfying both partition specs; path counts then
+    partial-aggregate map-side on the path string and the top-k is a
+    distributed TakeOrderedAndProject. Longer patterns or gapped
+    (non-contiguous) sequences escalate to PrefixSpan's
+    projected-database recursion — each projection is this same plan.
+
+    Reference parity: no sequence surface in the reference; SURVEY.md
+    §2 EXT mining family beside x_assoc_rules."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > PATH_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    w2 = W.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("__t2"),
+    ).filter(F.col("__t2").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions_hit"))
+        .orderBy(F.col("n_sessions_hit").desc(), "path")
+        .limit(PATH_TOP)
+    )

@@ -1052,3 +1052,184 @@ def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cusum_dev").desc(), "day")
         .limit(CUSUM_TOP)
     )
+
+
+BOOT_B = 100  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds: P(X<=k) for k=0..5; the residual
+# tail (P>5 ~ 5.9e-4) collapses to weight 6. Literal constants embedded
+# identically in both engines so the draw is pure double comparisons.
+BOOT_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(BOOT_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "x_poisson_bootstrap",
+    tags=("EXT", "A5", "A7", "D1", "O3"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        drawn AS (
+            SELECT b.range AS b, cents,
+                   ('0x' || substr(md5('boot:' || CAST(b.range AS VARCHAR)
+                                        || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+            FROM base CROSS JOIN range({BOOT_B}) b
+        ),
+        reps AS (
+            SELECT b,
+                   CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(CAST(w AS HUGEINT) * cents) AS HUGEINT) AS swc
+            FROM (SELECT b, cents, {_boot_case_sql()} AS w FROM drawn)
+            GROUP BY b
+        ),
+        means AS (
+            SELECT CAST(swc AS DOUBLE) / sw AS m,
+                   CAST(ROW_NUMBER() OVER (ORDER BY CAST(swc AS DOUBLE) / sw, b)
+                        AS BIGINT) AS rn
+            FROM reps
+        ),
+        pt AS (
+            SELECT CAST(SUM(cents) AS HUGEINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM pt) AS n_rows,
+               {BOOT_B} AS n_replicates,
+               (SELECT round(CAST(s AS DOUBLE) / n / 100.0, 6) FROM pt)
+                   AS mean_price,
+               round(MAX(CASE WHEN rn = CAST(ceil({BOOT_B} * 0.025) AS BIGINT)
+                              THEN m END) / 100.0, 6) AS ci_lo,
+               round(MAX(CASE WHEN rn = CAST(ceil({BOOT_B} * 0.975) AS BIGINT)
+                              THEN m END) / 100.0, 6) AS ci_hi
+        FROM means
+    """,
+)
+def x_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap: a {BOOT_B}-replicate percentile CI for the
+    mean order price via the POISSON bootstrap — each (row, replicate)
+    pair draws an independent Poisson(1) resampling weight, the
+    streaming-friendly limit of multinomial resampling (n draws of
+    prob 1/n -> Poisson(1)) that needs NO global count, shuffle, or
+    coordination before drawing: the uncertainty-quantification
+    primitive for any pipeline metric this engine reports.
+
+    Determinism: the uniform is the md5-derived 32-bit fraction (the
+    x_hash_split family), the inverse-CDF thresholds are shared literal
+    doubles, so weights are exact integers; each replicate mean is one
+    IEEE division of a 128-bit exact weighted sum by an exact count,
+    and the CI bounds are explicit ceil(q*B) row_number picks over the
+    unique (mean, b) order.
+
+    100 TB design: the replicate dimension explodes map-side ({BOOT_B}x
+    narrow rows, never materialized wide) and partial-aggregates to
+    {BOOT_B} rows BEFORE the only exchange — per-replicate state is two
+    integers, so the whole bootstrap is one combiner-friendly pass over
+    the fact table regardless of B; the rank window then orders
+    {BOOT_B} rows. Per-segment CIs add the segment key to the groupBy
+    and PARTITION BY. (Kleiner et al.'s BLB is the escape hatch when
+    even {BOOT_B}x map-side amplification is too hot; same plan shape
+    over subsamples.)
+
+    Reference parity: AVG-family reporting (Queries:45-50) upgraded
+    with uncertainty; SURVEY.md §2 EXT sketches family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    drawn = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "k",
+    ).select(
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w_expr = None
+    for kk, t in enumerate(BOOT_CDF):
+        cond = F.col("u") < F.lit(t)
+        w_expr = F.when(cond, kk) if w_expr is None else w_expr.when(cond, kk)
+    w_expr = w_expr.otherwise(6)
+    reps = (
+        drawn.select("b", "cents", w_expr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("swc"),
+        )
+    )
+    m = (F.col("swc").cast("double") / F.col("sw")).alias("m")
+    means = reps.select(
+        m, F.row_number().over(W.orderBy(m, "b")).cast("bigint").alias("rn")
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("cents").cast("decimal(38,0)").cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("mean_price"),
+    )
+    import math
+
+    lo_rn = math.ceil(BOOT_B * 0.025)
+    hi_rn = math.ceil(BOOT_B * 0.975)
+    ci = means.agg(
+        F.round(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("m"))) / 100.0, 6
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rn") == hi_rn, F.col("m"))) / 100.0, 6
+        ).alias("ci_hi"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.lit(BOOT_B).cast("int").alias("n_replicates"),
+            "mean_price",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -1771,3 +1771,68 @@ def test_group_sample_picks_k_minwise_hashes_per_stratum(spark, reg):
         assert [r["sample_rank"] for r in rows] == list(range(1, len(rows) + 1))
         assert [r["doc_id"] for r in rows] == list(want["doc_id"])
     assert sum(len(v) for v in by_group.values()) == len(got)
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_matches_python(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.plans.sketches import BOOT_B, BOOT_CDF
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    keys = orders["o_orderkey"].astype("int64")
+    means = []
+    for b in range(BOOT_B):
+        sw = swc = 0
+        for k, c in zip(keys, cents):
+            u = int(hashlib.md5(f"boot:{b}:{k}".encode()).hexdigest()[:8], 16) / 2**32
+            w = next((i for i, t in enumerate(BOOT_CDF) if u < t), 6)
+            sw += w
+            swc += w * int(c)
+        means.append(swc / sw)
+    means.sort()
+    import math
+
+    row = reg["x_poisson_bootstrap"].build(spark, SF_SMOKE).collect()[0]
+    assert row["n_rows"] == len(cents)
+    assert row["n_replicates"] == BOOT_B
+    assert row["mean_price"] == pytest.approx(cents.mean() / 100.0, abs=2e-6)
+    assert row["ci_lo"] == pytest.approx(
+        means[math.ceil(BOOT_B * 0.025) - 1] / 100.0, abs=2e-6
+    )
+    assert row["ci_hi"] == pytest.approx(
+        means[math.ceil(BOOT_B * 0.975) - 1] / 100.0, abs=2e-6
+    )
+    assert row["ci_lo"] < row["mean_price"] < row["ci_hi"]
+
+
+def test_path_mining_counts_contiguous_session_trigrams(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.plans.analytics import PATH_GAP_US, PATH_TOP
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    counts: dict[str, int] = {}
+    for _, g in ev.groupby("user_id"):
+        ts_us = pd.to_datetime(g["ts"]).astype("datetime64[us]").astype("int64")
+        types = list(g["event_type"])
+        sess_break = [True] + [
+            (b - a) > PATH_GAP_US for a, b in zip(ts_us, ts_us[1:])
+        ]
+        runs: list[list[str]] = []
+        for brk, t in zip(sess_break, types):
+            if brk:
+                runs.append([])
+            runs[-1].append(t)
+        for run in runs:
+            for i in range(len(run) - 2):
+                p = ">".join(run[i : i + 3])
+                counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP]
+    got = [
+        (r["path"], r["n_sessions_hit"])
+        for r in reg["x_path_mining"].build(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
