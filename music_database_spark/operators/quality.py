@@ -1585,3 +1585,83 @@ def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+WILSON_Z = 1.96  # 95% two-sided normal quantile, shared literal
+WILSON_Z2 = 3.8416  # z^2 as its own literal so both engines parse one double
+WILSON_LONG_CHARS = 800  # a doc counts as "long-form" above this
+
+
+@register(
+    "x_wilson_bounds",
+    tags=("EXT", "A5", "F4", "O1"),
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars > {WILSON_LONG_CHARS}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n, k,
+                   CAST(k AS DOUBLE) / n AS p
+            FROM s
+        )
+        SELECT source, n AS n_docs, k AS n_long, round(p, 6) AS rate,
+               round((p + {WILSON_Z2!r} / (2 * n)
+                      - {WILSON_Z!r} * sqrt(p * (1 - p) / n
+                                            + {WILSON_Z2!r} / (4.0 * n * n)))
+                     / (1 + {WILSON_Z2!r} / n), 6) AS wilson_lb,
+               round((p + {WILSON_Z2!r} / (2 * n)
+                      + {WILSON_Z!r} * sqrt(p * (1 - p) / n
+                                            + {WILSON_Z2!r} / (4.0 * n * n)))
+                     / (1 + {WILSON_Z2!r} / n), 6) AS wilson_ub
+        FROM w
+        ORDER BY wilson_lb DESC, source
+    """,
+)
+def x_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score interval ranking: sources ordered by the LOWER
+    95% confidence bound of their long-form-document rate — the
+    small-sample-honest leaderboard (a 3/3 source ranks below a
+    180/200 source, where the raw rate lies), i.e. the "sort by rating"
+    fix every ranking system needs and the uncertainty-aware companion
+    to x_quality_score's point rates.
+
+    Determinism: k and n are exact integers; the bound is ONE fixed
+    arithmetic tree over (k, n) and the shared literal constants z and
+    z² (each parsed from the same decimal literal by both engines), so
+    every intermediate double is bit-identical — the x_assortativity
+    sqrt-tree recipe.
+
+    100 TB design: one partial-aggregable conditional groupBy to
+    |sources| rows; the interval math is map-side over the collapsed
+    frame and the sort orders thousands of rows, not documents.
+
+    Reference parity: 'top rated' leaderboards (Queries:28-44) made
+    sample-size-honest; SURVEY.md §2 EXT quality family."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_chars") > WILSON_LONG_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    half = F.lit(WILSON_Z) * F.sqrt(
+        p * (1 - p) / F.col("n") + F.lit(WILSON_Z2) / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + F.lit(WILSON_Z2) / (2 * F.col("n"))
+    denom = 1 + F.lit(WILSON_Z2) / F.col("n")
+    return (
+        s.select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("k").alias("n_long"),
+            F.round(p, 6).alias("rate"),
+            F.round((center - half) / denom, 6).alias("wilson_lb"),
+            F.round((center + half) / denom, 6).alias("wilson_ub"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "source")
+    )

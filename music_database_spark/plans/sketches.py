@@ -1233,3 +1233,121 @@ def x_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+AMS_ROWS = 4  # CMS depth (independent hash rows)
+AMS_COLS = 256  # CMS width
+
+
+@register(
+    "x_cms_join_size",
+    tags=("EXT", "A7", "F4", "A6"),
+    oracle=f"""
+        WITH cms AS (
+            SELECT r.range AS i,
+                   ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':'
+                                        || CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % {AMS_COLS} AS j,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem CROSS JOIN range({AMS_ROWS}) r
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT i, CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS e
+            FROM cms GROUP BY i
+        ),
+        exact AS (
+            SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                  FROM lineitem GROUP BY l_suppkey)
+        )
+        SELECT CAST(f2 AS BIGINT) AS exact_selfjoin,
+               CAST((SELECT MIN(e) FROM est) AS BIGINT) AS cms_estimate,
+               round((CAST((SELECT MIN(e) FROM est) AS DOUBLE)
+                      - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE), 6)
+                   AS rel_overestimate
+        FROM exact
+    """,
+)
+def x_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a sketch: the self-join size
+    (second frequency moment F2 = sum of squared key frequencies) of
+    lineitem on l_suppkey, estimated as the count-min inner product
+    min_i sum_j c_ij² ({AMS_ROWS}x{AMS_COLS} counters) next to the
+    exact answer — the AMS-family primitive a cost-based optimizer
+    uses to size a join WITHOUT executing it, and the "how skewed is
+    this key" dial behind the salting/AQE decisions in x_salted_join.
+    Guarantee: estimate >= truth always (collisions only add), within
+    F1²/{AMS_COLS} with probability 1-2^-{AMS_ROWS}.
+
+    Determinism: counters, squares, and both statistics are exact
+    integers end-to-end (128-bit squares); the only float is the final
+    relative-error division — same-tree on both engines.
+
+    100 TB design: the sketch build is ONE partial-aggregable pass
+    (map-side combine collapses to <= {AMS_ROWS}*{AMS_COLS} counter
+    rows per task before the exchange — the whole point of CMS); the
+    estimate reduces {AMS_ROWS} rows. The exact twin's groupBy is the
+    verification oracle, not the production path. Two tables' sketches
+    inner-product the same way for A⋈B sizing.
+
+    Reference parity: no sketch surface in the reference; SURVEY.md §2
+    EXT sketches family beside x_cms_heavy_hitters (which shares the
+    counter layout but keeps per-key mins for point queries)."""
+    li = scan_wide(spark, sf_dir, "lineitem", ["l_suppkey"])
+    cms = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(AMS_ROWS - 1))).alias("i"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("s").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % AMS_COLS
+            ).alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    est = cms.groupBy("i").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("e")
+    )
+    best = est.agg(F.min("e").cast("bigint").alias("cms_estimate"))
+    exact = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("bigint")
+            .alias("exact_selfjoin")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(best))
+        .select(
+            "exact_selfjoin",
+            "cms_estimate",
+            F.round(
+                (F.col("cms_estimate").cast("double") - F.col("exact_selfjoin").cast("double"))
+                / F.col("exact_selfjoin").cast("double"),
+                6,
+            ).alias("rel_overestimate"),
+        )
+    )

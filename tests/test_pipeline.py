@@ -1836,3 +1836,63 @@ def test_path_mining_counts_contiguous_session_trigrams(spark, reg):
         for r in reg["x_path_mining"].build(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_wilson_bounds_match_closed_form_and_shrink_small_samples(spark, reg):
+    import math
+
+    import pandas as pd
+
+    from music_database_spark.operators.quality import (
+        WILSON_LONG_CHARS,
+        WILSON_Z,
+        WILSON_Z2,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = reg["x_wilson_bounds"].build(spark, SF_SMOKE).collect()
+    by_src = {r["source"]: r for r in rows}
+    for source, g in docs.groupby("source"):
+        n = len(g)
+        k = int((g["n_chars"] > WILSON_LONG_CHARS).sum())
+        p = k / n
+        center = p + WILSON_Z2 / (2 * n)
+        half = WILSON_Z * math.sqrt(p * (1 - p) / n + WILSON_Z2 / (4.0 * n * n))
+        denom = 1 + WILSON_Z2 / n
+        r = by_src[source]
+        assert (r["n_docs"], r["n_long"]) == (n, k)
+        assert r["rate"] == pytest.approx(p, abs=2e-6)
+        assert r["wilson_lb"] == pytest.approx((center - half) / denom, abs=2e-6)
+        assert r["wilson_ub"] == pytest.approx((center + half) / denom, abs=2e-6)
+        assert r["wilson_lb"] <= r["rate"] + 1e-9
+        assert r["wilson_ub"] >= r["rate"] - 1e-9
+    # output is ranked by the lower bound
+    lbs = [r["wilson_lb"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
+
+
+def test_cms_join_size_overestimates_within_ams_bound(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.plans.sketches import AMS_COLS, AMS_ROWS
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")["l_suppkey"]
+    counts = li.value_counts()
+    f2 = int((counts.astype("int64") ** 2).sum())
+    # python CMS replica
+    ests = []
+    for i in range(AMS_ROWS):
+        cells = [0] * AMS_COLS
+        for s, c in counts.items():
+            j = int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16) % AMS_COLS
+            cells[j] += int(c)
+        ests.append(sum(c * c for c in cells))
+    row = reg["x_cms_join_size"].build(spark, SF_SMOKE).collect()[0]
+    assert row["exact_selfjoin"] == f2
+    assert row["cms_estimate"] == min(ests)
+    assert row["cms_estimate"] >= f2  # collisions only ever add
+    f1 = int(counts.sum())
+    assert row["cms_estimate"] - f2 <= f1 * f1 / AMS_COLS * 8  # loose AMS sanity
+    assert row["rel_overestimate"] == pytest.approx(
+        (min(ests) - f2) / f2, abs=2e-6
+    )
