@@ -172,6 +172,32 @@ class CorpusPipeline:
         free because selection is per-id): x_stratified_sample semantics."""
         return self.docs.filter(self._bucket(salt) < rate_pct)
 
+    def group_sample(
+        self, k: int = 5, by: tuple[str, ...] = ("lang", "source"), salt: str = "gsamp:"
+    ) -> DataFrame:
+        """Exact-quota min-wise per-stratum sample (x_group_sample
+        semantics): the k smallest salted-md5 docs from EVERY `by` group
+        — the audit sampler that never leaves a thin stratum empty the
+        way a Bernoulli rate can. Adds `sample_rank` (1..k per group);
+        Catalyst plans the rank<=k filter as WindowGroupLimit so map
+        tasks keep k-row heaps before the stratum shuffle."""
+        from pyspark.sql import Window as W
+
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(self.id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        rank = F.row_number().over(
+            W.partitionBy(*by).orderBy(hv.asc(), F.col(self.id_col).asc())
+        )
+        return (
+            self.docs.withColumn("sample_rank", rank.cast("bigint"))
+            .filter(F.col("sample_rank") <= k)
+        )
+
     # ---- quality ----------------------------------------------------------
 
     def with_quality_flags(self) -> DataFrame:

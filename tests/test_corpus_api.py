@@ -342,3 +342,20 @@ def test_mix_weights_and_token_budget_match_registered_queries(spark):
         assert g["tokens_avail"] == e["tokens_avail"]
         assert g["alloc_tokens"] == e["alloc_tokens"]
         assert g["is_capped"] == e["is_capped"]
+
+
+def test_group_sample_matches_registered_query(spark, pipe):
+    from music_database_spark.registry import REGISTRY
+    import music_database_spark.operators.pipeline  # noqa: F401
+    from music_database_spark.operators.pipeline import GROUP_SAMPLE_K
+
+    got = {
+        (r["lang"], r["source"], r["sample_rank"]): r["doc_id"]
+        for r in pipe.group_sample(k=GROUP_SAMPLE_K).collect()
+    }
+    want = {
+        (r["lang"], r["source"], r["sample_rank"]): r["doc_id"]
+        for r in REGISTRY["x_group_sample"].build(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert max(rank for (_, _, rank) in got) <= GROUP_SAMPLE_K
