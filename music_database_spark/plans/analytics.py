@@ -1831,3 +1831,108 @@ def x_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions_hit").desc(), "path")
         .limit(PATH_TOP)
     )
+
+
+FUNNEL_FROM, FUNNEL_TO = "view", "purchase"  # measured conversion edge
+
+
+@register(
+    "x_conversion_time",
+    tags=("EXT", "O3", "A5", "F4"),
+    oracle=f"""
+        WITH first_from AS (
+            SELECT user_id, MIN(ts) AS t0
+            FROM events WHERE event_type = '{FUNNEL_FROM}'
+            GROUP BY user_id
+        ),
+        first_to AS (
+            SELECT e.user_id, MIN(e.ts) AS t1
+            FROM events e JOIN first_from f
+              ON e.user_id = f.user_id AND e.ts > f.t0
+            WHERE e.event_type = '{FUNNEL_TO}'
+            GROUP BY e.user_id
+        ),
+        gaps AS (
+            SELECT f.user_id,
+                   epoch_us(t.t1) - epoch_us(f.t0) AS gap_us
+            FROM first_from f JOIN first_to t ON f.user_id = t.user_id
+        ),
+        ranked AS (
+            SELECT gap_us,
+                   CAST(ROW_NUMBER() OVER (ORDER BY gap_us, user_id) AS BIGINT)
+                       AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(gap_us) OVER () AS HUGEINT) AS s
+            FROM gaps
+        )
+        SELECT MAX(n) AS n_converters,
+               round(CAST(MAX(s) AS DOUBLE) / MAX(n) / 3600e6, 6) AS mean_hours,
+               round(MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                              THEN gap_us END) / 3600e6, 6) AS hours_q25,
+               round(MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT)
+                              THEN gap_us END) / 3600e6, 6) AS hours_median,
+               round(MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                              THEN gap_us END) / 3600e6, 6) AS hours_q75
+        FROM ranked
+    """,
+)
+def x_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: how long from a user's FIRST '{FUNNEL_FROM}' to
+    their first subsequent '{FUNNEL_TO}' — mean and quartiles of the
+    conversion gap in hours, over converting users only. The
+    time-dimension complement to x_funnel's step counts and
+    x_cogroup_conversions' per-user pairing (step ordering enforced:
+    the {FUNNEL_TO} must strictly follow the first {FUNNEL_FROM}).
+
+    Determinism: gaps are exact integer microseconds; quartiles are
+    explicit ceil(q*n) row_number picks under the unique
+    (gap, user_id) order; the mean is one division of a 128-bit exact
+    sum. The only floats are three per-statistic output divisions.
+
+    100 TB design: two partial-aggregable MIN groupBys on user_id (the
+    causal join is user-keyed, arbitrarily distributable), collapsing
+    the stream to one row per CONVERTING user before any window; the
+    rank window then orders the collapsed converters frame — at
+    planetary user counts the x_theilsen_slope two-level bucket
+    selection drops in unchanged.
+
+    Reference parity: no funnel surface in the reference; SURVEY.md §2
+    EXT analytics family beside x_funnel / x_retention_cohorts."""
+    events = _t(spark, sf_dir, "events")
+    f0 = (
+        events.filter(F.col("event_type") == FUNNEL_FROM)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    f1 = (
+        events.filter(F.col("event_type") == FUNNEL_TO)
+        .join(f0, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    gaps = f0.join(f1, "user_id").select(
+        "user_id",
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("gap_us"),
+    )
+    ranked = gaps.select(
+        "gap_us",
+        F.row_number().over(W.orderBy("gap_us", "user_id")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)"))
+        .over(W.partitionBy())
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("bigint"), F.col("gap_us"))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converters"),
+        F.round(F.max("s").cast("double") / F.max("n") / F.lit(3600e6), 6).alias(
+            "mean_hours"
+        ),
+        F.round(pick(0.25) / F.lit(3600e6), 6).alias("hours_q25"),
+        F.round(pick(0.50) / F.lit(3600e6), 6).alias("hours_median"),
+        F.round(pick(0.75) / F.lit(3600e6), 6).alias("hours_q75"),
+    )

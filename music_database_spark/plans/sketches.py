@@ -1351,3 +1351,127 @@ def x_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overestimate"),
         )
     )
+
+
+@register(
+    "x_segmented_regression",
+    tags=("EXT", "O4", "A7", "F4"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        cum AS (
+            SELECT day, cents,
+                   CAST(SUM(cents) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS s,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily
+        ),
+        bp AS (
+            SELECT i AS istar
+            FROM cum, tot
+            ORDER BY abs(n * s - i * t) DESC, day LIMIT 1
+        ),
+        seg AS (
+            SELECT CASE WHEN c.i <= (SELECT istar FROM bp)
+                        THEN 'before' ELSE 'after' END AS segment,
+                   c.i AS x, c.cents AS y
+            FROM cum c
+        ),
+        m AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM seg GROUP BY segment
+        )
+        SELECT segment, n AS n_days,
+               round(CAST(sy AS DOUBLE) / n / 100.0, 6) AS mean_dollars,
+               round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+                   AS slope_per_day
+        FROM m ORDER BY segment DESC
+    """,
+)
+def x_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (piecewise) regression around the detected changepoint:
+    split the daily-revenue series at x_cusum_changepoint's rank-1 day
+    and fit an independent OLS trend to each side — the "what actually
+    changed" readout that upgrades CUSUM's WHERE to a before/after
+    level + slope contrast (did the shift move the mean, the trend, or
+    both). Composes two already-verified recipes end to end.
+
+    Determinism: the breakpoint is the exact-integer CUSUM argmax
+    (|n*S_i - i*T|, tie-broken on day); per-segment moments are exact
+    128-bit integer sums over the dense day index; each mean/slope is
+    one fixed division tree (the x_rolling_slope arithmetic).
+
+    100 TB design: partial agg to calendar grain first; the cumulative
+    window and both fits run over the collapsed |days| frame (the
+    breakpoint scalar broadcasts via a 1-row TakeOrdered subquery);
+    per-entity segmentation adds PARTITION BY throughout.
+
+    Reference parity: rating-trend-over-time (README.md:8) with
+    structural-break awareness; SURVEY.md §2 EXT time-series family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("s"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "day", "cents", "i", F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("t")).alias("dev")
+    )
+    bp = (
+        dev.orderBy(F.col("dev").desc(), "day")
+        .limit(1)
+        .select(F.col("i").alias("istar"))
+    )
+    seg = dev.crossJoin(F.broadcast(bp)).select(
+        F.when(F.col("i") <= F.col("istar"), F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("segment"),
+        F.col("i").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    m = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "segment",
+        F.col("n").alias("n_days"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 100.0, 6).alias("mean_dollars"),
+        F.round(num / den / 100.0, 6).alias("slope_per_day"),
+    ).orderBy(F.col("segment").desc())

@@ -1896,3 +1896,60 @@ def test_cms_join_size_overestimates_within_ams_bound(spark, reg):
     assert row["rel_overestimate"] == pytest.approx(
         (min(ests) - f2) / f2, abs=2e-6
     )
+
+
+def test_conversion_time_matches_pandas_reference(spark, reg):
+    import math
+
+    import pandas as pd
+
+    from music_database_spark.plans.analytics import FUNNEL_FROM, FUNNEL_TO
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]").astype("int64")
+    t0 = ev[ev.event_type == FUNNEL_FROM].groupby("user_id")["us"].min()
+    gaps = []
+    for uid, start in t0.items():
+        later = ev[
+            (ev.user_id == uid) & (ev.event_type == FUNNEL_TO) & (ev.us > start)
+        ]["us"]
+        if len(later):
+            gaps.append((int(later.min() - start), uid))
+    gaps.sort()
+    n = len(gaps)
+    row = reg["x_conversion_time"].build(spark, SF_SMOKE).collect()[0]
+    assert row["n_converters"] == n
+    assert row["mean_hours"] == pytest.approx(
+        sum(g for g, _ in gaps) / n / 3600e6, abs=2e-6
+    )
+    for col, q in (
+        ("hours_q25", 0.25),
+        ("hours_median", 0.50),
+        ("hours_q75", 0.75),
+    ):
+        assert row[col] == pytest.approx(
+            gaps[math.ceil(n * q) - 1][0] / 3600e6, abs=2e-6
+        )
+    assert row["hours_q25"] <= row["hours_median"] <= row["hours_q75"]
+
+
+def test_segmented_regression_splits_at_cusum_argmax(spark, reg):
+    import numpy as np
+
+    daily = _daily_cents(SF_SMOKE)
+    y = daily.to_numpy().astype("int64")
+    n = len(y)
+    s = np.cumsum(y)
+    t = int(s[-1])
+    dev = np.abs(n * s - (np.arange(1, n + 1)) * t)
+    istar = int(np.argmax(dev)) + 1  # ties: first day wins, matches (dev DESC, day)
+    rows = {r["segment"]: r for r in reg["x_segmented_regression"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"before", "after"}
+    for seg, (lo, hi) in (("before", (0, istar)), ("after", (istar, n))):
+        xs = np.arange(lo + 1, hi + 1, dtype=float)
+        ys = y[lo:hi].astype(float)
+        r = rows[seg]
+        assert r["n_days"] == hi - lo
+        assert r["mean_dollars"] == pytest.approx(ys.mean() / 100.0, abs=2e-6)
+        slope = np.polyfit(xs, ys, 1)[0] / 100.0
+        assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4, abs=1e-4)
