@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -70,6 +70,9 @@ def main() -> int:
         return 0
     if "--basket" in sys.argv[1:]:
         basket_growth(ks)
+        return 0
+    if "--linkpred" in sys.argv[1:]:
+        linkpred_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -469,6 +472,77 @@ def basket_growth(ks: list[int]) -> None:
         pairs.unpersist()
         items.unpersist()
         spark.catalog.clearCache()
+
+
+def linkpred_growth(ks: list[int]) -> None:
+    """Link-prediction candidate growth under hub formation: replicate
+    the (part, supplier) incidence K times with supplier-id offsets —
+    parts keep their identity, so every part's supplier set grows Kx
+    and every part drifts toward hub-hood. The claim under test
+    (operators/graph.py x_link_prediction): candidate volume without a
+    cap grows ~K^2 (sum of C(f,2) over parts), while the
+    LP_MAX_PART_FREQ cap bounds per-part fanout so the realized
+    candidate join collapses to the non-hub remainder. Uncapped/capped
+    candidate counts are computed ANALYTICALLY from the frequency
+    profile (sum f*(f-1)/2), the capped pair join is then actually run
+    and timed."""
+    from music_database_spark.operators.graph import LP_MAX_PART_FREQ
+
+    spark = get_spark("scalecheck_linkpred")
+    ps0 = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    row0 = ps0.agg(F.max("s").alias("ms"), F.max("p").alias("mp")).collect()[0]
+    max_s, max_p = row0["ms"] + 1, row0["mp"] + 1
+
+    print(
+        f"{'mode':<7} {'K':>3} {'supps':>7} {'incid':>9} {'parts':>7} {'kept':>7}"
+        f" {'cand_uncap':>12} {'cand_cap':>10} {'pairs':>9} {'sec':>7}"
+    )
+    for mode, k in [(m, k) for m in ("hub", "growth") for k in ks]:
+        ps = ps0
+        for r in range(1, k):
+            rep = ps0.withColumn("s", F.col("s") + r * max_s)
+            if mode == "growth":
+                rep = rep.withColumn("p", F.col("p") + r * max_p)
+            ps = ps.unionByName(rep)
+        ps = ps.persist()
+        n_inc = ps.count()
+        n_sup = ps.select("s").distinct().count()
+        freq = ps.groupBy("p").agg(F.count(F.lit(1)).alias("f")).persist()
+        prof = freq.agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("uncap"),
+            F.sum(
+                F.when(
+                    F.col("f") <= LP_MAX_PART_FREQ, F.col("f") * (F.col("f") - 1) / 2
+                ).otherwise(0)
+            ).alias("cap"),
+            F.sum(F.when(F.col("f") <= LP_MAX_PART_FREQ, 1).otherwise(0)).alias("kept"),
+        ).collect()[0]
+        t0 = time.time()
+        keep = freq.filter(F.col("f") <= LP_MAX_PART_FREQ).select("p")
+        cps = ps.join(keep, "p")
+        a = cps.select(F.col("p").alias("pa"), F.col("s").alias("s1"))
+        b = cps.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+        n_pairs = (
+            a.join(b, (F.col("pa") == F.col("pb")) & (F.col("s1") < F.col("s2")))
+            .select("s1", "s2")
+            .distinct()
+            .count()
+        )
+        dt = time.time() - t0
+        print(
+            f"{mode:<7} {k:>3} {n_sup:>7} {n_inc:>9} {prof['parts']:>7}"
+            f" {prof['kept']:>7} {int(prof['uncap']):>12} {int(prof['cap']):>10}"
+            f" {n_pairs:>9} {dt:>7.2f}"
+        )
+        freq.unpersist()
+        ps.unpersist()
+    ps0.unpersist()
 
 
 if __name__ == "__main__":
