@@ -1665,3 +1665,178 @@ def x_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("wilson_lb").desc(), "source")
     )
+
+
+@register(
+    "x_auc_roc",
+    tags=("EXT", "A7", "O4", "F4"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT n_chars AS v,
+                   CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+                        >= {KAPPA_STOP_PCT} * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS pos
+            FROM documents
+        ),
+        per_v AS (
+            SELECT v, CAST(SUM(pos) AS BIGINT) AS cp,
+                   CAST(SUM(1 - pos) AS BIGINT) AS cn,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM scored GROUP BY v
+        ),
+        cum AS (
+            SELECT cp, cn, c,
+                   CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cumprev
+            FROM per_v
+        ),
+        s AS (
+            SELECT CAST(SUM(cp) AS BIGINT) AS n1,
+                   CAST(SUM(cn) AS BIGINT) AS n0,
+                   CAST(SUM(cp * (2 * cumprev + c + 1)) AS BIGINT) AS r1x2
+            FROM cum
+        )
+        SELECT n1 AS n_pos, n0 AS n_neg,
+               round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                     / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc
+        FROM s
+    """,
+)
+def x_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of the length score as a classifier of the stopword
+    outcome (the x_calibration pair, threshold-free): computed EXACTLY
+    via the rank-sum identity AUC = (R1 - n1(n1+1)/2) / (n1*n0) with
+    midrank tie handling — the ranking-quality number that completes
+    the eval family (x_prf_eval fixes one threshold, x_calibration
+    checks probability faithfulness, AUC sweeps every threshold at
+    once; 0.5 = coin flip).
+
+    Determinism: per-value tie groups carry the doubled midrank
+    2*cumprev+c+1 (the x_mann_whitney trick — AUC IS U/n1n0), so the
+    numerator is an exact integer and the single division is the only
+    float op. No per-row ranks ever materialize.
+
+    100 TB design: one partial-aggregable groupBy collapses documents
+    to |distinct scores| rows; the cumulative window runs over that
+    collapsed frame (score cardinality, not corpus size) and the
+    statistic reduces map-side to ONE row.
+
+    Reference parity: 'top rated' ordering quality (Queries:28-44)
+    measured properly; SURVEY.md §2 EXT eval family."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "that"]]
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    pos = F.when(hits * 100 >= F.size(toks) * KAPPA_STOP_PCT, 1).otherwise(0)
+    per_v = (
+        docs.select(F.col("n_chars").alias("v"), pos.alias("pos"))
+        .groupBy("v")
+        .agg(
+            F.sum("pos").cast("bigint").alias("cp"),
+            F.sum(1 - F.col("pos")).cast("bigint").alias("cn"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = per_v.select(
+        "cp",
+        "cn",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("cumprev"),
+    )
+    s = cum.agg(
+        F.sum("cp").cast("bigint").alias("n1"),
+        F.sum("cn").cast("bigint").alias("n0"),
+        F.sum(F.col("cp") * (2 * F.col("cumprev") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    return s.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+EQD_BINS = 10  # equi-depth histogram buckets
+
+
+@register(
+    "x_histogram_equidepth",
+    tags=("EXT", "O3", "A6", "A7"),
+    oracle=f"""
+        WITH v AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+                       AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM v
+        )
+        SELECT (rn * {EQD_BINS} + n - 1) // n AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               round(MIN(cents) / 100.0, 2) AS lo_dollars,
+               round(MAX(cents) / 100.0, 2) AS hi_dollars,
+               CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order price: {EQD_BINS} equal-count
+    buckets with value boundaries and per-bucket NDV — the statistics
+    object a cost-based optimizer keeps per column (equal-count
+    boundaries answer range-selectivity queries with bounded relative
+    error where x_histogram's equal-WIDTH bins go empty under skew);
+    beside x_cms_join_size this is the ANALYZE-stats half of the
+    cardinality-estimation story.
+
+    Determinism: exact integer cents; the bucket of rank rn is the
+    pure-integer (rn*{EQD_BINS}+n-1) div n cut on the unique
+    (cents, orderkey) order (x_lorenz_curve's formula); boundaries and
+    NDV are exact; the only floats are fixed /100 presentations.
+
+    100 TB design: the exact global rank is the scale-bound stage —
+    same range-partitioned-ranking escape as x_lorenz_curve, or the
+    standard production move: boundaries from approx quantiles, then
+    ONE partial-aggregable pass for per-bucket counts/NDV against
+    broadcast boundaries. The statistics object itself is {EQD_BINS}
+    rows.
+
+    Reference parity: no statistics surface in the reference;
+    SURVEY.md §2 EXT sketches/stats family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    v = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = v.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_orderkey")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.select(
+            F.expr(f"(rn * {EQD_BINS} + n - 1) div n").alias("bucket"), "cents"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("cents") / 100.0, 2).alias("lo_dollars"),
+            F.round(F.max("cents") / 100.0, 2).alias("hi_dollars"),
+            F.count_distinct(F.col("cents")).cast("bigint").alias("ndv"),
+        )
+        .orderBy("bucket")
+    )

@@ -1563,3 +1563,93 @@ def x_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag")
+
+
+SNAIVE_LAG = 7  # seasonal-naive horizon: same weekday last week
+
+
+@register(
+    "x_forecast_snaive",
+    tags=("EXT", "O4", "A7", "F4"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        lagged AS (
+            SELECT cents,
+                   LAG(cents, {SNAIVE_LAG}) OVER (ORDER BY day) AS fc,
+                   LAG(cents, 1) OVER (ORDER BY day) AS fc1
+            FROM daily
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(abs(cents - fc)) AS BIGINT) AS sae,
+                   CAST(SUM(CAST(cents - fc AS HUGEINT) * (cents - fc)) AS HUGEINT)
+                       AS sse,
+                   CAST(SUM(cents) AS HUGEINT) AS sy,
+                   CAST(SUM(abs(cents - fc1)) AS BIGINT) AS sae1
+            FROM lagged WHERE fc IS NOT NULL
+        )
+        SELECT n AS n_days,
+               round(CAST(sae AS DOUBLE) / n / 100.0, 6) AS mae_dollars,
+               round(sqrt(CAST(sse AS DOUBLE) / n) / 100.0, 6) AS rmse_dollars,
+               round(CAST(sae AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS wmape,
+               round(CAST(sae AS DOUBLE) / CAST(sae1 AS DOUBLE), 6) AS mase_vs_naive1
+        FROM s
+    """,
+)
+def x_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: score the seasonal-naive forecaster (predict
+    today = the {SNAIVE_LAG}th-previous observed day, i.e. same weekday
+    last week) against realized daily revenue — MAE, RMSE, WMAPE, and
+    MASE vs the lag-1 naive (MASE < 1 = weekly seasonality carries real
+    signal). The accuracy harness any forecasting layer needs BEFORE a
+    model earns deployment; WMAPE (sum|e|/sum y) replaces MAPE exactly
+    because per-term ratio sums are order-dependent — the same
+    determinism discipline, applied to metric CHOICE.
+
+    Determinism: errors are exact integer cents; all four metrics are
+    fixed division/sqrt trees over exact 128-bit sums. Evaluation set =
+    days with a {SNAIVE_LAG}-back observation, identical in both
+    engines.
+
+    100 TB design: partial agg to calendar grain, one lag window over
+    the collapsed series, map-side reduction to ONE moments row;
+    per-entity backtests add PARTITION BY.
+
+    Reference parity: rating-trend analysis (README.md:8) made
+    predictive and scored; SURVEY.md §2 EXT time-series family."""
+    orders = scan_wide(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", SNAIVE_LAG).over(w).alias("fc"),
+        F.lag("cents", 1).over(w).alias("fc1"),
+    ).filter(F.col("fc").isNotNull())
+    e = F.col("cents") - F.col("fc")
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e)).cast("bigint").alias("sae"),
+        F.sum(e.cast("decimal(38,0)") * e).cast("decimal(38,0)").alias("sse"),
+        F.sum("cents").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.abs(F.col("cents") - F.col("fc1"))).cast("bigint").alias("sae1"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("sae").cast("double") / F.col("n") / 100.0, 6).alias("mae_dollars"),
+        F.round(F.sqrt(F.col("sse").cast("double") / F.col("n")) / 100.0, 6).alias(
+            "rmse_dollars"
+        ),
+        F.round(F.col("sae").cast("double") / F.col("sy").cast("double"), 6).alias("wmape"),
+        F.round(F.col("sae").cast("double") / F.col("sae1").cast("double"), 6).alias(
+            "mase_vs_naive1"
+        ),
+    )

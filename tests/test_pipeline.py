@@ -1953,3 +1953,79 @@ def test_segmented_regression_splits_at_cusum_argmax(spark, reg):
         assert r["mean_dollars"] == pytest.approx(ys.mean() / 100.0, abs=2e-6)
         slope = np.polyfit(xs, ys, 1)[0] / 100.0
         assert r["slope_per_day"] == pytest.approx(slope, rel=1e-4, abs=1e-4)
+
+
+def test_auc_roc_matches_sklearn_free_reference(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import KAPPA_STOP_PCT
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    stops = {"the", "a", "of", "and", "to", "in", "is", "that"}
+
+    def outcome(text: str) -> int:
+        toks = text.split(" ")
+        hits = sum(1 for t in toks if t in stops)
+        return 1 if 100 * hits >= KAPPA_STOP_PCT * len(toks) else 0
+
+    docs["pos"] = [outcome(t) for t in docs["text"]]
+    pos = sorted(docs[docs.pos == 1]["n_chars"])
+    neg = sorted(docs[docs.pos == 0]["n_chars"])
+    # O(n1*n0) exact AUC with half credit for ties
+    wins = ties = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                wins += 1
+            elif p == q:
+                ties += 1
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    row = reg["x_auc_roc"].build(spark, SF_SMOKE).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert row["auc"] == pytest.approx(want, abs=2e-6)
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_forecast_snaive_matches_numpy_backtest(spark, reg):
+    import numpy as np
+
+    from music_database_spark.plans.windows import SNAIVE_LAG
+
+    y = _daily_cents(SF_SMOKE).to_numpy().astype("int64")
+    e = y[SNAIVE_LAG:] - y[:-SNAIVE_LAG]
+    e1 = (y[1:] - y[:-1])[SNAIVE_LAG - 1 :]
+    n = len(e)
+    row = reg["x_forecast_snaive"].build(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert row["mae_dollars"] == pytest.approx(np.abs(e).mean() / 100.0, abs=2e-6)
+    assert row["rmse_dollars"] == pytest.approx(
+        float(np.sqrt((e.astype(float) ** 2).mean())) / 100.0, abs=1e-4
+    )
+    assert row["wmape"] == pytest.approx(
+        np.abs(e).sum() / y[SNAIVE_LAG:].sum(), abs=2e-6
+    )
+    assert row["mase_vs_naive1"] == pytest.approx(
+        np.abs(e).sum() / np.abs(e1).sum(), abs=2e-6
+    )
+
+
+def test_histogram_equidepth_buckets_are_equal_count_and_ordered(spark, reg):
+    import pandas as pd
+
+    from music_database_spark.operators.quality import EQD_BINS
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    n = len(cents)
+    rows = reg["x_histogram_equidepth"].build(spark, SF_SMOKE).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, EQD_BINS + 1))
+    assert sum(r["n_rows"] for r in rows) == n
+    assert max(r["n_rows"] for r in rows) - min(r["n_rows"] for r in rows) <= 1
+    # boundaries tile the sorted domain in order
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_dollars"] <= b["lo_dollars"]
+    srt = sorted(cents)
+    assert rows[0]["lo_dollars"] == pytest.approx(srt[0] / 100.0)
+    assert rows[-1]["hi_dollars"] == pytest.approx(srt[-1] / 100.0)
+    # per-bucket NDV sums to at least the global NDV (boundary values can repeat)
+    assert sum(r["ndv"] for r in rows) >= cents.nunique()
