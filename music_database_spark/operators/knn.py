@@ -1740,3 +1740,163 @@ def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked; same composition as x_pq_recall via the shared
     _recall_vs_exact / _recall_oracle pair."""
     return _recall_vs_exact(x_knn(spark, sf_dir), x_knn_ivf_trained(spark, sf_dir))
+
+
+PROBE_CURVE_LEVELS: tuple[int, ...] = (1, 2, 4)  # nprobe sweep
+
+
+def _probe_curve_oracle() -> str:
+    """x_ivf_probe_curve oracle: ONE k-means replay, candidates tagged
+    with their cell rank (crnk <= max level), fanned out over the
+    nprobe levels, per-level top-k joined against exact-cosine truth."""
+    last_cent = f"cent{KMEANS_ITERS - 1}"
+    last_assign = f"assign{KMEANS_ITERS}"
+    max_lv = max(PROBE_CURVE_LEVELS)
+    values = ", ".join(f"({lv})" for lv in PROBE_CURVE_LEVELS)
+    cos = (
+        f"round(list_aggregate(list_transform(range(1, {EMB_DIM} + 1),"
+        f" i -> p.emb[i] * n.emb[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(p.emb, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(n.emb, x -> x * x), 'sum'))), 6)"
+    )
+    ctes = _kmeans_ctes() + [
+        f"probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM dbl"
+        f" ORDER BY vec_id LIMIT {N_PROBES})",
+        f"pcells AS (SELECT probe_id, pemb, cluster_id, crnk FROM ("
+        f" SELECT p.probe_id, p.pemb, c.cluster_id,"
+        f" row_number() OVER (PARTITION BY p.probe_id"
+        f" ORDER BY {_sqdist_sql('p.pemb', 'c.cent')} ASC, c.cluster_id ASC) AS crnk"
+        f" FROM probes p CROSS JOIN {last_cent} c) t WHERE crnk <= {max_lv})",
+        f"cand AS (SELECT pc.probe_id, pc.crnk, a.vec_id AS neighbor_id,"
+        f" round({_cos_sql('pc.pemb', 'a.emb')}, 6) AS cosine"
+        f" FROM pcells pc JOIN {last_assign} a ON a.cluster_id = pc.cluster_id"
+        f" WHERE a.vec_id <> pc.probe_id)",
+        f"lev AS (SELECT l.nprobe, c.probe_id, c.neighbor_id, c.cosine"
+        f" FROM cand c JOIN (VALUES {values}) l(nprobe) ON c.crnk <= l.nprobe)",
+        f"ctop AS (SELECT nprobe, probe_id, neighbor_id FROM ("
+        f" SELECT nprobe, probe_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY nprobe, probe_id"
+        f" ORDER BY cosine DESC, neighbor_id ASC) AS rnk"
+        f" FROM lev) t WHERE rnk <= {TOP_K})",
+        f"bscored AS (SELECT pr.probe_id, n.vec_id AS neighbor_id, {cos} AS cosine"
+        f" FROM probes pr JOIN dbl p ON p.vec_id = pr.probe_id"
+        f" CROSS JOIN dbl n WHERE n.vec_id <> pr.probe_id)",
+        f"btop AS (SELECT probe_id, neighbor_id FROM ("
+        f" SELECT probe_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY probe_id"
+        f" ORDER BY cosine DESC, neighbor_id) AS rnk"
+        f" FROM bscored) t WHERE rnk <= {TOP_K})",
+        "hits AS (SELECT c.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits"
+        " FROM ctop c JOIN btop b"
+        " ON b.probe_id = c.probe_id AND b.neighbor_id = c.neighbor_id"
+        " GROUP BY c.nprobe)",
+        "candn AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates"
+        " FROM lev GROUP BY nprobe)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT c.nprobe,
+               c.n_candidates,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                     / {N_PROBES * TOP_K}, 6) AS recall_at_k
+        FROM candn c LEFT JOIN hits h ON h.nprobe = c.nprobe
+        ORDER BY c.nprobe
+    """
+    )
+
+
+@register("x_ivf_probe_curve", tags=("EXT", "X3", "A1", "J4"), oracle=_probe_curve_oracle())
+def x_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost TUNING CURVE: recall@k and candidates-scanned
+    at nprobe in {PROBE_CURVE_LEVELS}, from ONE k-means training and
+    ONE candidate pass — the measured version of the trade-off
+    x_ivf_recall samples at a single operating point, and the number a
+    vector store actually tunes (pick the smallest nprobe on the
+    curve's knee). Cites FAISS's nprobe sweep methodology (public
+    johnson et al. 2017) re-expressed as a single declarative plan.
+
+    Determinism: candidates carry their cell rank crnk; level
+    membership (crnk <= nprobe) and all counts are exact; per-level
+    top-k orders by the round-6 cosine with neighbor-id tie-break —
+    the x_knn_ivf_trained contract per level.
+
+    100 TB design: training and the candidate join run ONCE at the
+    largest nprobe; the level fanout duplicates only candidate rows
+    (<= max_nprobe/|cells| of the corpus per probe) with the level key
+    prepended to the ranking window's partition key — no re-scan per
+    operating point. The brute-force arm is the sanctioned sampled-
+    probe yardstick shared by every recall harness.
+
+    Reference parity: no vector surface in the reference; SURVEY.md §2
+    X3 index-quality family."""
+    cents, assign = _kmeans_fit(spark, sf_dir)
+    max_lv = max(PROBE_CURVE_LEVELS)
+    probes = (
+        assign.orderBy("vec_id")
+        .limit(N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"))
+    )
+    pdist = _sq_dist(F.col("pemb"), F.col("cent"))
+    wp = W.partitionBy("probe_id").orderBy(F.asc("pdist"), F.asc("cluster_id"))
+    pcells = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cents))
+        .select("probe_id", "pemb", "cluster_id", pdist.alias("pdist"))
+        .withColumn("crnk", F.row_number().over(wp))
+        .filter(F.col("crnk") <= max_lv)
+        .select("probe_id", "pemb", "cluster_id", "crnk")
+    )
+    cos = F.round(cosine_similarity(F.col("pemb"), F.col("emb")), 6)
+    cand = (
+        F.broadcast(pcells)
+        .join(assign, "cluster_id")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id", "crnk", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+    )
+    lev = (
+        cand.select(
+            F.explode(F.array(*[F.lit(lv) for lv in PROBE_CURVE_LEVELS])).alias(
+                "nprobe"
+            ),
+            "probe_id",
+            "crnk",
+            "neighbor_id",
+            "cosine",
+        )
+        .filter(F.col("crnk") <= F.col("nprobe"))
+        .localCheckpoint()
+    )
+    wl = W.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ctop = (
+        lev.withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "probe_id", "neighbor_id")
+    )
+    btop = x_knn(spark, sf_dir).select("probe_id", "neighbor_id")
+    hits = (
+        ctop.join(btop, ["probe_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    candn = lev.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        candn.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(N_PROBES * TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

@@ -2029,3 +2029,31 @@ def test_histogram_equidepth_buckets_are_equal_count_and_ordered(spark, reg):
     assert rows[-1]["hi_dollars"] == pytest.approx(srt[-1] / 100.0)
     # per-bucket NDV sums to at least the global NDV (boundary values can repeat)
     assert sum(r["ndv"] for r in rows) >= cents.nunique()
+
+
+def test_ivf_probe_curve_is_monotone_and_consistent_with_point_harness(spark, reg):
+    from music_database_spark.operators.knn import (
+        N_PROBES,
+        PROBE_CURVE_LEVELS,
+        TOP_K,
+        TRAINED_PROBE_CELLS,
+    )
+
+    rows = {r["nprobe"]: r for r in reg["x_ivf_probe_curve"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(PROBE_CURVE_LEVELS)
+    lvls = sorted(rows)
+    # cost and recall both monotone in nprobe; recall in [0, 1]
+    for a, b in zip(lvls, lvls[1:]):
+        assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+        assert rows[a]["n_hits"] <= rows[b]["n_hits"]
+    for lv in lvls:
+        assert 0.0 <= rows[lv]["recall_at_k"] <= 1.0
+        assert rows[lv]["recall_at_k"] == pytest.approx(
+            rows[lv]["n_hits"] / (N_PROBES * TOP_K), abs=2e-6
+        )
+    # the curve at nprobe=TRAINED_PROBE_CELLS must agree with the
+    # single-point harness built from the same trained quantizer
+    point = sum(
+        r["n_hit"] for r in reg["x_ivf_recall"].build(spark, SF_SMOKE).collect()
+    )
+    assert rows[TRAINED_PROBE_CELLS]["n_hits"] == point
