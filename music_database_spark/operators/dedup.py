@@ -2109,3 +2109,167 @@ def x_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cand, 6).alias("p_candidate"),
         (p_cand >= 0.5).alias("above_half"),
     ).orderBy("s_pct")
+
+
+@register(
+    "x_lsh_curve_empirical",
+    tags=("EXT", "X2", "A1", "F4"),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+        shset AS (
+            SELECT id,
+                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
+                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
+            FROM toks WHERE len(t) >= {SHINGLE_LEN}
+        ),
+        sh AS (SELECT id, unnest(sh) AS g FROM shset),
+        rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
+        filtered AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
+        tpairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id
+        ),
+        jbuck AS (
+            SELECT id_a, id_b, LEAST(9, (ni * 10) // nu) AS bucket FROM (
+                SELECT id_a, id_b,
+                       len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS ni,
+                       len(x.sh) + len(y.sh)
+                           - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS nu
+                FROM tpairs JOIN shset x ON x.id = tpairs.id_a
+                            JOIN shset y ON y.id = tpairs.id_b
+            ) WHERE nu > 0 AND ni * 10 >= nu * 3
+        ),
+        mh AS (
+            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
+            GROUP BY id, s.s
+        ),
+        bands AS (
+            SELECT id, seed // 2 AS band_id,
+                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
+            FROM mh GROUP BY id, seed // 2
+        ),
+        bands_f AS (
+            SELECT id, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+                FROM bands
+            ) WHERE bsz <= {MAX_BAND_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands_f a JOIN bands_f b ON a.band_id = b.band_id
+                          AND a.band_hash = b.band_hash AND a.id < b.id
+        )
+        SELECT j.bucket,
+               round(j.bucket / 10.0, 1) AS jaccard_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_caught,
+               round(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS capture_rate
+        FROM jbuck j LEFT JOIN cand c
+          ON c.id_a = j.id_a AND c.id_b = j.id_b
+        GROUP BY j.bucket ORDER BY j.bucket
+    """,
+)
+def x_lsh_curve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED LSH S-curve: capture rate of the production band
+    index per exact-Jaccard decile (0.3 up), on the corpus itself —
+    the empirical validation of x_lsh_curve's analytic
+    P(candidate|s) = 1-(1-s^4)^8 and the full-curve generalization of
+    x_dedup_recall's single J>=0.6 operating point (truth there IS
+    buckets >= 6 here: ni*10 >= 6*nu, pinned in tests). Run after any
+    (bands, rows, caps) re-tune to see where the curve's knee actually
+    sits on YOUR data, not the iid model.
+
+    Determinism: Jaccard deciles come from integer cross-multiplied
+    (ni, nu) — no float thresholds; the md5 minhash family keeps bands
+    engine-portable; capture rates are single divisions of exact
+    counts.
+
+    Truth-side caveat (documented bias): ground-truth pairs are
+    enumerable only through the rare-shingle inverted index, so pairs
+    sharing NO rare shingle never enter any bucket — exact at J >= 0.5,
+    conservative below; the curve starts at 0.3 where coverage is
+    still meaningful.
+
+    100 TB design: composes the two already-linear capped stages
+    (inverted-index truth pairs, banded candidates) plus one
+    pair-keyed left join and a 7-row rollup — no new join shape; at
+    full corpus scale the harness runs on a deterministic hash-sampled
+    slice like x_dedup_recall."""
+    docs = _docs(spark, sf_dir)
+    shset = shingle_frame(docs, "doc_id", "text").persist()
+    exploded = shset.select("id", F.explode("sh").alias("g")).persist()
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") <= MAX_SHINGLE_FREQ)
+        .select("g")
+    )
+    filtered = exploded.join(rare, "g")
+    tpairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jbuck = (
+        tpairs.join(
+            shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("ni"),
+            (F.size("sh_a") + F.size("sh_b") - inter).alias("nu"),
+        )
+        .filter((F.col("nu") > 0) & (F.col("ni") * 10 >= F.col("nu") * 3))
+        .select(
+            "id_a",
+            "id_b",
+            F.least(F.lit(9), F.expr("(ni * 10) div nu")).alias("bucket"),
+        )
+    )
+    bands = md5_band_frame(shset)
+    w = W.partitionBy("band_id", "band_hash")
+    bands_f = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BAND_FREQ)
+        .drop("bsz")
+    )
+    cand = (
+        bands_f.alias("a")
+        .join(
+            bands_f.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    return (
+        jbuck.join(cand, ["id_a", "id_b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("caught", F.lit(0))).cast("bigint").alias("n_caught"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("jaccard_lo"),
+            "n_pairs",
+            "n_caught",
+            F.round(F.col("n_caught").cast("double") / F.col("n_pairs"), 6).alias(
+                "capture_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -2057,3 +2057,20 @@ def test_ivf_probe_curve_is_monotone_and_consistent_with_point_harness(spark, re
         r["n_hit"] for r in reg["x_ivf_recall"].build(spark, SF_SMOKE).collect()
     )
     assert rows[TRAINED_PROBE_CELLS]["n_hits"] == point
+
+
+def test_lsh_empirical_curve_sums_to_the_recall_harness_point(spark, reg):
+    rows = reg["x_lsh_curve_empirical"].build(spark, SF_SMOKE).collect()
+    assert all(3 <= r["bucket"] <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["capture_rate"] == pytest.approx(
+            r["n_caught"] / r["n_pairs"], abs=2e-6
+        )
+        assert r["jaccard_lo"] == pytest.approx(r["bucket"] / 10.0)
+    # x_dedup_recall's J>=0.6 truth is EXACTLY buckets >= 6 here
+    # (ni*5 >= nu*3  <=>  (ni*10) div nu >= 6), so the sums must agree
+    point = reg["x_dedup_recall"].build(spark, SF_SMOKE).collect()[0]
+    hi = [r for r in rows if r["bucket"] >= 6]
+    assert sum(r["n_pairs"] for r in hi) == point["n_truth"]
+    assert sum(r["n_caught"] for r in hi) == point["n_hit"]
