@@ -285,3 +285,85 @@ def test_sssp_matches_bellman_ford_on_random_weighted_graphs(spark, raw_edges):
 
     got = {r["n"]: r["d"] for r in sssp_rounds(df, 0, rounds).collect()}
     assert got == dist
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6), min_size=10, max_size=60
+    ),
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=10**9, max_value=10**10),
+)
+def test_theilsen_median_slope_shrugs_off_a_single_outlier(ys, pos, spike):
+    """The 29.3%-breakdown claim stamped on x_theilsen_slope, property-
+    tested on the registered formula: corrupting ONE observation of an
+    n>=10 series moves the pairwise-slope median by at most the gap to
+    the next distinct order statistic (it can only shift rank by n-1 of
+    the n(n-1)/2 slopes), while the OLS slope moves unboundedly with
+    the spike size. Pure-Python recomputation of both estimators."""
+    import math
+
+    n = len(ys)
+    pos = pos % n
+
+    def pair_slopes(seq):
+        return sorted(
+            (seq[j] - seq[i]) / (j - i)
+            for i in range(len(seq))
+            for j in range(i + 1, len(seq))
+        )
+
+    def median(sl):
+        return sl[math.ceil(len(sl) * 0.5) - 1]
+
+    def ols(seq):
+        m = len(seq)
+        sx = m * (m + 1) / 2
+        sxx = m * (m + 1) * (2 * m + 1) / 6
+        sy = sum(seq)
+        sxy = sum((i + 1) * v for i, v in enumerate(seq))
+        return (m * sxy - sx * sy) / (m * sxx - sx * sx)
+
+    clean = ys[:]
+    dirty = ys[:]
+    dirty[pos] += spike
+    sl_clean = pair_slopes(clean)
+    med_clean, med_dirty = median(sl_clean), median(pair_slopes(dirty))
+    # corrupting one point perturbs n-1 of the N=n(n-1)/2 slopes, so the
+    # median's RANK moves at most n-1 — bound the value by that window
+    k = math.ceil(len(sl_clean) * 0.5) - 1
+    lo = sl_clean[max(0, k - (n - 1))]
+    hi = sl_clean[min(len(sl_clean) - 1, k + (n - 1))]
+    assert lo - 1e-9 <= med_dirty <= hi + 1e-9
+    # while OLS follows the spike essentially linearly
+    assert abs(ols(dirty) - ols(clean)) > abs(med_dirty - med_clean)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=80,
+             unique=True),
+    st.lists(st.integers(min_value=10**6 + 1, max_value=2 * 10**6), max_size=20,
+             unique=True),
+)
+def test_group_sample_membership_is_stable_under_corpus_growth(ids, new_ids):
+    """x_group_sample's growth-stability claim on the registered hash:
+    adding documents to a stratum can only DISPLACE existing picks with
+    smaller-hash newcomers — it never reorders or newly admits an old
+    doc that wasn't already ranked higher. The k-sample after growth is
+    exactly the k smallest of (old picks ∪ newcomers)."""
+    import hashlib
+
+    from music_database_spark.operators.pipeline import GROUP_SAMPLE_K as K
+
+    def hv(d):
+        return (int(hashlib.md5(f"gsamp:{d}".encode()).hexdigest()[:8], 16), d)
+
+    before = sorted((hv(d) for d in ids))[:K]
+    after = sorted((hv(d) for d in ids + new_ids))[:K]
+    merged = sorted(before + [hv(d) for d in new_ids])[:K]
+    assert after == merged
+    # and survivors keep their relative order
+    surv = [x for x in after if x in before]
+    assert surv == [x for x in before if x in after]
