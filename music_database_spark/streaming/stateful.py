@@ -551,3 +551,155 @@ def x_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0, 6
         ).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Streaming min-wise k-sample (T5 + the x_group_sample family)
+# ---------------------------------------------------------------------------
+
+K_STREAM_SAMPLE = 5  # per-key sample quota, matches x_group_sample's k
+
+SAMPLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+SAMPLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seen", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def sample_merge(
+    pairs: list[tuple[int, int]],
+    new_pairs: list[tuple[int, int]],
+    k: int = K_STREAM_SAMPLE,
+) -> list[tuple[int, int]]:
+    """Merge new (hash, id) draws into a min-wise k-sample state: union,
+    dedup, keep the k smallest pairs. Associative and commutative, so
+    the final sample is the k min-hash rows of everything ever folded —
+    independent of microbatch slicing and row order (the property both
+    the batch-equivalence oracle and x_group_sample's growth-stability
+    test rely on)."""
+    return sorted(set(pairs) | set(new_pairs))[:k]
+
+
+def _track_sample(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen, hs, ids = state.get if state.exists else (0, [], [])
+    pairs = list(zip([int(h) for h in hs], [int(i) for i in ids]))
+    for pdf in pdfs:
+        seen += len(pdf)
+        pairs = sample_merge(
+            pairs, list(zip((int(h) for h in pdf["h"]), (int(i) for i in pdf["event_id"])))
+        )
+    state.update((seen, [h for h, _ in pairs], [i for _, i in pairs]))
+    # emission recomputes the WHOLE sample from total state, so the
+    # final row is slicing-invariant (the x_stream_ewma discipline)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "seen": [seen],
+            "hs": [[h for h, _ in pairs]],
+            "ids": [[i for _, i in pairs]],
+        }
+    )
+
+
+def stream_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful min-wise sampler over the event stream to
+    completion: per event_type, state = the K_STREAM_SAMPLE smallest
+    (md5 hash, event_id) pairs. Hashes are computed JVM-side before the
+    stateful op — Python only merges tiny sorted pair lists."""
+    from pyspark.sql import functions as F
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("e:"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    tracked = stream.groupBy("event_type").applyInPandasWithState(
+        _track_sample,
+        outputStructType=SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(tracked, "gsample", output_mode="update")
+
+
+@register(
+    "x_stream_group_sample",
+    tags=("EXT", "T5", "D2", "X4"),
+    bench=False,
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, event_id,
+                   CAST(('0x' || substr(md5('e:' || CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, event_id, hv,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY hv, event_id) AS BIGINT)
+                       AS sample_rank
+            FROM h
+        )
+        SELECT event_type, sample_rank, event_id
+        FROM r WHERE sample_rank <= {K_STREAM_SAMPLE}
+        ORDER BY event_type, sample_rank
+    """,
+)
+def x_stream_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING audit sampler, fully oracle-checked: the stateful
+    operator maintains x_group_sample's min-wise k-sample per
+    event_type ACROSS microbatches (state = the k smallest
+    (md5, event_id) pairs), and the drained stream's final sample
+    hash-matches the batch rank-window query the DuckDB oracle runs
+    over the same rows. The k-min pair set of a union is independent
+    of batch slicing (sample_merge is associative+commutative), which
+    is exactly why a "uniform random sample of the stream so far" can
+    be maintained in O(k) state per key with NO reservoir counters and
+    no randomness source — the hash IS the reservoir priority
+    (min-wise sampling, the streaming face of Broder's property the
+    batch twin documents).
+
+    State per key is 16k bytes + overhead, bounded for any stream
+    length; the batch twin's WindowGroupLimit heap and this state fold
+    are the same algorithm at the two ends of the latency spectrum."""
+    from pyspark.sql import functions as F
+
+    out = stream_group_sample(spark, sf_dir)
+    final = (
+        out.groupBy("event_type")
+        .agg(F.max(F.struct("seen", "hs", "ids")).alias("s"))
+        .select("event_type", F.col("s.ids").alias("ids"))
+    )
+    return (
+        final.select(
+            "event_type", F.posexplode("ids").alias("pos", "event_id")
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("bigint").alias("sample_rank"),
+            "event_id",
+        )
+        .orderBy("event_type", "sample_rank")
+    )

@@ -415,3 +415,39 @@ def test_stream_ewma_final_rows_equal_batch_formula(spark):
         for r in load_all()["x_stream_ewma"].build(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_stream_sample_tracker_is_slicing_and_order_invariant():
+    import hashlib
+
+    import pandas as pd
+
+    from music_database_spark.streaming.stateful import (
+        K_STREAM_SAMPLE,
+        _track_sample,
+        sample_merge,
+    )
+
+    ids = list(range(1, 40))
+    rows = [
+        (int(hashlib.md5(f"e:{i}".encode()).hexdigest()[:8], 16), i) for i in ids
+    ]
+
+    def run(batches):
+        state = _FakeState()
+        last = None
+        for b in batches:
+            pdf = pd.DataFrame(b, columns=["h", "event_id"])
+            last = next(_track_sample(("click",), iter([pdf]), state))
+        return last.to_dict("records")
+
+    whole = run([rows])
+    sliced = run([rows[:7], rows[7:23], rows[23:]])
+    reversed_rows = run([list(reversed(rows))])
+    assert whole == sliced == reversed_rows
+    want = sorted(rows)[:K_STREAM_SAMPLE]
+    assert whole[0]["ids"] == [i for _, i in want]
+    assert whole[0]["hs"] == [h for h, _ in want]
+    assert whole[0]["seen"] == len(rows)
+    # merge is idempotent on replays too
+    assert sample_merge(want, want) == want
