@@ -2273,3 +2273,95 @@ def x_lsh_curve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "x_normalize_dedup",
+    tags=("EXT", "X1", "F3", "A1"),
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   md5(text) AS raw_h,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h
+            FROM documents
+        ),
+        norm_g AS (
+            SELECT lang, CAST(SUM(c - 1) AS BIGINT) AS n_dropped
+            FROM (SELECT lang, norm_h, COUNT(*) AS c FROM norm
+                  GROUP BY lang, norm_h HAVING COUNT(*) > 1) t
+            GROUP BY lang
+        ),
+        raw_s AS (
+            SELECT lang, CAST(SUM(c - 1) AS BIGINT) AS n_dropped
+            FROM (SELECT lang, raw_h, COUNT(*) AS c FROM norm
+                  GROUP BY lang, raw_h HAVING COUNT(*) > 1) t
+            GROUP BY lang
+        ),
+        base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM norm GROUP BY lang)
+        SELECT b.lang, b.n_docs,
+               COALESCE(r.n_dropped, 0) AS raw_dups,
+               COALESCE(g.n_dropped, 0) AS norm_dups,
+               COALESCE(g.n_dropped, 0) - COALESCE(r.n_dropped, 0) AS uncovered_by_raw
+        FROM base b
+        LEFT JOIN raw_s r ON r.lang = b.lang
+        LEFT JOIN norm_g g ON g.lang = b.lang
+        ORDER BY b.lang
+    """,
+)
+def x_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-aware dedup yield: per language, how many extra
+    duplicate documents exact dedup finds AFTER text normalization
+    (lowercase, strip non-alphanumerics, collapse/trim whitespace) vs
+    on raw bytes — the measurement that decides whether a corpus needs
+    a canonicalization pass before x_dedup_exact (casing/punctuation
+    variants of boilerplate are invisible to byte-exact dedup but are
+    pure duplicates for training purposes).
+
+    Determinism: the normalization uses only character-class regexes
+    ('[^a-z0-9 ]', ' +') whose semantics agree between Java regex and
+    RE2; group counts are exact integers.
+
+    100 TB design: both passes shuffle 16-byte md5 digests keyed by
+    (lang, digest) with map-side partials — the normalization happens
+    in the scan projection, bodies never move; identical shape to
+    x_dedup_exact's digest-shuffle invariant.
+
+    Reference parity: no text surface in the reference; SURVEY.md §2
+    X1 exact-dedup family."""
+    docs = _docs(spark, sf_dir)
+    norm_h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    n = docs.select("lang", F.md5("text").alias("raw_h"), norm_h.alias("norm_h"))
+
+    def dup_count(col: str, out: str) -> DataFrame:
+        return (
+            n.groupBy("lang", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .groupBy("lang")
+            .agg(F.sum(F.col("c") - 1).cast("bigint").alias(out))
+        )
+
+    base = n.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        base.join(dup_count("raw_h", "raw_dups"), "lang", "left")
+        .join(dup_count("norm_h", "norm_dups"), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("raw_dups", F.lit(0)).cast("bigint").alias("raw_dups"),
+            F.coalesce("norm_dups", F.lit(0)).cast("bigint").alias("norm_dups"),
+            (F.coalesce("norm_dups", F.lit(0)) - F.coalesce("raw_dups", F.lit(0)))
+            .cast("bigint")
+            .alias("uncovered_by_raw"),
+        )
+        .orderBy("lang")
+    )

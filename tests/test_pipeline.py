@@ -2074,3 +2074,25 @@ def test_lsh_empirical_curve_sums_to_the_recall_harness_point(spark, reg):
     hi = [r for r in rows if r["bucket"] >= 6]
     assert sum(r["n_pairs"] for r in hi) == point["n_truth"]
     assert sum(r["n_caught"] for r in hi) == point["n_hit"]
+
+
+def test_normalize_dedup_counts_match_pandas(spark, reg):
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def norm(t: str) -> str:
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", t.lower())).strip()
+
+    rows = {r["lang"]: r for r in reg["x_normalize_dedup"].build(spark, SF_SMOKE).collect()}
+    for lang, g in docs.groupby("lang"):
+        raw = g.groupby("text").size()
+        nrm = g["text"].map(norm).to_frame("n").groupby("n").size()
+        r = rows[lang]
+        assert r["n_docs"] == len(g)
+        assert r["raw_dups"] == int((raw[raw > 1] - 1).sum())
+        assert r["norm_dups"] == int((nrm[nrm > 1] - 1).sum())
+        assert r["uncovered_by_raw"] == r["norm_dups"] - r["raw_dups"]
+        assert r["norm_dups"] >= r["raw_dups"]  # normalization only merges
