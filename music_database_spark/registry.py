@@ -56,9 +56,12 @@ def register(
 
 # The driver's correctness pass samples the FIRST 50 entries of queries()
 # in dict order. Rounds 1-4 verified 128 distinct queries (r02+r03+r04,
-# 50 each, r04 fully disjoint); 76 registry entries have never received a
-# driver CORRECTNESS row. This round-5 window is 50 of the 69
-# never-verified ORACLE-BACKED queries (VERDICT.md round-4 ask #1),
+# 50 each, r04 fully disjoint); 76 registry entries had never received a
+# driver CORRECTNESS row at round-5 start. This round-5 window is 50 of
+# the then-69 never-verified ORACLE-BACKED queries (VERDICT round-4 ask
+# #1); the 60 round-5 additions land past position 50, so after this
+# window is recorded the round-6 rotation pool is 87 never-verified
+# (registry minus r02∪r03∪r04∪r05),
 # spanning window frames, grouping sets, pivot/unpivot, the SQL-UDF +
 # UDTF surface, SCD2/interval/interpolation time-series, the dedup/
 # pipeline/text backlog, layout/source exhibits, and the two remaining
