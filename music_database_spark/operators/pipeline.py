@@ -264,7 +264,7 @@ def x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS cum
             FROM t
         )
-        SELECT lang, shard, (cum - n_tok) // 2048 AS bin,
+        SELECT lang, shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM c GROUP BY lang, shard, bin

@@ -1042,7 +1042,7 @@ DP_SEED_TAG = "dpv1"  # versioned seed namespace for the deterministic exhibit
         SELECT segment,
                round(CAST(n AS DOUBLE) + sgn * (-(1.0 / {DP_EPSILON}) * ln(u)), 6)
                    AS noisy_count,
-               {DP_EPSILON} AS epsilon
+               CAST({DP_EPSILON} AS DOUBLE) AS epsilon
         FROM seeded ORDER BY segment
     """,
 )

@@ -55,95 +55,104 @@ def register(
 
 
 # The driver's correctness pass samples the FIRST 50 entries of queries()
-# in dict order. Rounds 1-4 verified 128 distinct queries (r02+r03+r04,
-# 50 each, r04 fully disjoint); 76 registry entries had never received a
-# driver CORRECTNESS row at round-5 start. This round-5 window is 50 of
-# the then-69 never-verified ORACLE-BACKED queries (VERDICT round-4 ask
-# #1); the 60 round-5 additions land past position 50, so after this
-# window is recorded the round-6 rotation pool is 87 never-verified
-# (registry minus r02∪r03∪r04∪r05),
-# spanning window frames, grouping sets, pivot/unpivot, the SQL-UDF +
-# UDTF surface, SCD2/interval/interpolation time-series, the dedup/
-# pipeline/text backlog, layout/source exhibits, and the two remaining
-# true streams. The 19 oracle-backed queries deferred to round 6 are the
-# ones most redundantly covered by pass-D cousins (noted inline below);
-# every window entry is green in this round's full differential runs, so
-# the rotation trades no risk for coverage.
+# in dict order. After r02–r05 (50 each, r05 fully disjoint), 178
+# distinct queries carry a driver CORRECTNESS row; 86 never got one
+# (79 oracle-backed + 7 rows-only). This round-6 window is:
+#   slot 1      x_seq_packing — r05's one red row; its ORACLE carried a
+#               DuckDB HUGEINT `bin` (float64 in pandas vs Spark bigint).
+#               Fixed with CAST(... AS BIGINT); kept in the window so the
+#               fix is externally verified (round-5 verdict ask #1).
+#   slots 2–50  49 of the 79 never-verified oracle-backed queries,
+#               leading with the round-5 headline set the verdict named
+#               (ask #4), then the riskiest determinism recipes (stream
+#               twins, order-dependent float folds, graph fixpoints,
+#               privacy/eval stats).
+# The 30 oracle-backed queries deferred to round 7 sit immediately after
+# the window (so a wider driver window verifies them first); each has a
+# driver-green cousin exercising the same plan shape (noted inline).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # SQL front-door + window/analytic surface (P1, O3-O5, A8)
-    "x_pipe_syntax",
-    "x_window_ignore_nulls",
-    "x_rank_per_group",
-    "x_running_sum",
-    "x_lateral_topk",
-    "x_skyline",
-    "x_arg_extremes",
-    "x_array_agg_ordered",
-    "x_rollup",
-    "x_cube",
-    "x_pivot",
-    "x_unpivot",
-    "x_map_funcs",
-    # UDF/UDTF surface (D1-D3, U-family)
-    "x_sql_udf",
-    "x_sql_table_udf",
-    "x_python_udtf",
-    "x_cogroup_conversions",
-    "x_posexplode",
-    # time-series: as-of, OHLC, intervals, SCD2, interpolation (J8, O4, O5)
-    "x_resample_ohlc",
-    "x_asof_nearest",
-    "x_scd2_history",
-    "x_interval_overlap",
-    "x_interpolate",
-    "x_event_transitions",
-    "x_abtest_lift",
-    "x_session",
-    # joins & graph (J-family)
-    "x_bucketed_join",
-    "x_editdist_join",
-    "x_triangle_count",
-    # dedup / corpus pipeline backlog (X1, X2)
-    "x_dedup_lines",
-    "x_decontaminate",
-    "x_mixture_sample",
-    "x_domain_cap",
+    # r05 red row — oracle type bug fixed this round, re-verify
     "x_seq_packing",
-    "x_redact",
-    "x_repetition_filter",
-    # text analysis backlog (X4)
-    "x_text_stats",
-    "x_vocab_coverage",
-    "x_ngram_lm_score",
-    "x_gini_concentration",
-    "x_token_entropy",
-    "x_chunking",
-    "x_profile",
-    "x_outliers",
-    # multimodal (X5)
-    "x_multimodal_transform",
-    # sources / layout (S5, S6)
-    "x_partition_overwrite",
-    "x_schema_evolution",
-    "x_zorder_layout",
-    "x_python_datasource",
-    # true streams (T-family) — incl. the drain-crash regression query
-    "x_stream_python_source",
-    # --- driver window ends at 50 entries; the rest stay curated so a
-    # wider future window verifies oracle-backed queries first. The 19
-    # never-verified oracle-backed queries deferred to round 6, each with
-    # a driver-verified cousin: x_stream_foreach_batch (streams family
-    # pass-D4), pk_uniqueness (fk_violations), x_union_by_name
-    # (x_union_releases), x_except_all (x_except), x_intersect_all
-    # (q4_intersect), x_moving_avg / x_lag_delta / x_time_range_frame
-    # (x_anomaly_zscore frames), x_dedup_hash_groups (x_dedup_exact),
-    # x_dedup_incremental(_band) (x_dedup family), x_knn_lsh_det /
-    # x_ann_recall / x_vec_quantize / x_semantic_dedup (ANN recall
-    # harness), x_bpe_tokens (x_bpe_train), x_token_count (x_text_stats
-    # in this window), x_lang_id_sql (x_lang_id), x_fingerprint
-    # (x_winnow_fingerprint).
-    "x_stream_foreach_batch",
+    # round-5 verdict headline set (ask #4)
+    "x_dedup_embedding_det",
+    "x_substring_dedup",
+    "x_span_mask",
+    "x_kcore",
+    "x_bfs",
+    "x_sssp_weighted",
+    "x_cms_heavy_hitters",
+    "x_kmv_setops",
+    "x_expectations",
+    "x_stream_recovery",
+    "x_dataset_card",
+    "x_knn_lsh_det",
+    "x_ann_recall",
     "pk_uniqueness",
+    # streaming twins (slicing-invariant state folds)
+    "x_stream_cms",
+    "x_stream_ewma",
+    "x_stream_group_sample",
+    # privacy family (x_dp_noisy_counts oracle also type-hardened this round)
+    "x_kanonymity",
+    "x_l_diversity",
+    "x_dp_noisy_counts",
+    # classifier/ranking eval (order-dependent float folds)
+    "x_ndcg",
+    "x_kappa",
+    "x_auc_roc",
+    "x_calibration",
+    # graph analytics beyond the headline trio
+    "x_modularity",
+    "x_link_prediction",
+    # time-series statistics (n-scaled ratio / cumulative-fold recipes)
+    "x_theilsen_slope",
+    "x_acf",
+    "x_twap",
+    "x_forecast_snaive",
+    "x_cusum_changepoint",
+    "x_segmented_regression",
+    "x_poisson_bootstrap",
+    # hypothesis tests / distribution audits
+    "x_mann_whitney",
+    "x_chi2_independence",
+    "x_benford",
+    "x_histogram_equidepth",
+    # sessionization / funnel / segmentation over events
+    "x_rfm_segmentation",
+    "x_path_mining",
+    "x_conversion_time",
+    "x_spatial_join",
+    # corpus pipeline + ANN tuning exhibits
+    "x_normalize_dedup",
+    "x_media_frame_dedup",
+    "x_assoc_rules",
+    "x_ivf_probe_curve",
+    "x_lsh_curve_empirical",
+    "x_temperature_sample",
+    "x_token_budget",
+    "x_group_sample",
+    # --- driver window ends at 50 entries. The 30 never-verified
+    # oracle-backed queries deferred to round 7, each with a driver-green
+    # cousin on the same plan shape: x_stream_foreach_batch (streams
+    # family pass-D4/D5), x_union_by_name (x_union_releases), x_except_all
+    # (x_except), x_intersect_all (q4_intersect), x_moving_avg /
+    # x_lag_delta / x_time_range_frame (x_anomaly_zscore + r05 frame
+    # family), x_dedup_hash_groups (x_dedup_exact), x_dedup_incremental
+    # (_band) (x_dedup family), x_vec_quantize / x_semantic_dedup (ANN
+    # recall harness), x_bpe_tokens (x_bpe_train), x_token_count
+    # (x_text_stats), x_lang_id_sql (x_lang_id), x_fingerprint
+    # (x_winnow_fingerprint), x_lsh_curve (x_lsh_curve_empirical, in
+    # window), x_winsorize (x_quantile_binning), x_histogram
+    # (x_histogram_equidepth, in window), x_ewma_smooth (x_stream_ewma
+    # twin, in window), x_rolling_slope / x_crosscorr (x_theilsen_slope /
+    # x_acf recipes, in window), x_seasonal_dow (x_forecast_snaive
+    # composes it, in window), x_lorenz_curve (x_gini_concentration
+    # pass-D5), x_wilson_bounds (x_abtest_lift pass-D5), x_prf_eval
+    # (x_auc_roc/x_calibration, in window), x_cms_join_size
+    # (x_cms_heavy_hitters, in window), x_drop_manifest (x_snapshot_diff
+    # pass-D), x_assortativity (x_modularity, in window),
+    # x_simpson_diversity (x_gini_concentration pass-D5).
+    "x_stream_foreach_batch",
     "x_union_by_name",
     "x_except_all",
     "x_intersect_all",
@@ -153,30 +162,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_hash_groups",
     "x_dedup_incremental",
     "x_dedup_incremental_band",
-    "x_knn_lsh_det",
-    "x_ann_recall",
     "x_vec_quantize",
     "x_semantic_dedup",
     "x_bpe_tokens",
     "x_token_count",
     "x_lang_id_sql",
     "x_fingerprint",
-    # round-5 additions (never driver-verified; round-6 window candidates)
-    "x_dedup_embedding_det",
-    "x_substring_dedup",
-    "x_cms_heavy_hitters",
-    "x_kcore",
-    "x_stream_cms",
-    "x_kmv_setops",
-    "x_bfs",
-    "x_kanonymity",
-    "x_expectations",
-    "x_span_mask",
-    "x_ndcg",
-    "x_kappa",
-    "x_media_frame_dedup",
-    "x_stream_recovery",
-    "x_dataset_card",
+    "x_lsh_curve",
+    "x_winsorize",
+    "x_histogram",
+    "x_ewma_smooth",
+    "x_rolling_slope",
+    "x_crosscorr",
+    "x_seasonal_dow",
+    "x_lorenz_curve",
+    "x_wilson_bounds",
+    "x_prf_eval",
+    "x_cms_join_size",
+    "x_drop_manifest",
+    "x_assortativity",
+    "x_simpson_diversity",
 )
 
 

@@ -33,19 +33,43 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # everything to strings so dtype differences (int32 vs int64, ts units)
-    # don't mask value equality; floats via repr of float64
+    # Everything to strings so benign dtype differences (int32 vs int64,
+    # ts units) don't mask value equality. Floats via repr() — the
+    # driver's stringification: repr(0.0) == '0.0' which does NOT equal
+    # an integer column's '0', so an int-vs-float divergence between the
+    # engines (e.g. a DuckDB HUGEINT reaching pandas as float64) fails
+    # HERE before the driver sees it. repr() round-trips float64 exactly,
+    # so any last-ulp divergence between engines still fails the check.
+    # (The old '%.17g' formatting rendered 0.0 as '0', masking exactly
+    # the x_seq_packing bug class — round-5 verdict item #3.)
     out = pd.DataFrame()
     for c in df.columns:
         col = df[c]
         if col.dtype.kind == "f":
-            # 17 significant digits = full float64 round-trip precision:
-            # any last-ulp divergence between engines fails the check, so
-            # a pass proves the bit-identical-floats engineering.
-            out[c] = col.astype("float64").map(lambda v: f"{v:.17g}" if pd.notna(v) else "NULL")
+            out[c] = col.astype("float64").map(lambda v: repr(v) if pd.notna(v) else "NULL")
         else:
             out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+# DuckDB types whose duckdb→pandas conversion does not land on the dtype
+# Spark produces for the logically-identical column: HUGEINT (windowed /
+# product SUMs over BIGINT) arrives as float64 while Spark emits bigint;
+# uncast DECIMAL arrives as float64/object while Spark emits Decimal.
+# Any oracle OUTPUT column of these types is a latent hash mismatch —
+# the oracle must CAST it (AS BIGINT / AS DOUBLE) explicitly.
+_RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def audit_oracle_types(con: duckdb.DuckDBPyConnection, name: str, oracle: str) -> list[str]:
+    """Return ['col (TYPE)', ...] for oracle output columns whose DuckDB
+    type is in the risky set. Empty list == clean."""
+    rows = con.execute(f"DESCRIBE {oracle}").fetchall()
+    return [
+        f"{col} ({typ})"
+        for col, typ, *_ in rows
+        if any(r in typ.upper() for r in _RISKY_DUCK_TYPES)
+    ]
 
 
 def main() -> int:
@@ -69,10 +93,15 @@ def main() -> int:
             print(f"ok*   {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
+            risky = audit_oracle_types(con, name, spec.oracle)
             odf = con.execute(spec.oracle).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if risky:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle outputs risky DuckDB type(s): {risky} — CAST them")
             continue
         ns, no = normalize(sdf), normalize(odf)
         if list(ns.columns) != list(no.columns):
