@@ -2365,3 +2365,141 @@ def x_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- round 6 addition ---------------------------------------------------
+
+# Equal-budget (b x r = 64 minhashes) LSH configurations to compare.
+# r and b are powers of two so s^r and (1-s^r)^b are explicit squaring
+# chains in BOTH engines (x_lsh_curve's portability rule: never POWER).
+BAND_TUNE_CONFIGS: tuple[tuple[int, int], ...] = ((32, 2), (16, 4), (8, 8), (4, 16))
+BAND_TUNE_THRESHOLD_PCT = 50  # design point: dup iff Jaccard >= 0.5
+
+
+def _sq_chain_sql(expr: str, power: int) -> str:
+    """expr**power (power = 2^k) as an explicit squaring chain."""
+    out = expr
+    while power > 1:
+        out = f"({out} * {out})"
+        power //= 2
+    return out
+
+
+def _band_tune_oracle() -> str:
+    arms = []
+    for b, r in BAND_TUNE_CONFIGS:
+        # p_candidate = 1 - (1 - s^r)^b, both powers as squaring chains
+        one_minus = f"(1.0 - {_sq_chain_sql('s', r)})"
+        p = f"(1.0 - {_sq_chain_sql(one_minus, b)})"
+        arms.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band, s_pct,
+                   round({p}, 6) AS p_cand
+            FROM grid"""
+        )
+    arms_sql = "\n            UNION ALL\n            ".join(arms)
+    return f"""
+        WITH grid AS (
+            SELECT CAST((n_nationkey + 1) * 5 AS INTEGER) AS s_pct,
+                   CAST((n_nationkey + 1) * 5 AS DOUBLE) / 100.0 AS s
+            FROM nation WHERE n_nationkey < 19
+        ),
+        curves AS (
+            {arms_sql}
+        ),
+        costs AS (
+            SELECT bands, rows_per_band,
+                   CAST(SUM(CASE WHEN s_pct < {BAND_TUNE_THRESHOLD_PCT}
+                                 THEN CAST(p_cand AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DECIMAL(18,6)) AS fp_mass,
+                   CAST(SUM(CASE WHEN s_pct >= {BAND_TUNE_THRESHOLD_PCT}
+                                 THEN CAST(round(1.0 - p_cand, 6) AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DECIMAL(18,6)) AS fn_mass
+            FROM curves GROUP BY bands, rows_per_band
+        ),
+        best AS (SELECT MIN(fp_mass + fn_mass) AS best_cost FROM costs)
+        SELECT bands, rows_per_band,
+               CAST(fp_mass AS DOUBLE) AS fp_mass,
+               CAST(fn_mass AS DOUBLE) AS fn_mass,
+               CAST(fp_mass + fn_mass AS DOUBLE) AS total_cost,
+               (fp_mass + fn_mass = best_cost) AS is_best
+        FROM costs, best
+        ORDER BY bands DESC
+    """
+
+
+@register("x_minhash_band_tuning", tags=("EXT", "F4", "X2"), oracle=_band_tune_oracle())
+def x_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands x rows) tuning table: x_lsh_curve generalized from the
+    production config's single S-curve to the full equal-budget design
+    sweep (64 minhashes split 32x2 / 16x4 / 8x8 / 4x16), scored by
+    false-positive mass below the Jaccard-0.5 design point plus
+    false-negative mass above it (the Riemann sum of the S-curve against
+    the step-function ideal), with the argmin flagged — the closed-form
+    pre-run answer to "which banding should this corpus use?".
+
+    Determinism: every power is an explicit squaring chain (never
+    POWER); each grid term is rounded to 6 then summed as
+    DECIMAL(18,6) — exact and order-independent — so even the argmin
+    comparison is exact-decimal equality on both engines.
+
+    100 TB relevance: retuning (b, r) costs 4 x 19 closed-form rows —
+    zero data touched; the chosen config then drives the banded
+    self-join whose candidate volume the S-curve prices (PLANS.md
+    winnow/basket tables)."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    grid = nation.filter(F.col("n_nationkey") < 19).select(
+        ((F.col("n_nationkey") + 1) * 5).cast("int").alias("s_pct"),
+        (((F.col("n_nationkey") + 1) * 5).cast("double") / 100.0).alias("s"),
+    )
+
+    def chain(col: F.Column, power: int) -> F.Column:
+        out = col
+        while power > 1:
+            out = out * out
+            power //= 2
+        return out
+
+    curves = None
+    for b, r in BAND_TUNE_CONFIGS:
+        p = 1.0 - chain(1.0 - chain(F.col("s"), r), b)
+        arm = grid.select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "s_pct",
+            F.round(p, 6).alias("p_cand"),
+        )
+        curves = arm if curves is None else curves.unionAll(arm)
+    zero = F.lit(0).cast("decimal(18,6)")
+    costs = curves.groupBy("bands", "rows_per_band").agg(
+        F.sum(
+            F.when(
+                F.col("s_pct") < BAND_TUNE_THRESHOLD_PCT,
+                F.col("p_cand").cast("decimal(18,6)"),
+            ).otherwise(zero)
+        )
+        .cast("decimal(18,6)")
+        .alias("fp_mass"),
+        F.sum(
+            F.when(
+                F.col("s_pct") >= BAND_TUNE_THRESHOLD_PCT,
+                F.round(1.0 - F.col("p_cand"), 6).cast("decimal(18,6)"),
+            ).otherwise(zero)
+        )
+        .cast("decimal(18,6)")
+        .alias("fn_mass"),
+    )
+    best = costs.agg(F.min(F.col("fp_mass") + F.col("fn_mass")).alias("best_cost"))
+    return (
+        costs.crossJoin(F.broadcast(best))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.col("fp_mass").cast("double").alias("fp_mass"),
+            F.col("fn_mass").cast("double").alias("fn_mass"),
+            (F.col("fp_mass") + F.col("fn_mass")).cast("double").alias("total_cost"),
+            (F.col("fp_mass") + F.col("fn_mass") == F.col("best_cost")).alias("is_best"),
+        )
+        .orderBy(F.desc("bands"))
+    )

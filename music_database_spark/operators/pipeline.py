@@ -1732,3 +1732,331 @@ def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "sample_rank", "doc_id", "n_chars")
         .orderBy("lang", "source", "sample_rank")
     )
+
+
+# --- round 6 additions -------------------------------------------------
+
+PII_CARD_MOD = 7  # docs with doc_id % 7 == 0 get a synthetic card number
+PII_IP_MOD = 11  # docs with doc_id % 11 == 0 get a synthetic IPv4
+
+
+def _luhn_sql(col: str) -> str:
+    """DuckDB expression: Luhn checksum validity of a 16-digit string.
+
+    Positions are numbered from the RIGHT: even offsets (0,2,..) keep
+    the digit, odd offsets double it and subtract 9 when the double
+    exceeds 9. Written as 16 explicit integer terms so both engines
+    evaluate the identical expression tree (no loops, no floats)."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substr({col}, {i}, 1) AS BIGINT)"
+        if (16 - i) % 2 == 1:  # odd offset from the right: double
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"
+
+
+def _luhn_spark(col: F.Column) -> F.Column:
+    """Spark twin of _luhn_sql — same 16-term integer tree. try_cast, not
+    cast: ANSI mode hard-fails casting the '' a no-match regexp_extract
+    yields, and when() conditions do not short-circuit — the NULL result
+    is then masked by the card <> '' conjunct at every call site."""
+    total = F.lit(0)
+    for i in range(1, 17):
+        d = F.substring(col, i, 1).try_cast("bigint")
+        if (16 - i) % 2 == 1:
+            term = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        else:
+            term = d
+        total = total + term
+    return total % 10 == 0
+
+
+@register(
+    "x_pii_scan",
+    tags=("EXT", "X4", "F3", "F4"),
+    oracle=f"""
+        WITH aug AS (
+            SELECT lang,
+                   text
+                   || CASE WHEN doc_id % {PII_CARD_MOD} = 0
+                           THEN ' card ' || lpad(CAST(doc_id * 37 % 10000000000000000
+                                                      AS VARCHAR), 16, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % {PII_IP_MOD} = 0
+                           THEN ' from ' || CAST(doc_id % 224 + 1 AS VARCHAR) || '.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                || CAST(doc_id * 7 % 256 AS VARCHAR) || '.'
+                                || CAST(doc_id * 13 % 254 + 1 AS VARCHAR)
+                           ELSE '' END AS text_aug
+            FROM documents
+        ), hits AS (
+            SELECT lang,
+                   regexp_extract(text_aug, '[0-9]{{16}}') AS card,
+                   len(regexp_extract_all(text_aug,
+                       '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS n_ips
+            FROM aug
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN card <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_cards,
+               CAST(SUM(CASE WHEN card <> '' AND {_luhn_sql("card")}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cards_luhn_valid,
+               CAST(SUM(n_ips) AS BIGINT) AS n_ips
+        FROM hits GROUP BY lang ORDER BY lang
+    """,
+)
+def x_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII scan: detect card-shaped 16-digit numbers
+    and validate them with the Luhn checksum (the step that separates
+    real card leaks from order ids and timestamps — a release gate
+    counts only CHECKSUM-VALID hits), plus IPv4 literals. Synthetic PII
+    is injected deterministically from doc_id (x_redact's convention:
+    the corpus is clean synthetic text, the scan expressions are exactly
+    what a production pipeline runs); ~1/7 of docs get a card (Luhn
+    validity then varies naturally with the digits), ~1/11 an IP.
+
+    The Luhn check is 16 explicit integer terms (no loops, no floats)
+    evaluated identically on both engines — see _luhn_sql/_luhn_spark.
+
+    100 TB design: map-only regex + integer expressions in whole-stage
+    codegen, one partial-aggregable per-lang summary; no Python, no
+    shuffle before the 5-row agg. Reference parity: no PII surface in
+    the reference; SURVEY.md §2.10 X4 privacy/quality family."""
+    docs = _docs(spark, sf_dir)
+    card_tail = F.lpad(((F.col("doc_id") * 37) % F.lit(10**16)).cast("string"), 16, "0")
+    ip_str = F.concat_ws(
+        ".",
+        (F.col("doc_id") % 224 + 1).cast("string"),
+        (F.col("doc_id") % 256).cast("string"),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        ((F.col("doc_id") * 13) % 254 + 1).cast("string"),
+    )
+    aug = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % PII_CARD_MOD == 0, F.concat(F.lit(" card "), card_tail)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % PII_IP_MOD == 0, F.concat(F.lit(" from "), ip_str)).otherwise(F.lit("")),
+        ).alias("text_aug"),
+    )
+    hits = aug.select(
+        "lang",
+        F.regexp_extract("text_aug", r"[0-9]{16}", 0).alias("card"),
+        F.size(
+            F.regexp_extract_all(
+                "text_aug", F.lit(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"), F.lit(0)
+            )
+        ).alias("n_ips"),
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("card") != "", 1).otherwise(0)).cast("bigint").alias("n_cards"),
+            F.sum(
+                F.when((F.col("card") != "") & _luhn_spark(F.col("card")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cards_luhn_valid"),
+            F.sum("n_ips").cast("bigint").alias("n_ips"),
+        )
+        .orderBy("lang")
+    )
+
+
+CONTAM_FRAC_MIN = 0.2  # overlap fraction >= this -> dirty (GPT-3 App. C style)
+
+
+@register(
+    "x_contamination_overlap",
+    tags=("EXT", "X4", "X2", "J5"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, lang,
+                   md5(array_to_string(
+                       string_split(text, ' ')[i : i + {CONTAM_NGRAM} - 1],
+                       ' ')) AS sh_hash
+            FROM (
+                SELECT doc_id, lang, text,
+                       unnest(generate_series(
+                           1, GREATEST(len(string_split(text, ' '))
+                                       - {CONTAM_NGRAM} + 1, 1))) AS i
+                FROM documents
+            ) t
+        ),
+        bench AS (
+            SELECT DISTINCT sh_hash FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        per_doc AS (
+            SELECT c.doc_id, c.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN b.sh_hash IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM sh c LEFT JOIN bench b ON c.sh_hash = b.sh_hash
+            WHERE c.doc_id % {BENCH_MOD} <> 0
+            GROUP BY c.doc_id, c.lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN CAST(n_hit AS DOUBLE) / n_total
+                                  >= {CONTAM_FRAC_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dirty,
+               CAST(SUM(CAST(round(CAST(n_hit AS DOUBLE) / n_total, 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_overlap_frac
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def x_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination DEGREE scoring (GPT-3 Appendix C "dirtiness"):
+    x_decontaminate's boolean verdict generalized to the overlap
+    FRACTION — the share of a document's distinct CONTAM_NGRAM-word
+    shingles that also appear in the benchmark set — summarized per
+    language as dirty-doc counts (fraction >= CONTAM_FRAC_MIN) and the
+    average fraction. The fraction, not the absolute count, is what a
+    release report publishes: long documents are not penalized for
+    length.
+
+    Determinism: n_hit/n_total is one int/int double division (exact
+    and identical on both engines), compared against the literal
+    threshold and rounded to 6 before the DECIMAL-stabilized average
+    (the registry's order-independent float recipe).
+
+    100 TB design: identical shuffle shape to x_decontaminate — the
+    benchmark shingle set broadcasts, the corpus side is scan + explode
+    + one doc-keyed partial-agg count over 16-byte digests; the LEFT
+    join keeps zero-overlap docs so the denominator is every scanned
+    doc, not just docs with hits."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_sh = F.greatest(F.size(toks) - CONTAM_NGRAM + 1, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
+    )
+    sh = docs.select("doc_id", "lang", F.explode(sh_arr).alias("sh_hash")).dropDuplicates(
+        ["doc_id", "sh_hash"]
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("sh_hash").alias("b_hash"))
+        .distinct()
+    )
+    per_doc = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), F.col("sh_hash") == F.col("b_hash"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("b_hash").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_total")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(frac >= CONTAM_FRAC_MIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dirty"),
+            (
+                F.sum(F.round(frac, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_overlap_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+LEN_BUCKET_EDGES = (64, 128, 256, 512)  # token-count bucket boundaries
+
+
+@register(
+    "x_length_mixture",
+    tags=("EXT", "X4", "A1", "F7"),
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+            FROM documents
+        ), b AS (
+            SELECT lang, n_tok,
+                   CASE WHEN n_tok < {LEN_BUCKET_EDGES[0]} THEN 'len_000'
+                        WHEN n_tok < {LEN_BUCKET_EDGES[1]} THEN 'len_064'
+                        WHEN n_tok < {LEN_BUCKET_EDGES[2]} THEN 'len_128'
+                        WHEN n_tok < {LEN_BUCKET_EDGES[3]} THEN 'len_256'
+                        ELSE 'len_512' END AS bucket
+            FROM t
+        ), g AS (
+            SELECT lang, bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM b GROUP BY lang, bucket
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM g
+        )
+        SELECT lang, bucket, n_docs, n_tokens,
+               round(CAST(all_tokens AS DOUBLE) / n_cells / n_tokens, 6)
+                   AS uniform_weight
+        FROM g, tot ORDER BY lang, bucket
+    """,
+)
+def x_length_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length mixture audit for training-batch planning: docs
+    histogrammed into token-length buckets per language, with the
+    per-cell reweighting factor that would equalize token mass across
+    cells (weight = uniform-target tokens / cell tokens — the knob a
+    curriculum or packing scheduler consumes; weights > 1 mark
+    underrepresented cells to upsample).
+
+    Determinism: counts and token sums are pure bigints; the weight is
+    two chained double divisions of bigints, rounded to 6 (both engines
+    evaluate the identical tree). The grand total rides a broadcast
+    1-row cross join, NOT an unpartitioned window.
+
+    100 TB design: one scan, one (lang, bucket)-keyed partial agg
+    (25 cells), one broadcast of a single row. The bucket CASE uses
+    fixed literal edges so the scan stays a map stage — no range agg
+    dependency like x_quantile_binning's."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+    e = LEN_BUCKET_EDGES
+    bucket = (
+        F.when(n_tok < e[0], "len_000")
+        .when(n_tok < e[1], "len_064")
+        .when(n_tok < e[2], "len_128")
+        .when(n_tok < e[3], "len_256")
+        .otherwise("len_512")
+    )
+    g = (
+        docs.select("lang", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("all_tokens").cast("double") / F.col("n_cells") / F.col("n_tokens"),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("lang", "bucket")
+    )

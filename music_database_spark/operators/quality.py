@@ -1840,3 +1840,342 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- round 6 additions -------------------------------------------------
+
+# Gopher-style quality rule bounds (Rae et al. 2021 §A.1.1, adapted to
+# the whitespace-tokenized synthetic corpus: the line-shape rules need
+# newlines the corpus lacks, so the bundle keeps the length, mean-word-
+# length, alpha-fraction and stopword-presence families).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_ALPHA_MIN = 0.8  # min fraction of words containing a letter
+GOPHER_STOP_MIN = 2  # min distinct stopwords present
+GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
+@register(
+    "x_gopher_rules",
+    tags=("EXT", "X4", "F5", "A1"),
+    oracle=f"""
+        WITH w AS (
+            SELECT lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS words
+            FROM documents
+        ), m AS (
+            SELECT lang,
+                   len(words) AS n_words,
+                   CAST(len(array_to_string(words, '')) AS DOUBLE)
+                       / GREATEST(len(words), 1) AS mean_word_len,
+                   CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / GREATEST(len(words), 1) AS alpha_frac,
+                   len(list_filter({list(GOPHER_STOPS)!r}::VARCHAR[],
+                                   s -> list_contains(words, s))) AS n_stops
+            FROM w
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                               OR n_words > {GOPHER_MAX_WORDS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+               CAST(SUM(CASE WHEN mean_word_len < {GOPHER_MWL_LO}
+                               OR mean_word_len > {GOPHER_MWL_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+               CAST(SUM(CASE WHEN alpha_frac < {GOPHER_ALPHA_MIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_frac,
+               CAST(SUM(CASE WHEN n_stops < {GOPHER_STOP_MIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+               CAST(SUM(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                              AND n_words <= {GOPHER_MAX_WORDS}
+                              AND mean_word_len >= {GOPHER_MWL_LO}
+                              AND mean_word_len <= {GOPHER_MWL_HI}
+                              AND alpha_frac >= {GOPHER_ALPHA_MIN}
+                              AND n_stops >= {GOPHER_STOP_MIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule bundle: the classic pretraining
+    heuristic filters (word count bounds, mean word length 3-10,
+    alphabetic-word fraction, minimum stopword presence) evaluated in
+    ONE scan, reporting per-language firing counts per rule plus the
+    pass-all count — the per-rule breakdown is what a corpus report
+    publishes so a threshold change can be priced before re-running
+    the pipeline (complements x_expectations' schema-level suite and
+    x_quality_score's scalar blend).
+
+    Determinism: the two ratio rules are single int/int double
+    divisions (exact, identical trees both engines) compared against
+    literal bounds; everything else is integer counts.
+
+    100 TB design: map-only higher-order array functions in whole-stage
+    codegen over one scan, then a 5-row partial agg — the cheapest
+    possible shape for a 6-rule audit; rules are CONJUNCTIVE columns,
+    not separate passes."""
+    docs = scan_wide(spark, sf_dir, "documents", ["lang", "text"])
+    words = F.expr("filter(split(text, ' '), x -> x != '')")
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_wl = F.length(F.concat_ws("", words)).cast("double") / denom
+    alpha_frac = (
+        F.size(F.expr("filter(filter(split(text, ' '), x -> x != ''), x -> x rlike '[a-z]')"))
+        .cast("double")
+        / denom
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stops = F.size(F.filter(stops, lambda s: F.array_contains(words, s)))
+    m = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.alias("n_stops"),
+    )
+    fail_wc = (F.col("n_words") < GOPHER_MIN_WORDS) | (F.col("n_words") > GOPHER_MAX_WORDS)
+    fail_mwl = (F.col("mean_word_len") < GOPHER_MWL_LO) | (
+        F.col("mean_word_len") > GOPHER_MWL_HI
+    )
+    fail_af = F.col("alpha_frac") < GOPHER_ALPHA_MIN
+    fail_st = F.col("n_stops") < GOPHER_STOP_MIN
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(fail_wc, 1).otherwise(0)).cast("bigint").alias("fail_word_count"),
+            F.sum(F.when(fail_mwl, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fail_mean_word_len"),
+            F.sum(F.when(fail_af, 1).otherwise(0)).cast("bigint").alias("fail_alpha_frac"),
+            F.sum(F.when(fail_st, 1).otherwise(0)).cast("bigint").alias("fail_stopwords"),
+            F.sum(F.when(~fail_wc & ~fail_mwl & ~fail_af & ~fail_st, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+KS_SEG_A = "BUILDING"  # two-sample KS: segment A vs B order totals
+KS_SEG_B = "MACHINERY"
+
+
+@register(
+    "x_ks_test",
+    tags=("EXT", "O4", "A1", "F4"),
+    oracle=f"""
+        WITH v AS (
+            SELECT (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents,
+                   CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS is_a
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+        ), tot AS (
+            SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+            FROM v
+        ), steps AS (
+            SELECT cents,
+                   CAST(SUM(CAST(is_a AS BIGINT)) AS BIGINT) AS a_here,
+                   CAST(SUM(CAST(1 - is_a AS BIGINT)) AS BIGINT) AS b_here
+            FROM v GROUP BY cents
+        ), ecdf AS (
+            SELECT SUM(a_here) OVER (ORDER BY cents
+                                     ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   SUM(b_here) OVER (ORDER BY cents
+                                     ROWS UNBOUNDED PRECEDING) AS cum_b
+            FROM steps
+        )
+        SELECT n_a, n_b,
+               round(MAX(abs(CAST(CAST(cum_a AS BIGINT) AS DOUBLE) / n_a
+                             - CAST(CAST(cum_b AS BIGINT) AS DOUBLE) / n_b)), 6)
+                   AS ks_stat
+        FROM ecdf, tot
+        GROUP BY n_a, n_b
+    """,
+)
+def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two customer
+    segments' order-total distributions: D = max over the pooled value
+    grid of |ECDF_A - ECDF_B| — the standard distribution-drift gate a
+    data pipeline runs when a new ingest batch should "look like" the
+    reference distribution (completes the nonparametric family next to
+    x_mann_whitney's rank test and x_chi2_independence).
+
+    Determinism: prices become exact integer cents; per-value counts
+    are bigints accumulated by an explicitly ordered cumulative window
+    (the order-dependent-fold recipe); each ECDF term is one int/int
+    double division and D is a max over exact doubles — identical trees
+    both engines, rounded to 6.
+
+    100 TB design: one join + one value-keyed partial agg compresses
+    the stream to its distinct-value grid BEFORE the window; the
+    cumulative window then runs over |grid| rows, not |orders|. The
+    single-partition window over the collapsed grid is the documented
+    collapsed-grain pattern (PLANS.md); at 100 TB the grid is bounded
+    by the value domain (price cents), not row count."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("is_a"),
+        )
+    )
+    steps = v.groupBy("cents").agg(
+        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("a_here"),
+        F.sum((1 - F.col("is_a")).cast("bigint")).cast("bigint").alias("b_here"),
+    )
+    tot = v.agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = steps.select(
+        F.sum("a_here").over(w).cast("bigint").alias("cum_a"),
+        F.sum("b_here").over(w).cast("bigint").alias("cum_b"),
+    )
+    d = ecdf.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        ).alias("gap"),
+    )
+    return d.groupBy("n_a", "n_b").agg(F.round(F.max("gap"), 6).alias("ks_stat"))
+
+
+T_CLOSE_BUCKETS = (0, 2500, 5000, 7500)  # acctbal bucket lower edges (ordered)
+T_CLOSE_T = 0.2  # groups with EMD above this violate t-closeness
+
+
+@register(
+    "x_t_closeness",
+    tags=("EXT", "A1", "O4", "F7"),
+    oracle=f"""
+        WITH b AS (
+            SELECT c_mktsegment AS segment,
+                   CASE WHEN c_acctbal < {T_CLOSE_BUCKETS[1]} THEN 0
+                        WHEN c_acctbal < {T_CLOSE_BUCKETS[2]} THEN 1
+                        WHEN c_acctbal < {T_CLOSE_BUCKETS[3]} THEN 2
+                        ELSE 3 END AS bucket
+            FROM customer
+        ), cell AS (
+            SELECT segment, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY segment, bucket
+        ), grid AS (
+            SELECT s.segment, k.bucket, COALESCE(c.n, 0) AS n, s.n_seg, k.n_bucket, t.n_all
+            FROM (SELECT segment, CAST(SUM(n) AS BIGINT) AS n_seg
+                  FROM cell GROUP BY segment) s
+            CROSS JOIN (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_bucket
+                        FROM cell GROUP BY bucket) k
+            CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cell) t
+            LEFT JOIN cell c ON c.segment = s.segment AND c.bucket = k.bucket
+        ), cums AS (
+            SELECT segment, n_seg,
+                   abs(CAST(SUM(n * CAST(n_all AS BIGINT) - n_seg * n_bucket)
+                            OVER (PARTITION BY segment ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cum_diff_scaled
+            FROM grid
+        )
+        SELECT segment, n_seg,
+               round(CAST(CAST(SUM(cum_diff_scaled) AS BIGINT) AS DOUBLE)
+                     / ({len(T_CLOSE_BUCKETS)} - 1)
+                     / (SELECT CAST(SUM(n) AS BIGINT) FROM cell)
+                     / n_seg, 6) AS emd,
+               CAST(CAST(SUM(cum_diff_scaled) AS BIGINT) AS DOUBLE)
+                   / ({len(T_CLOSE_BUCKETS)} - 1)
+                   / (SELECT CAST(SUM(n) AS BIGINT) FROM cell)
+                   / n_seg > {T_CLOSE_T} AS violates
+        FROM cums GROUP BY segment, n_seg
+        ORDER BY segment
+    """,
+)
+def x_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — the third privacy
+    criterion after x_kanonymity and x_l_diversity: each quasi-identifier
+    group's distribution over the ORDERED sensitive attribute (account
+    balance, bucketed) must sit within Earth-Mover's Distance t of the
+    GLOBAL distribution. For an ordered attribute with k categories,
+    EMD = (1/(k-1)) * sum_i |cumsum_i(p - q)|.
+
+    Determinism: the per-bucket difference p_j - q_j = n_j/n_seg -
+    n_bucket/n_all is cleared of divisions by scaling through
+    n_seg * n_all (the registry's n-scaling ratio recipe): the windowed
+    cumulative sum runs over EXACT bigints (products bounded by
+    |customer|^2 < 2^63); the two divisions and the /(k-1) happen once
+    per group at the very end, identical trees both engines, rounded 6.
+    The violates flag compares the UNROUNDED value on both sides.
+
+    100 TB design: one scan -> (segment, bucket) partial agg (16 cells);
+    everything after operates on the tiny cell grid (dense cross join of
+    segments x buckets so zero cells participate in the cumulative sum).
+    The per-segment window is over k=4 rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    e = T_CLOSE_BUCKETS
+    bucket = (
+        F.when(F.col("c_acctbal") < e[1], 0)
+        .when(F.col("c_acctbal") < e[2], 1)
+        .when(F.col("c_acctbal") < e[3], 2)
+        .otherwise(3)
+    )
+    cell = (
+        cust.select(F.col("c_mktsegment").alias("segment"), bucket.alias("bucket"))
+        .groupBy("segment", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    segs = cell.groupBy("segment").agg(F.sum("n").cast("bigint").alias("n_seg"))
+    bks = cell.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n_bucket"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("n_all"))
+    grid = (
+        segs.crossJoin(F.broadcast(bks))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cell), ["segment", "bucket"], "left")
+        .select(
+            "segment",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "n_seg",
+            "n_bucket",
+            "n_all",
+        )
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "segment",
+        "n_seg",
+        "n_all",
+        F.abs(
+            F.sum(F.col("n") * F.col("n_all") - F.col("n_seg") * F.col("n_bucket")).over(w)
+        )
+        .cast("bigint")
+        .alias("cum_diff_scaled"),
+    )
+    k1 = len(T_CLOSE_BUCKETS) - 1
+    return (
+        cums.groupBy("segment", "n_seg", "n_all")
+        .agg(F.sum("cum_diff_scaled").cast("bigint").alias("sum_cds"))
+        .select(
+            "segment",
+            "n_seg",
+            F.round(
+                F.col("sum_cds").cast("double") / k1 / F.col("n_all") / F.col("n_seg"), 6
+            ).alias("emd"),
+            (
+                F.col("sum_cds").cast("double") / k1 / F.col("n_all") / F.col("n_seg")
+                > T_CLOSE_T
+            ).alias("violates"),
+        )
+        .orderBy("segment")
+    )

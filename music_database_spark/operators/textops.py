@@ -1237,3 +1237,67 @@ def x_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- round 6 additions -------------------------------------------------
+
+# BPE-ish subword proxy: a "token" is a maximal run of letters, a single
+# digit, or a single non-alphanumeric non-space character. The same
+# pattern string compiles identically under Java regex (Spark) and RE2
+# (DuckDB) — explicit classes, no shorthand escapes.
+FERTILITY_TOKEN_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@register(
+    "x_tokenizer_fertility",
+    tags=("EXT", "X4", "F3", "A5"),
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '{FERTILITY_TOKEN_RE}')) AS n_sub,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               round(CAST(SUM(n_sub) AS BIGINT)
+                     / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE), 6) AS fertility
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens emitted per whitespace word)
+    per language — the compression-quality metric a tokenizer report
+    publishes per language before a training run prices its token
+    budget (high-fertility languages consume disproportionate context).
+    Subword proxy: maximal letter runs / single digits / single
+    punctuation marks via one regex portable across both engines.
+
+    Determinism: pure integer counts; fertility is ONE bigint/bigint
+    double division rounded to 6 (corpus-level ratio-of-sums, not
+    mean-of-ratios, so no order-dependent float accumulation at all).
+
+    100 TB design: map-only regex counting in whole-stage codegen, one
+    per-lang partial agg — x_token_count's shape with the UDTF explode
+    replaced by len(extract_all), which never materializes the token
+    rows."""
+    docs = _docs(spark, sf_dir)
+    n_sub = F.size(F.regexp_extract_all("text", F.lit(FERTILITY_TOKEN_RE), F.lit(0)))
+    n_words = F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+    return (
+        docs.select("lang", n_sub.alias("n_sub"), n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sub").cast("bigint").alias("total_subwords"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.round(
+                F.sum("n_sub").cast("bigint")
+                / F.sum("n_words").cast("bigint").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

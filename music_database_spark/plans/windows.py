@@ -1653,3 +1653,76 @@ def x_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mase_vs_naive1"
         ),
     )
+
+
+STREAK_MIN = 3  # "active streak" threshold in consecutive days
+
+
+@register(
+    "x_runs_streaks",
+    tags=("EXT", "O3", "O4", "A4"),
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT o_custkey, o_orderdate FROM orders
+        ),
+        isl AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) - CAST(row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate) AS INTEGER)
+                       AS grp
+            FROM days
+        ),
+        runs AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM isl GROUP BY o_custkey, grp
+        ),
+        per_cust AS (
+            SELECT o_custkey, CAST(MAX(run_len) AS BIGINT) AS best
+            FROM runs GROUP BY o_custkey
+        )
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(MAX(best) AS BIGINT) AS max_streak,
+               CAST(SUM(CASE WHEN best >= {STREAK_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_streak{STREAK_MIN}
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def x_runs_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE order days per
+    customer, summarized per market segment — the classic streak
+    analysis (SQL's canonical islands idiom: group key = date minus
+    row_number, constant exactly along a consecutive run). Engagement
+    pipelines run this shape for daily-active streaks and retention
+    badges.
+
+    Determinism: dates and counts only — no floats anywhere.
+
+    100 TB design: the DISTINCT, the row_number window and the island
+    groupBy all share ONE o_custkey-keyed shuffle (Catalyst reuses the
+    hash partitioning; the window's sort is per-customer, never
+    global); the segment join broadcasts the customer dim's two
+    columns. At 100 TB the per-key row count is per-customer order
+    days — bounded and tiny."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    days = orders.distinct()
+    rn = F.row_number().over(W.partitionBy("o_custkey").orderBy("o_orderdate"))
+    isl = days.select("o_custkey", F.date_sub("o_orderdate", rn.cast("int")).alias("grp"))
+    runs = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    per_cust = runs.groupBy("o_custkey").agg(F.max("run_len").cast("bigint").alias("best"))
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("best").cast("bigint").alias("max_streak"),
+            F.sum(F.when(F.col("best") >= STREAK_MIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_streak{STREAK_MIN}"),
+        )
+        .orderBy("segment")
+    )

@@ -518,3 +518,106 @@ def x_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent; the streaming form replaces the full-history window sort
     with incremental gap-merge."""
     return stream_session_counts(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+@register(
+    "x_sessionized_bounce",
+    tags=("EXT", "T3", "O3", "A1"),
+    oracle="""
+        WITH flags AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        ),
+        ranked AS (
+            SELECT user_id, event_id, event_type, sid,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id) AS rn
+            FROM sess
+        ),
+        per_session AS (
+            SELECT user_id, sid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+            FROM ranked GROUP BY user_id, sid
+        )
+        SELECT entry_type,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+        FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def x_sessionized_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate by session entry type: per-user 30-minute-gap
+    sessions, each labeled by its FIRST event's type (the landing-page
+    analog), reporting how many sessions of each entry type consist of
+    a single event — the engagement metric every clickstream pipeline
+    publishes next to x_session's raw session table and
+    x_conversion_time's funnel timings.
+
+    Spark side uses the same lag/cumulative-flag segmentation as the
+    oracle (x_session pins the session_window operator itself; this
+    query needs a per-ROW session id to rank entries, which
+    session_window's grouping form does not expose — same 30-minute >=
+    gap semantics, asserted equal to x_session's session count in
+    tests).
+
+    Determinism: (ts, event_id) is a unique ordering key, so the
+    row_number entry pick is exact; bounce_rate is one bigint/bigint
+    double division rounded to 6.
+
+    100 TB design: both windows and the session agg share ONE user_id-
+    keyed shuffle (Catalyst reuses the partitioning across same-key
+    windows); everything after per_session is a partial agg over
+    |event_types| rows."""
+    from pyspark.sql import Window as W
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(wo).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+            >= 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flags = events.withColumn("new_s", new_s)
+    sess = flags.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("sid"),
+        "ts",
+    )
+    rn = F.row_number().over(W.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+    per_session = (
+        sess.withColumn("rn", rn)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+        )
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.alias("n_bounces"),
+            F.round(bounces / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )

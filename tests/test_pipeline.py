@@ -2096,3 +2096,214 @@ def test_normalize_dedup_counts_match_pandas(spark, reg):
         assert r["norm_dups"] == int((nrm[nrm > 1] - 1).sum())
         assert r["uncovered_by_raw"] == r["norm_dups"] - r["raw_dups"]
         assert r["norm_dups"] >= r["raw_dups"]  # normalization only merges
+
+
+# --- round 6 additions --------------------------------------------------
+
+
+def test_pii_scan_luhn_matches_python_reference(spark, reg):
+    """The 16-term Luhn expression is pinned to a pure-Python checksum
+    over the same synthetic card injection."""
+    import pandas as pd
+
+    def luhn_ok(card: str) -> bool:
+        total = 0
+        for i, ch in enumerate(card):  # i = offset from the LEFT, len 16
+            d = int(ch)
+            if (16 - 1 - i) % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "lang"]]
+    docs = docs[docs.doc_id % 7 == 0]
+    docs["card"] = (docs.doc_id * 37 % 10**16).astype(str).str.zfill(16)
+    expect_valid = docs.groupby("lang")["card"].apply(lambda s: sum(luhn_ok(c) for c in s))
+    expect_cards = docs.groupby("lang").size()
+
+    out = {r["lang"]: r.asDict() for r in reg["x_pii_scan"].build(spark, SF_SMOKE).collect()}
+    for lang in expect_cards.index:
+        assert out[lang]["n_cards"] == expect_cards[lang]
+        assert out[lang]["n_cards_luhn_valid"] == expect_valid[lang]
+    # both classes occur corpus-wide (per-lang counts can be 0 at sf0.001)
+    tot_valid = sum(r["n_cards_luhn_valid"] for r in out.values())
+    tot_cards = sum(r["n_cards"] for r in out.values())
+    assert 0 < tot_valid < tot_cards
+    # IP injection: every doc_id % 11 == 0 contributes exactly one IPv4
+    all_docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id"]]
+    assert sum(r["n_ips"] for r in out.values()) == int((all_docs.doc_id % 11 == 0).sum())
+
+
+def test_contamination_overlap_fraction_is_bounded_and_consistent(spark, reg):
+    """Fractions live in [0,1]; a dirty doc implies a nonzero average;
+    the doc universe matches x_decontaminate's (non-benchmark docs)."""
+    rows = reg["x_contamination_overlap"].build(spark, SF_SMOKE).collect()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    nonbench = docs[docs.doc_id % 50 != 0].groupby("lang").size()
+    for r in rows:
+        assert r["n_docs"] == nonbench[r["lang"]]
+        assert 0 <= r["n_dirty"] <= r["n_docs"]
+        assert 0.0 <= r["avg_overlap_frac"] <= 1.0
+        if r["n_dirty"] > 0:
+            assert r["avg_overlap_frac"] > 0.0
+
+
+def test_length_mixture_weights_rebalance_token_mass(spark, reg):
+    """Cell weights must invert token mass: weight * n_tokens is the
+    same (uniform target) for every cell, and doc counts add up."""
+    rows = [r.asDict() for r in reg["x_length_mixture"].build(spark, SF_SMOKE).collect()]
+    import pandas as pd
+
+    n_docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").shape[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    targets = {round(r["uniform_weight"] * r["n_tokens"], 2) for r in rows}
+    assert len(targets) <= 2  # identical up to the round-6 quantization
+
+
+def test_gopher_rules_fail_counts_are_consistent(spark, reg):
+    rows = [r.asDict() for r in reg["x_gopher_rules"].build(spark, SF_SMOKE).collect()]
+    for r in rows:
+        worst_fail = max(
+            r["fail_word_count"], r["fail_mean_word_len"], r["fail_alpha_frac"], r["fail_stopwords"]
+        )
+        total_fail_mass = (
+            r["fail_word_count"] + r["fail_mean_word_len"] + r["fail_alpha_frac"] + r["fail_stopwords"]
+        )
+        # pass_all + docs failing >= 1 rule = n_docs (inclusion bounds)
+        assert r["n_docs"] - total_fail_mass <= r["n_pass_all"] <= r["n_docs"] - worst_fail
+
+
+def test_ks_statistic_matches_scipy_free_reference(spark, reg):
+    """KS D pinned to a numpy ECDF computation over the same cents data."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_custkey", "o_totalprice"]]
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    m = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    cents = (m.o_totalprice.map(lambda v: round(v, 2)) * 100).round().astype("int64")
+    a = np.sort(cents[m.c_mktsegment == "BUILDING"].values)
+    b = np.sort(cents[m.c_mktsegment == "MACHINERY"].values)
+    grid = np.unique(np.concatenate([a, b]))
+    d_ref = np.max(
+        np.abs(
+            np.searchsorted(a, grid, side="right") / len(a)
+            - np.searchsorted(b, grid, side="right") / len(b)
+        )
+    )
+    row = reg["x_ks_test"].build(spark, SF_SMOKE).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["ks_stat"] == pytest.approx(d_ref, abs=1e-6)
+
+
+def test_t_closeness_emd_matches_numpy_reference(spark, reg):
+    import numpy as np
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_mktsegment", "c_acctbal"]]
+    edges = [2500, 5000, 7500]
+    cust["bucket"] = np.digitize(cust.c_acctbal, edges)
+    glob = cust.bucket.value_counts(normalize=True).reindex(range(4), fill_value=0.0)
+    out = {r["segment"]: r.asDict() for r in reg["x_t_closeness"].build(spark, SF_SMOKE).collect()}
+    for seg, g in cust.groupby("c_mktsegment"):
+        p = g.bucket.value_counts(normalize=True).reindex(range(4), fill_value=0.0)
+        emd = np.abs(np.cumsum(p.values - glob.values)).sum() / 3
+        assert out[seg]["emd"] == pytest.approx(emd, abs=1e-6)
+        assert out[seg]["violates"] == (emd > 0.2)
+        assert out[seg]["n_seg"] == len(g)
+
+
+def test_tokenizer_fertility_matches_python_regex(spark, reg):
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["lang", "text"]]
+    pat = re.compile(r"[a-z]+|[0-9]|[^a-z0-9 ]")
+    ref = docs.assign(
+        n_sub=docs.text.map(lambda t: len(pat.findall(t))),
+        n_words=docs.text.map(lambda t: len([w for w in t.split(" ") if w])),
+    ).groupby("lang")[["n_sub", "n_words"]].sum()
+    out = {r["lang"]: r.asDict() for r in reg["x_tokenizer_fertility"].build(spark, SF_SMOKE).collect()}
+    for lang, row in ref.iterrows():
+        assert out[lang]["total_subwords"] == row.n_sub
+        assert out[lang]["total_words"] == row.n_words
+        assert out[lang]["fertility"] == pytest.approx(row.n_sub / row.n_words, abs=1e-6)
+
+
+def test_band_tuning_prefers_balanced_config_at_half_threshold(spark, reg):
+    """Analytic sanity: at a 0.5 design threshold the steepest equal-
+    budget S-curve near 0.5 wins; extreme configs pay either FP (many
+    short bands) or FN (few long bands) mass. Pinned to a pure-Python
+    recomputation of the same Riemann cost."""
+    rows = {(r["bands"], r["rows_per_band"]): r.asDict()
+            for r in reg["x_minhash_band_tuning"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == {(32, 2), (16, 4), (8, 8), (4, 16)}
+
+    def cost(b, r):
+        fp = fn = 0.0
+        for pct in range(5, 100, 5):
+            s = pct / 100.0
+            p = 1.0 - (1.0 - s**r) ** b
+            if pct < 50:
+                fp += round(p, 6)
+            else:
+                fn += round(1.0 - p, 6)
+        return round(fp, 6), round(fn, 6)
+
+    best = min(rows, key=lambda k: cost(*k)[0] + cost(*k)[1])
+    for (b, r), row in rows.items():
+        fp, fn = cost(b, r)
+        assert row["fp_mass"] == pytest.approx(fp, abs=2e-6)
+        assert row["fn_mass"] == pytest.approx(fn, abs=2e-6)
+        assert row["is_best"] == ((b, r) == best)
+    assert sum(r["is_best"] for r in rows.values()) == 1
+
+
+def test_sessionized_bounce_agrees_with_x_session_and_pandas(spark, reg):
+    """Session universe must equal x_session's; bounce counts pinned to
+    a pandas sessionization of the same events."""
+    import pandas as pd
+
+    n_sessions_ref = len(reg["x_session"].build(spark, SF_SMOKE).collect())
+    rows = [r.asDict() for r in reg["x_sessionized_bounce"].build(spark, SF_SMOKE).collect()]
+    assert sum(r["n_sessions"] for r in rows) == n_sessions_ref
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    bounce = {}
+    for _, g in ev.groupby("user_id"):
+        gaps = g.ts.diff().dt.total_seconds().fillna(1e9)
+        sid = (gaps >= 1800).cumsum()
+        for _, s in g.groupby(sid):
+            entry = s.iloc[0].event_type
+            st = bounce.setdefault(entry, [0, 0])
+            st[0] += 1
+            st[1] += int(len(s) == 1)
+    for r in rows:
+        assert [r["n_sessions"], r["n_bounces"]] == bounce[r["entry_type"]]
+
+
+def test_runs_streaks_matches_pandas_islands(spark, reg):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[["o_custkey", "o_orderdate"]]
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    days = orders.drop_duplicates().sort_values(["o_custkey", "o_orderdate"])
+    best = {}
+    for ck, g in days.groupby("o_custkey"):
+        d = pd.to_datetime(g.o_orderdate).reset_index(drop=True)
+        grp = d - pd.to_timedelta(range(1, len(d) + 1), unit="D")
+        best[ck] = int(grp.value_counts().max())
+    df = cust.assign(best=cust.c_custkey.map(best)).dropna(subset=["best"])
+    ref = df.groupby("c_mktsegment").agg(
+        n=("best", "size"), mx=("best", "max"), s3=("best", lambda s: int((s >= 3).sum()))
+    )
+    out = {r["segment"]: r.asDict() for r in reg["x_runs_streaks"].build(spark, SF_SMOKE).collect()}
+    for seg, row in ref.iterrows():
+        assert out[seg]["n_customers"] == row.n
+        assert out[seg]["max_streak"] == row.mx
+        assert out[seg]["n_streak3"] == row.s3
