@@ -2041,6 +2041,7 @@ def x_length_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
+        .persist()  # 25 cells, read by both the total agg and the output
     )
     tot = g.agg(
         F.sum("n_tokens").cast("bigint").alias("all_tokens"),

@@ -2031,10 +2031,13 @@ def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = v.groupBy("cents").agg(
         F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("a_here"),
         F.sum((1 - F.col("is_a")).cast("bigint")).cast("bigint").alias("b_here"),
-    )
-    tot = v.agg(
-        F.sum("is_a").cast("bigint").alias("n_a"),
-        F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+    ).persist()
+    # totals derive from the collapsed grid, NOT a second scan of the
+    # fact join — the persisted |distinct cents| frame serves both the
+    # 1-row totals and the ECDF window (one pass over orders, period)
+    tot = steps.agg(
+        F.sum("a_here").cast("bigint").alias("n_a"),
+        F.sum("b_here").cast("bigint").alias("n_b"),
     )
     w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
     ecdf = steps.select(
@@ -2130,6 +2133,7 @@ def x_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(F.col("c_mktsegment").alias("segment"), bucket.alias("bucket"))
         .groupBy("segment", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # 16 rows, read by segs/bks/tot/grid: one customer scan
     )
     segs = cell.groupBy("segment").agg(F.sum("n").cast("bigint").alias("n_seg"))
     bks = cell.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n_bucket"))
