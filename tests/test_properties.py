@@ -376,3 +376,122 @@ def test_group_sample_membership_is_stable_under_corpus_growth(ids, new_ids):
     # and survivors keep their relative order
     surv = [x for x in after if x in before]
     assert surv == [x for x in before if x in after]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**16 - 1),
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=1, max_value=9),
+)
+def test_luhn_detects_every_single_digit_error(card_int, pos, delta):
+    """The error-detection guarantee the Luhn checksum was designed for,
+    property-tested on x_pii_scan's registered 16-term formula: altering
+    any ONE digit of a card always flips the checksum residue — so a
+    checksum-valid card can never become valid again under a single-digit
+    corruption (the property that separates card numbers from arbitrary
+    16-digit ids)."""
+
+    def luhn_residue(card: str) -> int:
+        total = 0
+        for i, ch in enumerate(card):
+            d = int(ch)
+            if (16 - 1 - i) % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10
+
+    card = str(card_int).zfill(16)
+    digits = list(card)
+    digits[pos] = str((int(digits[pos]) + delta) % 10)
+    corrupted = "".join(digits)
+    if corrupted != card:
+        assert luhn_residue(corrupted) != luhn_residue(card)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+)
+def test_ks_statistic_bounds_and_identity(xs, ys):
+    """x_ks_test's registered ECDF-gap formula: D is in [0, 1], D == 0
+    iff the two samples have identical ECDFs, and D == 1 when supports
+    are disjoint and ordered. Pure-Python recomputation of the
+    collapsed-grid cumulative form the engines evaluate."""
+
+    def ks(a, b):
+        grid = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        d = 0.0
+        ca = cb = 0
+        for v in grid:
+            ca += a.count(v)
+            cb += b.count(v)
+            d = max(d, abs(ca / na - cb / nb))
+        return d
+
+    d = ks(xs, ys)
+    assert 0.0 <= d <= 1.0
+    assert ks(xs, xs) == 0.0
+    shifted = [y + 51 for y in ys]  # disjoint, strictly above
+    assert ks(xs, shifted) == 1.0
+    assert d == ks(ys, xs)  # symmetry
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=2)),
+        min_size=2,
+        max_size=200,
+    )
+)
+def test_t_closeness_emd_bounds_and_global_zero(rows):
+    """x_t_closeness's ordered-EMD: 0 <= EMD <= 1 for every group, and a
+    'group' that IS the global population has EMD exactly 0. Recomputed
+    with the same n_seg*n_all-scaled integer cumulative fold."""
+    k = 4
+    n_all = len(rows)
+    bucket_tot = [sum(1 for b, _ in rows if b == j) for j in range(k)]
+    for seg in {s for _, s in rows}:
+        grp = [b for b, s in rows if s == seg]
+        n_seg = len(grp)
+        cum = 0
+        total = 0
+        for j in range(k):
+            n_j = sum(1 for b in grp if b == j)
+            cum += n_j * n_all - n_seg * bucket_tot[j]
+            total += abs(cum)
+        emd = total / (k - 1) / n_all / n_seg
+        assert 0.0 <= emd <= 1.0 + 1e-12
+    # the global population against itself: every cumulative term is 0
+    cum = 0
+    total = 0
+    for j in range(k):
+        cum += bucket_tot[j] * n_all - n_all * bucket_tot[j]
+        total += abs(cum)
+    assert total == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=18))
+def test_lsh_s_curves_are_monotone_and_ordered_by_rows(i):
+    """x_minhash_band_tuning's candidate-probability curves: every
+    config's P(candidate|s) = 1-(1-s^r)^b is nondecreasing in s, and at
+    any fixed s more rows-per-band (sharper bands) means LOWER candidate
+    probability among equal-budget configs — the FP/FN trade the tuner
+    prices."""
+    configs = [(32, 2), (16, 4), (8, 8), (4, 16)]
+    s0, s1 = i * 5 / 100.0, (i + 1) * 5 / 100.0
+
+    def p(s, b, r):
+        return 1.0 - (1.0 - s**r) ** b
+
+    probs0 = [p(s0, b, r) for b, r in configs]
+    for (b, r), p0 in zip(configs, probs0):
+        assert p(s1, b, r) >= p0  # monotone in s
+    # at fixed s, candidate probability decreases as r grows (b shrinks)
+    assert probs0 == sorted(probs0, reverse=True)
