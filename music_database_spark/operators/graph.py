@@ -522,6 +522,71 @@ def _bfs_oracle() -> str:
     )
 
 
+def bfs_levels(
+    edges: DataFrame, src: int, rounds: int, symmetric: bool = False
+) -> DataFrame:
+    """Bounded BFS levels over a directed (src, dst) edge frame from one
+    source node; returns (n, dist) for every reached node. Shared by
+    x_bfs and the random-graph property test (the sssp_rounds pattern).
+
+    The edge frame is aggregated ONCE into a node-keyed adjacency layout
+    (src -> set of dst, the Pregel/AggregateMessages shape), so each
+    expansion round probes |V| adjacency rows against a broadcast
+    frontier instead of rescanning all |E| edge rows; the groupBy also
+    dedups parallel edges. That count is also the first action over the
+    lazily checkpointed adjacency, materializing its blocks in the same
+    job. When the caller declares the edge frame SYMMETRIC (every edge
+    present in both directions, so every reachable node has an adjacency
+    row), the adjacency row count doubles as a saturation witness: once
+    the visited count reaches it, the next frontier is provably empty
+    and the loop stops WITHOUT paying a full expansion round just to
+    observe emptiness. The witness is UNSOUND for general directed
+    graphs — visited sink nodes (no out-edges) would count toward a
+    threshold that only counts out-edge nodes — so it is gated on
+    `symmetric`; the empty-frontier exit below is always the correctness
+    backstop. Per round: adjacency ⋈ broadcast(frontier) -> explode ->
+    broadcast anti-join vs visited (seen neighbors drop map-side) ->
+    distinct over just the unseen expansion, lazily checkpointed so the
+    fixpoint count is the materializing job."""
+    spark_ = edges.sparkSession
+    adj = (
+        edges.groupBy(F.col("src").alias("n"))
+        .agg(F.collect_set("dst").alias("ms"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = adj.count() if symmetric else None
+    frontier = spark_.createDataFrame([(src,)], "n long").localCheckpoint()
+    visited = frontier
+    n_visited = 1
+    levels = [frontier.select("n", F.lit(0).alias("dist"))]
+    for i in range(1, rounds + 1):
+        frontier = (
+            adj.join(
+                F.broadcast(frontier.withColumnRenamed("n", "fn")),
+                F.col("n") == F.col("fn"),
+            )
+            .select(F.explode("ms").alias("n"))
+            .join(F.broadcast(visited), "n", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cnt = frontier.count()
+        if cnt == 0:
+            break
+        # visited needs no checkpoint of its own: it is a union of
+        # already-checkpointed frontiers, so its lineage is O(rounds)
+        # deep and each branch is materialized
+        visited = visited.unionAll(frontier)
+        levels.append(frontier.select("n", F.lit(i).alias("dist")))
+        n_visited += cnt
+        if n_nodes is not None and n_visited >= n_nodes:
+            break  # saturated (symmetric graph): next frontier must be empty
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
 @register("x_bfs", tags=("EXT", "J1", "A1", "X2"), oracle=_bfs_oracle())
 def x_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first search levels (single-source shortest hop counts)
@@ -556,52 +621,10 @@ def x_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("u"),
         (F.col("l_suppkey") * 2 + 1).alias("v"),
     )
-    adj = (
-        e0.select(F.col("u").alias("n"), F.col("v").alias("m"))
-        .unionAll(e0.select(F.col("v").alias("n"), F.col("u").alias("m")))
-        .groupBy("n")
-        .agg(F.collect_set("m").alias("ms"))
-        .localCheckpoint(eager=False)
+    und = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    # the adjacency row count IS the node-universe size, and doubles as
-    # a saturation witness: once visited covers every node that appears
-    # in the edge list, the next frontier is provably empty, so the loop
-    # stops WITHOUT paying a full expansion round just to observe
-    # emptiness. This count is also the first action over the lazily
-    # checkpointed adjacency, so it materializes the checkpoint blocks
-    # in the same job. A disconnected graph never saturates and falls
-    # back to the empty-frontier exit below — correctness is unaffected.
-    n_nodes = adj.count()
-    spark_ = adj.sparkSession
-    frontier = spark_.createDataFrame([(BFS_SRC_CUST * 2,)], "n long").localCheckpoint()
-    visited = frontier
-    n_visited = 1
-    levels = [frontier.select("n", F.lit(0).alias("dist"))]
-    for i in range(1, BFS_ROUNDS + 1):
-        frontier = (
-            adj.join(
-                F.broadcast(frontier.withColumnRenamed("n", "fn")),
-                F.col("n") == F.col("fn"),
-            )
-            .select(F.explode("ms").alias("n"))
-            .join(F.broadcast(visited), "n", "left_anti")
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        cnt = frontier.count()
-        if cnt == 0:
-            break
-        # visited needs no checkpoint of its own: it is a union of
-        # already-checkpointed frontiers, so its lineage is O(rounds)
-        # deep and each branch is materialized
-        visited = visited.unionAll(frontier)
-        levels.append(frontier.select("n", F.lit(i).alias("dist")))
-        n_visited += cnt
-        if n_visited >= n_nodes:  # saturated: next frontier must be empty
-            break
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionAll(lv)
+    out = bfs_levels(und, BFS_SRC_CUST * 2, BFS_ROUNDS, symmetric=True)
     return out.select(
         F.when(F.col("n") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -495,3 +495,46 @@ def test_lsh_s_curves_are_monotone_and_ordered_by_rows(i):
         assert p(s1, b, r) >= p0  # monotone in s
     # at fixed s, candidate probability decreases as r grows (b shrinks)
     assert probs0 == sorted(probs0, reverse=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+def test_bfs_levels_match_python_bfs_on_random_graphs(spark, raw_edges, symmetrize):
+    """x_bfs's shared bfs_levels loop (adjacency layout + saturation
+    early-stop) must agree with a plain-Python BFS on arbitrary
+    hypothesis-generated digraphs — including unreachable nodes, sink
+    nodes (no out-edges), parallel edges, and the symmetrized case where
+    the saturation witness is active."""
+    from collections import deque
+
+    from music_database_spark.operators.graph import bfs_levels
+
+    edges = sorted(set(raw_edges))
+    if symmetrize:
+        edges = sorted(set(edges) | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    got = {
+        r["n"]: r["dist"]
+        for r in bfs_levels(df, 0, rounds=13, symmetric=symmetrize).collect()
+    }
+    assert got == want
