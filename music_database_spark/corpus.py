@@ -631,3 +631,153 @@ class CorpusPipeline:
             alloc.alias("alloc_tokens"),
             "is_capped",
         )
+
+    # ---- round-6 additions -----------------------------------------------
+
+    def pii_flags(self) -> DataFrame:
+        """Per-doc PII detection columns (x_pii_scan semantics over the
+        caller's own text, WITHOUT the synthetic injection): the first
+        card-shaped 16-digit candidate, whether it passes the Luhn
+        checksum (16 explicit integer terms — the release-gate signal
+        that separates real card leaks from order ids), and the IPv4
+        literal count. Map-only regex + integer expressions."""
+        from .operators.pipeline import _luhn_spark
+
+        card = F.regexp_extract(self.text_col, r"[0-9]{16}", 0)
+        return (
+            self.docs.withColumn("pii_card", card)
+            .withColumn(
+                "pii_card_luhn_valid",
+                (F.col("pii_card") != "") & _luhn_spark(F.col("pii_card")),
+            )
+            .withColumn(
+                "pii_n_ips",
+                F.size(
+                    F.regexp_extract_all(
+                        self.text_col,
+                        F.lit(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+                        F.lit(0),
+                    )
+                ),
+            )
+        )
+
+    def gopher_flags(self) -> DataFrame:
+        """Per-doc Gopher-rule booleans (x_gopher_rules semantics): word
+        count bounds, mean word length 3-10, alphabetic-word fraction,
+        stopword presence, plus the conjunctive pass_gopher. One scan of
+        HOF array expressions; thresholds are the registered constants."""
+        from .operators.quality import (
+            GOPHER_ALPHA_MIN,
+            GOPHER_MAX_WORDS,
+            GOPHER_MIN_WORDS,
+            GOPHER_MWL_HI,
+            GOPHER_MWL_LO,
+            GOPHER_STOP_MIN,
+            GOPHER_STOPS,
+        )
+
+        d = self.docs.withColumn("__toks", self._toks())
+        n_words = F.size("__toks")
+        denom = F.greatest(n_words, F.lit(1))
+        mean_wl = F.length(F.concat_ws("", F.col("__toks"))).cast("double") / denom
+        alpha = (
+            F.size(F.expr("filter(__toks, x -> x rlike '[a-z]')")).cast("double") / denom
+        )
+        stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+        n_stops = F.size(F.filter(stops, lambda s: F.array_contains(F.col("__toks"), s)))
+        return (
+            d.withColumn(
+                "ok_word_count",
+                (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+            )
+            .withColumn(
+                "ok_mean_word_len", (mean_wl >= GOPHER_MWL_LO) & (mean_wl <= GOPHER_MWL_HI)
+            )
+            .withColumn("ok_alpha_frac", alpha >= GOPHER_ALPHA_MIN)
+            .withColumn("ok_stopwords", n_stops >= GOPHER_STOP_MIN)
+            .withColumn(
+                "pass_gopher",
+                F.col("ok_word_count")
+                & F.col("ok_mean_word_len")
+                & F.col("ok_alpha_frac")
+                & F.col("ok_stopwords"),
+            )
+            .drop("__toks")
+        )
+
+    def contamination_fraction(self, bench: DataFrame, ngram: int = 4) -> DataFrame:
+        """Per-doc benchmark-overlap FRACTION (x_contamination_overlap
+        semantics against ANY user benchmark frame): the share of this
+        doc's distinct ngram-word shingles that appear in the benchmark
+        shingle set — length-fair, unlike decontaminate()'s absolute
+        count. Returns (id, n_total, n_hit, overlap_frac) for EVERY doc
+        (zero-overlap docs included). The benchmark digest set
+        broadcasts."""
+        def sh(d: DataFrame, idc: str, txc: str) -> DataFrame:
+            toks = F.expr(f"filter(split({txc}, ' '), t -> t != '')")
+            n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
+            arr = F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
+            )
+            return d.select(
+                F.col(idc).alias("__id"), F.explode(arr).alias("__sh")
+            ).dropDuplicates(["__id", "__sh"])
+
+        bench_sh = (
+            sh(bench, self.id_col, self.text_col)
+            .select(F.col("__sh").alias("__bh"))
+            .distinct()
+        )
+        frac = F.col("n_hit").cast("double") / F.col("n_total")
+        return (
+            sh(self.docs, self.id_col, self.text_col)
+            .join(F.broadcast(bench_sh), F.col("__sh") == F.col("__bh"), "left")
+            .groupBy(F.col("__id").alias(self.id_col))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.sum(F.when(F.col("__bh").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_hit"),
+            )
+            .withColumn("overlap_frac", F.round(frac, 6))
+        )
+
+    def length_mixture(self, by: str = "lang") -> DataFrame:
+        """Token-length-bucket x group histogram with uniform-target
+        reweighting factors (x_length_mixture semantics): weight > 1
+        marks underrepresented cells to upsample. Fixed literal bucket
+        edges keep the scan map-only; the grand total broadcasts."""
+        from .operators.pipeline import LEN_BUCKET_EDGES as E
+
+        n_tok = F.size(self._toks())
+        bucket = (
+            F.when(n_tok < E[0], "len_000")
+            .when(n_tok < E[1], "len_064")
+            .when(n_tok < E[2], "len_128")
+            .when(n_tok < E[3], "len_256")
+            .otherwise("len_512")
+        )
+        g = (
+            self.docs.select(F.col(by), n_tok.alias("__nt"), bucket.alias("bucket"))
+            .groupBy(by, "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__nt").cast("bigint").alias("n_tokens"),
+            )
+            .persist()
+        )
+        tot = g.agg(
+            F.sum("n_tokens").cast("bigint").alias("__all"),
+            F.count(F.lit(1)).cast("bigint").alias("__cells"),
+        )
+        return g.crossJoin(F.broadcast(tot)).select(
+            by,
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("__all").cast("double") / F.col("__cells") / F.col("n_tokens"), 6
+            ).alias("uniform_weight"),
+        )

@@ -12,6 +12,14 @@ Determinism conventions for oracle-checked float outputs (SURVEY.md §7.4.5):
 double sums are order-dependent across partitionings, so any SUM/AVG over
 a double column is computed as SUM(CAST(x AS DECIMAL(18,p))) — exact,
 associative, identical on both engines — then cast back to double.
+
+Oracle TYPE rule (round-6, the x_seq_packing lesson): every oracle OUTPUT
+column must be an explicitly-cast BIGINT/DOUBLE/VARCHAR/DATE/BOOLEAN.
+DuckDB silently widens — a windowed or product SUM over BIGINT is
+HUGEINT, a bare decimal literal (1.0) is DECIMAL — and both reach pandas
+as float64/object, hashing differently from Spark's bigint/double even
+when values are equal. tools/diffcheck.py DESCRIBEs every oracle and
+FAILS on HUGEINT/UHUGEINT/DECIMAL outputs; run it before registering.
 """
 
 from __future__ import annotations

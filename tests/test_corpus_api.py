@@ -359,3 +359,125 @@ def test_group_sample_matches_registered_query(spark, pipe):
     }
     assert got == want
     assert max(rank for (_, _, rank) in got) <= GROUP_SAMPLE_K
+
+
+def test_gopher_flags_match_registered_query(spark, pipe):
+    """Per-doc gopher_flags aggregated per lang must equal
+    x_gopher_rules' registered per-lang counts."""
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["lang"]: r.asDict()
+        for r in load_all()["x_gopher_rules"].build(spark, SF_SMOKE).collect()
+    }
+    api = {
+        r["lang"]: r.asDict()
+        for r in pipe.gopher_flags()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("ok_word_count"), 1).otherwise(0)).alias("f_wc"),
+            F.sum(F.when(~F.col("ok_mean_word_len"), 1).otherwise(0)).alias("f_mwl"),
+            F.sum(F.when(~F.col("ok_alpha_frac"), 1).otherwise(0)).alias("f_af"),
+            F.sum(F.when(~F.col("ok_stopwords"), 1).otherwise(0)).alias("f_st"),
+            F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0)).alias("p_all"),
+        )
+        .collect()
+    }
+    for lang, r in reg.items():
+        a = api[lang]
+        assert a["n_docs"] == r["n_docs"]
+        assert a["f_wc"] == r["fail_word_count"]
+        assert a["f_mwl"] == r["fail_mean_word_len"]
+        assert a["f_af"] == r["fail_alpha_frac"]
+        assert a["f_st"] == r["fail_stopwords"]
+        assert a["p_all"] == r["n_pass_all"]
+
+
+def test_contamination_fraction_matches_registered_query(spark, docs, pipe):
+    """contamination_fraction against the registered benchmark subset
+    (doc_id % 50 == 0) must reproduce x_contamination_overlap's per-lang
+    dirty counts and averages."""
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.operators.pipeline import BENCH_MOD, CONTAM_FRAC_MIN
+    from music_database_spark.registry import load_all
+
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    out = (
+        CorpusPipeline(corpus)
+        .contamination_fraction(bench)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_hit").cast("double") / F.col("n_total") >= CONTAM_FRAC_MIN, 1
+                ).otherwise(0)
+            ).alias("n_dirty"),
+        )
+        .collect()
+    )
+    reg = {
+        r["lang"]: r.asDict()
+        for r in load_all()["x_contamination_overlap"].build(spark, SF_SMOKE).collect()
+    }
+    for r in out:
+        assert r["n_docs"] == reg[r["lang"]]["n_docs"]
+        assert r["n_dirty"] == reg[r["lang"]]["n_dirty"]
+
+
+def test_pii_flags_luhn_agrees_with_scan_operator(spark, docs):
+    """pii_flags over text carrying x_pii_scan's injected cards must
+    reproduce its per-lang checksum-valid counts."""
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.operators.pipeline import PII_CARD_MOD
+    from music_database_spark.registry import load_all
+
+    card_tail = F.lpad(((F.col("doc_id") * 37) % F.lit(10**16)).cast("string"), 16, "0")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % PII_CARD_MOD == 0, F.concat(F.lit(" card "), card_tail)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    api = {
+        r["lang"]: r.asDict()
+        for r in CorpusPipeline(aug)
+        .pii_flags()
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("pii_card") != "", 1).otherwise(0)).alias("n_cards"),
+            F.sum(F.when(F.col("pii_card_luhn_valid"), 1).otherwise(0)).alias("n_valid"),
+        )
+        .collect()
+    }
+    reg = {
+        r["lang"]: r.asDict()
+        for r in load_all()["x_pii_scan"].build(spark, SF_SMOKE).collect()
+    }
+    for lang, r in reg.items():
+        assert api[lang]["n_cards"] == r["n_cards"]
+        assert api[lang]["n_valid"] == r["n_cards_luhn_valid"]
+
+
+def test_length_mixture_matches_registered_query(spark, pipe):
+    from music_database_spark.registry import load_all
+
+    reg = {
+        (r["lang"], r["bucket"]): r.asDict()
+        for r in load_all()["x_length_mixture"].build(spark, SF_SMOKE).collect()
+    }
+    api = {
+        (r["lang"], r["bucket"]): r.asDict() for r in pipe.length_mixture().collect()
+    }
+    assert set(api) == set(reg)
+    for k, r in reg.items():
+        assert api[k]["n_docs"] == r["n_docs"]
+        assert api[k]["n_tokens"] == r["n_tokens"]
+        assert api[k]["uniform_weight"] == pytest.approx(r["uniform_weight"], abs=2e-6)
