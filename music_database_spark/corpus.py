@@ -781,3 +781,60 @@ class CorpusPipeline:
                 F.col("__all").cast("double") / F.col("__cells") / F.col("n_tokens"), 6
             ).alias("uniform_weight"),
         )
+
+    def dsir_weights(self, is_target, buckets: int = 64) -> DataFrame:
+        """Per-doc DSIR importance weight (x_dsir_weights semantics
+        against ANY caller-defined target slice): hashed word-unigram
+        features, weight = sum_b c_b * ln(p_target(b) / p_raw(b)) with
+        Laplace +1 smoothing. `is_target` is a boolean Column marking
+        the target-domain rows (e.g. F.col('lang') == 'en'). Returns
+        (id, is_target, dsir_weight) for every doc; rank or threshold
+        the weight downstream to resample. The text is exploded once
+        into a persisted doc-keyed count frame; bucket statistics
+        collapse to `buckets` rows whose log-ratio table broadcasts."""
+        tok = self.docs.select(
+            F.col(self.id_col).alias("__id"),
+            is_target.alias("__t"),
+            F.explode(F.split(self.text_col, " ")).alias("__tok"),
+        )
+        bucket = (
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint") % buckets
+        )
+        counts = (
+            tok.groupBy("__id", "__t", bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .persist()
+        )
+        stats = counts.groupBy("__b").agg(
+            F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("__nt"),
+            F.sum("__c").cast("bigint").alias("__nr"),
+        )
+        totals = stats.agg(
+            F.sum("__nt").cast("bigint").alias("__tt"),
+            F.sum("__nr").cast("bigint").alias("__rt"),
+        )
+        lr = stats.crossJoin(F.broadcast(totals)).select(
+            "__b",
+            F.round(
+                F.log(
+                    ((F.col("__nt") + 1) * (F.col("__rt") + buckets)).cast("double")
+                    / ((F.col("__nr") + 1) * (F.col("__tt") + buckets)).cast("double")
+                ),
+                6,
+            ).alias("__lr"),
+        )
+        return (
+            counts.join(F.broadcast(lr), "__b")
+            .groupBy(F.col("__id").alias(self.id_col), F.col("__t").alias("is_target"))
+            .agg(
+                F.sum(
+                    F.round(F.col("__c").cast("double") * F.col("__lr"), 6).cast(
+                        "decimal(24,6)"
+                    )
+                )
+                .cast("double")
+                .alias("dsir_weight")
+            )
+        )

@@ -2061,3 +2061,150 @@ def x_length_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+DSIR_BUCKETS = 64  # hashed n-gram feature dimension (DSIR's 10k, scaled to testdata)
+DSIR_TARGET_LANG = "en"  # target-domain stand-in: the English slice
+
+
+@register(
+    "x_dsir_weights",
+    tags=("EXT", "X4", "F3", "F4"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, lang, bucket
+        ), buckets AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+                        AS BIGINT) AS n_t,
+                   CAST(SUM(c) AS BIGINT) AS n_r
+            FROM counts GROUP BY bucket
+        ), totals AS (
+            SELECT CAST(SUM(n_t) AS BIGINT) AS t_tot,
+                   CAST(SUM(n_r) AS BIGINT) AS r_tot
+            FROM buckets
+        ), lr AS (
+            SELECT bucket,
+                   round(ln(CAST((n_t + 1) * (r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+                          / CAST((n_r + 1) * (t_tot + {DSIR_BUCKETS}) AS DOUBLE)), 6)
+                       AS lr
+            FROM buckets CROSS JOIN totals
+        ), docw AS (
+            SELECT doc_id, lang,
+                   SUM(CAST(round(CAST(c AS DOUBLE) * lr, 6) AS DECIMAL(24,6))) AS w
+            FROM counts JOIN lr USING (bucket)
+            GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               round(CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS sel_frac,
+               round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS avg_weight
+        FROM docw GROUP BY lang ORDER BY lang
+    """,
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    NeurIPS 2023, public): score every raw document by how target-like
+    its hashed-feature distribution is, the selection stage that sits
+    between dedup/quality-filter and mixture sampling in a pretraining
+    pipeline. Features are word unigrams hashed into DSIR_BUCKETS
+    buckets; the target distribution is the DSIR_TARGET_LANG slice,
+    the raw distribution is the whole corpus. Per-doc importance weight
+    w(d) = sum_b c_db * ln(p_target(b) / p_raw(b)) with Laplace +1
+    smoothing; w > 0 means "more target-like than raw" and is the
+    selection rule reported per language (n_selected, sel_frac,
+    avg_weight).
+
+    Determinism: the log-ratio per bucket is ONE ln() of a ratio of
+    exact bigint products, rounded to 6 dp (the repo's transcendental
+    recipe); per-doc weights are DECIMAL(24,6) sums of 6-dp terms —
+    exact and order-free — and every division happens once at the end.
+
+    100 TB design: the text is exploded ONCE into a persisted
+    (doc_id, bucket, count) frame (the map-side-combinable shuffle is
+    doc-keyed, so it is the same exchange the per-doc aggregation
+    needs); bucket statistics collapse to DSIR_BUCKETS rows whose
+    log-ratio table broadcasts back, so the only wide operations are
+    two partial aggs — there is no second pass over the raw text and
+    no driver-side state. Hashing replaces DSIR's 10k-bucket n-gram
+    space with a 64-bucket one purely because the testdata is small;
+    the plan is bucket-count-independent. Reference parity: no
+    selection surface in the reference (SURVEY.md §2.10 X4 mandate).
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    counts = (
+        tok.groupBy("doc_id", "lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # read twice: bucket stats and per-doc weights
+    )
+    buckets = counts.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum("c").cast("bigint").alias("n_r"),
+    )
+    totals = buckets.agg(
+        F.sum("n_t").cast("bigint").alias("t_tot"),
+        F.sum("n_r").cast("bigint").alias("r_tot"),
+    )
+    lr = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("n_t") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("n_r") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast("double")
+            ),
+            6,
+        ).alias("lr"),
+    )
+    docw = (
+        counts.join(F.broadcast(lr), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("c").cast("double") * F.col("lr"), 6)
+            .cast("decimal(24,6)")
+            .alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term").alias("w"))
+    )
+    return (
+        docw.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum("w").alias("__wsum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            F.round(F.col("n_selected").cast("double") / F.col("n_docs"), 6).alias(
+                "sel_frac"
+            ),
+            F.round(F.col("__wsum").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_weight"
+            ),
+        )
+        .orderBy("lang")
+    )

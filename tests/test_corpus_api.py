@@ -481,3 +481,37 @@ def test_length_mixture_matches_registered_query(spark, pipe):
         assert api[k]["n_docs"] == r["n_docs"]
         assert api[k]["n_tokens"] == r["n_tokens"]
         assert api[k]["uniform_weight"] == pytest.approx(r["uniform_weight"], abs=2e-6)
+
+
+def test_dsir_weights_match_registered_query(spark, pipe):
+    import math
+
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["lang"]: r.asDict()
+        for r in load_all()["x_dsir_weights"].build(spark, SF_SMOKE).collect()
+    }
+    per_doc = pipe.dsir_weights(F.col("lang") == "en").collect()
+    assert len(per_doc) == sum(r["n_docs"] for r in reg.values())
+
+    docs_by_lang = {}
+    for r in (
+        pipe.docs.select("doc_id", "lang").collect()
+    ):
+        docs_by_lang[r["doc_id"]] = r["lang"]
+    agg: dict[str, list] = {}
+    for r in per_doc:
+        agg.setdefault(docs_by_lang[r["doc_id"]], []).append(r["dsir_weight"])
+    for lang, ws in agg.items():
+        assert len(ws) == reg[lang]["n_docs"]
+        assert sum(1 for w in ws if w > 0) == reg[lang]["n_selected"]
+        assert math.fsum(ws) / len(ws) == pytest.approx(
+            reg[lang]["avg_weight"], abs=2e-6
+        )
+    # the target slice must score most target-like on average
+    means = {lang: math.fsum(ws) / len(ws) for lang, ws in agg.items()}
+    assert max(means, key=means.get) == "en"
+    # is_target marks exactly the en docs
+    for r in per_doc:
+        assert r["is_target"] == (docs_by_lang[r["doc_id"]] == "en")
