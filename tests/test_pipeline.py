@@ -2307,3 +2307,64 @@ def test_runs_streaks_matches_pandas_islands(spark, reg):
         assert out[seg]["n_customers"] == row.n
         assert out[seg]["max_streak"] == row.mx
         assert out[seg]["n_streak3"] == row.s3
+
+
+def test_dsir_weights_match_pure_python_reference(spark):
+    """CorpusPipeline.dsir_weights vs a from-scratch Python recompute
+    (hashlib buckets, Counter stats, math.log) on a tiny hand corpus —
+    pins the formula and the hash family independently of both engines."""
+    import math
+    from collections import Counter
+
+    from music_database_spark.corpus import CorpusPipeline
+
+    B = 8
+    corpus = [
+        (0, "the cat sat on the mat", True),
+        (1, "the dog ate the cat food", True),
+        (2, "el gato come pescado fresco", False),
+        (3, "der hund frisst das futter", False),
+        (4, "the the the the", True),
+        (5, "", False),
+    ]
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    n_t: Counter = Counter()
+    n_r: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text, is_t in corpus:
+        c = Counter(bucket(t) for t in text.split(" "))
+        per_doc[doc_id] = c
+        n_r.update(c)
+        if is_t:
+            n_t.update(c)
+    t_tot, r_tot = sum(n_t.values()), sum(n_r.values())
+    lr = {
+        b: round(
+            math.log(
+                ((n_t[b] + 1) * (r_tot + B)) / ((n_r[b] + 1) * (t_tot + B))
+            ),
+            6,
+        )
+        for b in n_r
+    }
+    expected = {
+        doc_id: sum(round(c * lr[b], 6) for b, c in per_doc[doc_id].items())
+        for doc_id, _, _ in corpus
+    }
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in corpus], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in CorpusPipeline(docs)
+        .dsir_weights(F.col("doc_id").isin(0, 1, 4), buckets=B)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, w in expected.items():
+        assert got[doc_id]["dsir_weight"] == pytest.approx(w, abs=1e-9)
+        assert got[doc_id]["is_target"] == (doc_id in (0, 1, 4))
