@@ -2368,3 +2368,17 @@ def test_dsir_weights_match_pure_python_reference(spark):
     for doc_id, w in expected.items():
         assert got[doc_id]["dsir_weight"] == pytest.approx(w, abs=1e-9)
         assert got[doc_id]["is_target"] == (doc_id in (0, 1, 4))
+
+
+def test_dsir_weights_vanish_when_target_is_whole_corpus(spark):
+    """Exact invariant: target == raw makes every smoothed log-ratio
+    ln(1) = 0 exactly (n_t == n_r and t_tot == r_tot bucket-by-bucket),
+    so every document weight is exactly 0.0 — a formula-mirroring
+    canary that needs no tolerance."""
+    from music_database_spark.corpus import CorpusPipeline
+    from music_database_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = CorpusPipeline(docs).dsir_weights(F.lit(True)).collect()
+    assert len(out) == docs.count()
+    assert all(r["dsir_weight"] == 0.0 for r in out)
