@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred", "--dsir")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -64,6 +64,9 @@ def main() -> int:
         return 0
     if "--winnow" in sys.argv[1:]:
         winnow_growth(ks)
+        return 0
+    if "--dsir" in sys.argv[1:]:
+        dsir_growth(ks)
         return 0
     if "--spans" in sys.argv[1:]:
         span_growth(ks)
@@ -171,6 +174,60 @@ def winnow_growth(ks: list[int]) -> None:
             f"{k:>3} {docs.count():>7} {n_fps:>9} {n_fps / windows:>8.3f} {hot_pct:>8.1f} "
             f"{cand_dt:>8.2f} {cand:>10} {cont_dt:>8.2f} {cont:>10}"
         )
+        docs.unpersist()
+        spark.catalog.clearCache()
+
+
+def dsir_growth(ks: list[int]) -> None:
+    """DSIR importance-weight growth:
+
+        python tools/scalecheck.py --dsir 1 2 4 10
+
+    The scale claims the numbers must show: the hashed-feature index
+    (doc, bucket) grows LINEARLY in corpus size (it is bounded by
+    min(tokens, docs x buckets)); the bucket-statistics / log-ratio
+    frame stays EXACTLY `buckets` rows at every K (corpus-size-
+    independent broadcast); wall-clock grows ~linearly. Replicas keep
+    their language, so the target/raw ratio — and therefore the weight
+    scale — is K-invariant up to the salt token."""
+    from music_database_spark.corpus import CorpusPipeline
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    print(
+        f"{'K':>3} {'docs':>7} {'index_rows':>10} {'bucket_rows':>11} "
+        f"{'sec':>7} {'sel_frac':>9} {'avg_w_en':>9}"
+    )
+    for k in ks:
+        docs = replicate(base, k).repartition(cores).persist()
+        docs.count()
+        pipe = CorpusPipeline(docs)
+        t0 = time.time()
+        w = pipe.dsir_weights(F.col("lang") == "en").persist()
+        n_docs = w.count()
+        dt = time.time() - t0
+        sel = w.filter(F.col("dsir_weight") > 0).count()
+        avg_en = (
+            w.filter(F.col("is_target"))
+            .agg(F.avg("dsir_weight"))
+            .collect()[0][0]
+        )
+        # the index/bucket frames, recomputed standalone for the gauge
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("__tok")
+        )
+        b = (
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("bigint") % 64
+        )
+        idx = tok.groupBy("doc_id", b.alias("__b")).count()
+        index_rows = idx.count()
+        bucket_rows = idx.groupBy("__b").count().count()
+        print(
+            f"{k:>3} {n_docs:>7} {index_rows:>10} {bucket_rows:>11} "
+            f"{dt:>7.2f} {sel / n_docs:>9.3f} {avg_en:>9.4f}"
+        )
+        w.unpersist()
         docs.unpersist()
         spark.catalog.clearCache()
 
