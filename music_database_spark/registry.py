@@ -78,6 +78,9 @@ def register(
 # The 30 oracle-backed queries deferred to round 7 sit immediately after
 # the window (so a wider driver window verifies them first); each has a
 # driver-green cousin exercising the same plan shape (noted inline).
+# Round-7 rotation pool entering next round: those 30 + 7 rows-only +
+# the 11 round-6 additions (incl. x_dsir_weights) = 48 — one 50-slot
+# window drains it completely.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # r05 red row — oracle type bug fixed this round, re-verify
     "x_seq_packing",
