@@ -1057,6 +1057,154 @@ def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_embed_coherence",
+    tags=("EXT", "X3", "A5", "F4", "F5"),
+    oracle="""
+        WITH dbl AS (
+            SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), nr AS (
+            SELECT label, emb,
+                   sqrt(CAST(list_aggregate(list_transform(emb,
+                        x -> CAST(x * x AS DECIMAL(30,12))), 'sum') AS DOUBLE)) AS nrm
+            FROM dbl
+        ), r AS (
+            SELECT label,
+                   list_transform(emb, x -> CASE WHEN nrm = 0 THEN 0.0::DOUBLE
+                                                 ELSE round(x / nrm, 6) END) AS rc
+            FROM nr
+        ), ex AS (
+            SELECT label, unnest(rc) AS c, unnest(range(1, len(rc) + 1)) AS pos FROM r
+        ), grid AS (
+            SELECT label, pos,
+                   SUM(CAST(c AS DECIMAL(18,6))) AS s,
+                   SUM(CAST(c AS DECIMAL(18,6)) * CAST(c AS DECIMAL(18,6))) AS q,
+                   COUNT(*) AS nn
+            FROM ex GROUP BY label, pos
+        ), intra AS (
+            SELECT label,
+                   (CAST(SUM(s * s) AS DOUBLE) - CAST(SUM(q) AS DOUBLE))
+                       / (MAX(nn) * (MAX(nn) - 1)) AS intra_raw,
+                   MAX(nn) AS n
+            FROM grid GROUP BY label
+        ), inter AS (
+            SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+            FROM grid a JOIN grid b ON a.pos = b.pos AND a.label <> b.label
+            GROUP BY a.label, b.label
+        ), interm AS (
+            SELECT la AS label,
+                   MAX(round(CAST(dot AS DOUBLE) / (ca.n * cb.n), 6)) AS max_inter_cos
+            FROM inter JOIN intra ca ON ca.label = inter.la
+                       JOIN intra cb ON cb.label = inter.lb
+            GROUP BY la
+        )
+        SELECT CAST(i.label AS BIGINT) AS label, CAST(i.n AS BIGINT) AS n_vecs,
+               round(i.intra_raw, 6) AS intra_cos,
+               m.max_inter_cos,
+               round(round(i.intra_raw, 6) - m.max_inter_cos, 6) AS margin
+        FROM intra i JOIN interm m USING (label)
+        ORDER BY label
+    """,
+)
+def x_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-coherence audit of the embedding space: per label, the MEAN
+    PAIRWISE COSINE among its vectors (intra) vs the worst mean pairwise
+    cosine against any other label (max inter), and the margin between
+    them — the gauge that says whether a labeling (topic, cluster
+    assignment, source tag) is real structure in embedding space before
+    anyone trains a router or balances a mixture on it. On the synthetic
+    corpus the margins hover near zero: the labels are NOT cosine
+    clusters — exactly the negative finding this audit exists to surface.
+
+    The all-pairs sums never materialize pairs: with unit vectors u_i,
+    sum_{i<>j} <u_i, u_j> = ||sum_i u_i||^2 - sum_i ||u_i||^2, so both
+    statistics are exact functions of the per-(label, dim) component sums
+    S_ld and square-sums Q_ld. Determinism: per-vector norms fold
+    DECIMAL(30,12)-cast squares (order-free), normalized components are
+    rounded to 6 dp, and every cross-row sum is DECIMAL-exact; the only
+    floats are the final divisions, rounded 6.
+
+    100 TB design: normalization is a per-row higher-order function
+    (map-side, no shuffle); ONE (label, dim)-keyed partial agg collapses
+    the corpus to |labels| x 64 grid cells; the O(|labels|^2) inter
+    comparison joins the persisted 640-row grid with itself — quadratic
+    only in the label count, never in rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        as_double_array("embedding").alias("emb"),
+    )
+    nr = dbl.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: (x * x).cast("decimal(30,12)")),
+                F.lit(0).cast("decimal(38,12)"),
+                # Spark caps decimal(38,12)+decimal(30,12) at decimal(38,11);
+                # the cast restores the accumulator type exactly (values are
+                # far below the precision ceiling).
+                lambda acc, x: (acc + x).cast("decimal(38,12)"),
+            ).cast("double")
+        ),
+    )
+    r = nr.select(
+        "label",
+        F.transform(
+            "emb",
+            lambda x: F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
+                F.round(x / F.col("nrm"), 6)
+            ),
+        ).alias("rc"),
+    )
+    cdec = F.col("c").cast("decimal(18,6)")
+    grid = (
+        r.select("label", F.posexplode("rc").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(cdec).alias("s"),
+            F.sum(cdec * cdec).alias("q"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .persist()
+    )
+    intra = grid.groupBy("label").agg(
+        (
+            (F.sum(F.col("s") * F.col("s")).cast("double") - F.sum("q").cast("double"))
+            / (F.max("nn") * (F.max("nn") - 1))
+        ).alias("intra_raw"),
+        F.max("nn").cast("bigint").alias("n"),
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") != F.col("b.label")))
+        .groupBy(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+    )
+    ns = intra.select("label", "n")
+    interm = (
+        dots.join(ns.withColumnRenamed("label", "la").withColumnRenamed("n", "na"), "la")
+        .join(ns.withColumnRenamed("label", "lb").withColumnRenamed("n", "nb"), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max(
+                F.round(F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6)
+            ).alias("max_inter_cos")
+        )
+    )
+    return (
+        intra.join(interm, "label")
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round("intra_raw", 6).alias("intra_cos"),
+            "max_inter_cos",
+            F.round(F.round("intra_raw", 6) - F.col("max_inter_cos"), 6).alias("margin"),
+        )
+        .orderBy("label")
+    )
+
+
 QUANT_LEVELS = 255  # int8 scalar quantization: levels per dimension
 
 

@@ -313,6 +313,85 @@ def x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_padding_waste",
+    tags=("EXT", "X4", "A7", "F4"),
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id % 8 AS shard,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+            FROM documents
+        ), stream AS (
+            SELECT lang, shard, SUM(n_tok) AS toks
+            FROM t GROUP BY lang, shard
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_streams,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM((toks + 2047) // 2048) AS BIGINT) AS n_windows,
+               CAST(SUM((toks + 2047) // 2048) * 2048 - SUM(toks) AS BIGINT)
+                   AS padding_tokens,
+               round(CAST(SUM((toks + 2047) // 2048) * 2048 - SUM(toks) AS DOUBLE)
+                     / CAST(SUM((toks + 2047) // 2048) * 2048 AS DOUBLE), 6)
+                   AS padding_frac,
+               CAST(SUM((toks + 2047) // 2048)
+                    - (SUM(toks) + 2047) // 2048 AS BIGINT)
+                   AS shard_overhead_windows
+        FROM stream GROUP BY lang ORDER BY lang
+    """,
+)
+def x_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the x_seq_packing layout — the metric a
+    trainer actually pays for: every parallel packing stream ends with a
+    partially-filled 2048-token window whose remainder is padding, so
+    per lang this reports windows used, padding tokens, the padding
+    fraction of the token budget, and `shard_overhead_windows` — the
+    extra windows attributable purely to splitting the language into 8
+    parallel streams instead of one sequential one (the
+    parallelism-vs-padding trade a packing scheduler tunes; shard count
+    rises with executor count at cluster scale, and this gauge prices
+    that choice before a training run commits to it).
+
+    All quantities are exact integers (ceil as (x + 2047) div 2048);
+    the single float is the final padding fraction. Plan: one scan with
+    map-only tokenization, a (lang, shard)-keyed partial agg collapsing
+    the corpus to |langs|x8 rows, then a |langs|-row rollup — strictly
+    cheaper than x_seq_packing itself since no window function runs."""
+    docs = _t(spark, sf_dir, "documents")
+    stream = (
+        docs.select(
+            "lang",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n_tok"),
+        )
+        .groupBy("lang", "shard")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    win = F.expr("(toks + 2047) div 2048")
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streams"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum(win).cast("bigint").alias("n_windows"),
+    )
+    return agg.select(
+        "lang",
+        "n_streams",
+        "total_tokens",
+        "n_windows",
+        (F.col("n_windows") * 2048 - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            (F.col("n_windows") * 2048 - F.col("total_tokens")).cast("double")
+            / (F.col("n_windows") * 2048).cast("double"),
+            6,
+        ).alias("padding_frac"),
+        (F.col("n_windows") - F.expr("(total_tokens + 2047) div 2048"))
+        .cast("bigint")
+        .alias("shard_overhead_windows"),
+    ).orderBy("lang")
+
+
+@register(
     "x_stratified_sample",
     tags=("EXT", "X4", "P2"),
     oracle="""

@@ -79,8 +79,8 @@ def register(
 # the window (so a wider driver window verifies them first); each has a
 # driver-green cousin exercising the same plan shape (noted inline).
 # Round-7 rotation pool entering next round: those 30 + 7 rows-only +
-# the 11 round-6 additions (incl. x_dsir_weights) = 48 — one 50-slot
-# window drains it completely.
+# the 13 round-6 additions (incl. x_dsir_weights, x_padding_waste,
+# x_embed_coherence) = 50 — exactly one 50-slot window drains it.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # r05 red row — oracle type bug fixed this round, re-verify
     "x_seq_packing",

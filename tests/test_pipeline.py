@@ -2382,3 +2382,69 @@ def test_dsir_weights_vanish_when_target_is_whole_corpus(spark):
     out = CorpusPipeline(docs).dsir_weights(F.lit(True)).collect()
     assert len(out) == docs.count()
     assert all(r["dsir_weight"] == 0.0 for r in out)
+
+
+def test_padding_waste_matches_pure_python_recount(spark, reg):
+    """x_padding_waste vs a from-scratch Python recount (split/shard/ceil
+    on the raw parquet) — pins the per-stream ceiling arithmetic and the
+    shard-overhead decomposition independently of both engines."""
+    import math
+    from collections import defaultdict
+
+    out = {r["lang"]: r.asDict() for r in reg["x_padding_waste"].build(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    stream: dict = defaultdict(int)
+    for r in docs:
+        ntok = len([t for t in r["text"].split(" ") if t != ""])
+        stream[(r["lang"], r["doc_id"] % 8)] += ntok
+    per_lang: dict = defaultdict(lambda: {"total": 0, "wins": 0, "streams": 0})
+    for (lang, _), toks in stream.items():
+        per_lang[lang]["total"] += toks
+        per_lang[lang]["wins"] += math.ceil(toks / 2048)
+        per_lang[lang]["streams"] += 1
+    assert set(out) == set(per_lang)
+    for lang, e in per_lang.items():
+        g = out[lang]
+        assert g["n_streams"] == e["streams"]
+        assert g["total_tokens"] == e["total"]
+        assert g["n_windows"] == e["wins"]
+        assert g["padding_tokens"] == e["wins"] * 2048 - e["total"]
+        assert g["padding_frac"] == pytest.approx(
+            (e["wins"] * 2048 - e["total"]) / (e["wins"] * 2048), abs=1e-6
+        )
+        assert g["shard_overhead_windows"] == e["wins"] - math.ceil(e["total"] / 2048)
+        # splitting into streams can only add windows, never remove them
+        assert g["shard_overhead_windows"] >= 0
+
+
+def test_embed_coherence_matches_numpy_pairwise_means(spark, reg):
+    """x_embed_coherence vs a brute-force numpy recompute: normalize each
+    vector, round to 6 dp (the engine contract), then average the actual
+    O(n^2) pairwise dot products per label and across label pairs — the
+    identity sum_{i<>j}<u_i,u_j> = ||sum u||^2 - sum ||u||^2 never enters
+    the reference path, so this pins it."""
+    import numpy as np
+
+    out = {r["label"]: r.asDict() for r in reg["x_embed_coherence"].build(spark, SF_SMOKE).collect()}
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    by_label: dict = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        n = np.sqrt((v * v).sum())
+        u = np.round(v / n, 6) if n > 0 else np.zeros_like(v)
+        by_label.setdefault(r["label"], []).append(u)
+    mats = {lb: np.vstack(vs) for lb, vs in by_label.items()}
+    for lb, m in mats.items():
+        n = m.shape[0]
+        gram = m @ m.T
+        intra = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+        inter = max(
+            (mats[o].sum(axis=0) @ m.sum(axis=0)) / (mats[o].shape[0] * n)
+            for o in mats
+            if o != lb
+        )
+        g = out[lb]
+        assert g["n_vecs"] == n
+        assert g["intra_cos"] == pytest.approx(intra, abs=2e-6)
+        assert g["max_inter_cos"] == pytest.approx(inter, abs=2e-6)
+        assert g["margin"] == pytest.approx(g["intra_cos"] - g["max_inter_cos"], abs=1e-9)
