@@ -540,6 +540,50 @@ class CorpusPipeline:
             .drop("__n_tok", "__cum")
         )
 
+    def padding_waste(
+        self, by: str = "lang", window_tokens: int = 2048, shards: int = 8
+    ) -> DataFrame:
+        """Padding-waste audit of the pack_sequences layout (registered
+        x_padding_waste semantics at the defaults): per `by` group,
+        parallel-stream window count, padding tokens / fraction, and the
+        windows attributable purely to stream parallelism. Exact
+        integers; one (by, shard) partial agg, no window function."""
+        stream = (
+            self.docs.select(
+                by,
+                (F.col(self.id_col) % shards).alias("__shard"),
+                F.size(self._toks()).alias("__n_tok"),
+            )
+            .groupBy(by, "__shard")
+            .agg(F.sum("__n_tok").alias("__toks"))
+        )
+        win = F.expr(f"(__toks + {window_tokens - 1}) div {window_tokens}")
+        agg = stream.groupBy(by).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streams"),
+            F.sum("__toks").cast("bigint").alias("total_tokens"),
+            F.sum(win).cast("bigint").alias("n_windows"),
+        )
+        return agg.select(
+            by,
+            "n_streams",
+            "total_tokens",
+            "n_windows",
+            (F.col("n_windows") * window_tokens - F.col("total_tokens"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            F.round(
+                (F.col("n_windows") * window_tokens - F.col("total_tokens")).cast("double")
+                / (F.col("n_windows") * window_tokens).cast("double"),
+                6,
+            ).alias("padding_frac"),
+            (
+                F.col("n_windows")
+                - F.expr(f"(total_tokens + {window_tokens - 1}) div {window_tokens}")
+            )
+            .cast("bigint")
+            .alias("shard_overhead_windows"),
+        ).orderBy(by)
+
     # ---- mix planning -----------------------------------------------------
 
     def mix_weights(self, by: str = "lang", tau_sqrt: bool = True) -> DataFrame:

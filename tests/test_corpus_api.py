@@ -515,3 +515,31 @@ def test_dsir_weights_match_registered_query(spark, pipe):
     # is_target marks exactly the en docs
     for r in per_doc:
         assert r["is_target"] == (docs_by_lang[r["doc_id"]] == "en")
+
+
+def test_padding_waste_stage_matches_registered_query(spark, pipe):
+    """CorpusPipeline.padding_waste at the defaults must equal
+    x_padding_waste's registered per-lang rows exactly (all-integer
+    columns plus one rounded fraction)."""
+    from music_database_spark.registry import load_all
+
+    reg = {
+        r["lang"]: r.asDict()
+        for r in load_all()["x_padding_waste"].build(spark, SF_SMOKE).collect()
+    }
+    api = {r["lang"]: r.asDict() for r in pipe.padding_waste().collect()}
+    assert set(api) == set(reg)
+    for lang, r in reg.items():
+        assert api[lang] == r
+
+
+def test_padding_waste_single_stream_has_no_shard_overhead(spark, pipe):
+    """With shards=1 the parallelism penalty is zero by construction:
+    n_windows == ceil(total/window) and shard_overhead_windows == 0."""
+    out = pipe.padding_waste(shards=1).collect()
+    assert out
+    for r in out:
+        assert r["n_streams"] == 1
+        assert r["shard_overhead_windows"] == 0
+        assert r["n_windows"] == -(-r["total_tokens"] // 2048)
+        assert 0 <= r["padding_tokens"] < 2048
