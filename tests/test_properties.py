@@ -5,6 +5,7 @@ Jaccard pairs are symmetric-free and bounded."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -538,3 +539,29 @@ def test_bfs_levels_match_python_bfs_on_random_graphs(spark, raw_edges, symmetri
         for r in bfs_levels(df, 0, rounds=13, symmetric=symmetrize).collect()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-8, max_value=8), min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_pairwise_cosine_identity_on_arbitrary_vectors(vecs):
+    """The x_embed_coherence identity sum_{i<>j}<u_i,u_j> =
+    ||sum u||^2 - sum ||u||^2 against a brute-force O(n^2) recompute on
+    hypothesis-generated integer vectors (zero vectors map to zero, the
+    engine's nrm=0 guard) — pins the math with no engine in the loop."""
+    import numpy as np
+
+    m = np.array(vecs, dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    u = np.where(norms[:, None] > 0, m / np.where(norms[:, None] == 0, 1, norms[:, None]), 0.0)
+    n = u.shape[0]
+    gram = u @ u.T
+    brute = gram.sum() - np.trace(gram)
+    s = u.sum(axis=0)
+    identity = (s * s).sum() - (u * u).sum()
+    assert identity == pytest.approx(brute, abs=1e-9)

@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred", "--dsir")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -67,6 +67,9 @@ def main() -> int:
         return 0
     if "--dsir" in sys.argv[1:]:
         dsir_growth(ks)
+        return 0
+    if "--padding" in sys.argv[1:]:
+        padding_growth(ks)
         return 0
     if "--spans" in sys.argv[1:]:
         span_growth(ks)
@@ -230,6 +233,46 @@ def dsir_growth(ks: list[int]) -> None:
         w.unpersist()
         docs.unpersist()
         spark.catalog.clearCache()
+
+
+def padding_growth(shards_list: list[int]) -> None:
+    """Parallelism-vs-padding curve for the packing layout:
+
+        python tools/scalecheck.py --padding 1 8 64 512
+
+    Each packing stream wastes at most one partial window, so padding
+    grows linearly in STREAM COUNT (the per-lang expectation is about
+    half a window per stream) while total tokens are constant — the
+    price of parallel packing that x_padding_waste exists to surface.
+    The numbers must show: padding_tokens bounded by
+    n_streams x (window - 1), shard_overhead_windows monotone in
+    shards, and flat wall-clock (the plan is one partial agg whose cell
+    count, langs x shards, is tiny at every setting)."""
+    from music_database_spark.corpus import CorpusPipeline
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents").persist()
+    base.count()
+    pipe = CorpusPipeline(base)
+    print(
+        f"{'shards':>6} {'streams':>8} {'windows':>8} {'overhead':>9} "
+        f"{'pad_tokens':>10} {'pad_frac':>9} {'sec':>7}"
+    )
+    for s in shards_list:
+        t0 = time.time()
+        rows = pipe.padding_waste(shards=s).collect()
+        dt = time.time() - t0
+        streams = sum(r["n_streams"] for r in rows)
+        wins = sum(r["n_windows"] for r in rows)
+        over = sum(r["shard_overhead_windows"] for r in rows)
+        pad = sum(r["padding_tokens"] for r in rows)
+        tot = sum(r["total_tokens"] for r in rows)
+        assert pad <= streams * 2047, "padding exceeded one window per stream"
+        print(
+            f"{s:>6} {streams:>8} {wins:>8} {over:>9} "
+            f"{pad:>10} {pad / (wins * 2048):>9.4f} {dt:>7.2f}"
+        )
+    base.unpersist()
 
 
 def span_growth(ks: list[int]) -> None:
