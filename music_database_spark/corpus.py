@@ -759,7 +759,10 @@ class CorpusPipeline:
         (zero-overlap docs included). The benchmark digest set
         broadcasts."""
         def sh(d: DataFrame, idc: str, txc: str) -> DataFrame:
-            toks = F.expr(f"filter(split({txc}, ' '), t -> t != '')")
+            # UNFILTERED split, matching x_contamination_overlap (and its
+            # oracle) exactly: shingles keep empty tokens from repeated
+            # whitespace, so method and registered query agree on any text.
+            toks = F.split(txc, " ")
             n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
             arr = F.transform(
                 F.sequence(F.lit(1), n_sh),

@@ -1067,7 +1067,7 @@ def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), nr AS (
             SELECT label, emb,
                    sqrt(CAST(list_aggregate(list_transform(emb,
-                        x -> CAST(x * x AS DECIMAL(30,12))), 'sum') AS DOUBLE)) AS nrm
+                        x -> CAST(x * x AS DECIMAL(25,12))), 'sum') AS DOUBLE)) AS nrm
             FROM dbl
         ), r AS (
             SELECT label,
@@ -1084,12 +1084,15 @@ def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM ex GROUP BY label, pos
         ), intra AS (
             SELECT label,
-                   (CAST(SUM(s * s) AS DOUBLE) - CAST(SUM(q) AS DOUBLE))
+                   (CAST(SUM(CAST(s AS DECIMAL(18,6)) * CAST(s AS DECIMAL(18,6)))
+                             AS DOUBLE)
+                    - CAST(SUM(q) AS DOUBLE))
                        / (MAX(nn) * (MAX(nn) - 1)) AS intra_raw,
                    MAX(nn) AS n
             FROM grid GROUP BY label
         ), inter AS (
-            SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+            SELECT a.label AS la, b.label AS lb,
+                   SUM(CAST(a.s AS DECIMAL(18,6)) * CAST(b.s AS DECIMAL(18,6))) AS dot
             FROM grid a JOIN grid b ON a.pos = b.pos AND a.label <> b.label
             GROUP BY a.label, b.label
         ), interm AS (
@@ -1121,9 +1124,13 @@ def x_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_{i<>j} <u_i, u_j> = ||sum_i u_i||^2 - sum_i ||u_i||^2, so both
     statistics are exact functions of the per-(label, dim) component sums
     S_ld and square-sums Q_ld. Determinism: per-vector norms fold
-    DECIMAL(30,12)-cast squares (order-free), normalized components are
-    rounded to 6 dp, and every cross-row sum is DECIMAL-exact; the only
-    floats are the final divisions, rounded 6.
+    DECIMAL(25,12)-cast squares (order-free, and the fold's addition is
+    typed to keep scale 12 — a wider accumulator would round each step
+    at scale 11), normalized components are rounded to 6 dp, and every
+    cross-row sum and product is DECIMAL-exact at scale <= 12 on both
+    engines (s is re-narrowed to DECIMAL(18,6) before products so
+    neither engine truncates the product scale); the only floats are
+    the final divisions, rounded 6.
 
     100 TB design: normalization is a per-row higher-order function
     (map-side, no shuffle); ONE (label, dim)-keyed partial agg collapses
@@ -1139,12 +1146,14 @@ def x_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.sqrt(
             F.aggregate(
-                F.transform("emb", lambda x: (x * x).cast("decimal(30,12)")),
-                F.lit(0).cast("decimal(38,12)"),
-                # Spark caps decimal(38,12)+decimal(30,12) at decimal(38,11);
-                # the cast restores the accumulator type exactly (values are
-                # far below the precision ceiling).
-                lambda acc, x: (acc + x).cast("decimal(38,12)"),
+                # Term and accumulator both at precision 25 so the fold's
+                # addition types as decimal(26,12) — SAME scale, no per-step
+                # rounding (a (38,12) accumulator would make each addition
+                # round at scale 11). |acc| <= 64 * max(x^2): far inside 13
+                # integer digits.
+                F.transform("emb", lambda x: (x * x).cast("decimal(25,12)")),
+                F.lit(0).cast("decimal(25,12)"),
+                lambda acc, x: (acc + x).cast("decimal(25,12)"),
             ).cast("double")
         ),
     )
@@ -1168,9 +1177,17 @@ def x_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # s comes out of the grid agg as decimal(28,6); multiplying THAT type
+    # would cap the product at decimal(38,6) and round every s*s to 6 dp
+    # (the oracle keeps 12) — re-narrowing to decimal(18,6) first is
+    # lossless for |s| < 1e12 and keeps the products exact at scale 12 on
+    # both engines.
+    def s18(col: str) -> F.Column:
+        return F.col(col).cast("decimal(18,6)")
+
     intra = grid.groupBy("label").agg(
         (
-            (F.sum(F.col("s") * F.col("s")).cast("double") - F.sum("q").cast("double"))
+            (F.sum(s18("s") * s18("s")).cast("double") - F.sum("q").cast("double"))
             / (F.max("nn") * (F.max("nn") - 1))
         ).alias("intra_raw"),
         F.max("nn").cast("bigint").alias("n"),
@@ -1179,7 +1196,7 @@ def x_embed_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (
         a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") != F.col("b.label")))
         .groupBy(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
-        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+        .agg(F.sum(s18("a.s") * s18("b.s")).alias("dot"))
     )
     ns = intra.select("label", "n")
     interm = (

@@ -543,3 +543,42 @@ def test_padding_waste_single_stream_has_no_shard_overhead(spark, pipe):
         assert r["shard_overhead_windows"] == 0
         assert r["n_windows"] == -(-r["total_tokens"] // 2048)
         assert 0 <= r["padding_tokens"] < 2048
+
+
+def test_contamination_fraction_irregular_whitespace_matches_hand_shingles(spark):
+    """Irregular whitespace pin: the method must shingle the UNFILTERED
+    split (x_contamination_overlap's convention — repeated spaces yield
+    empty tokens inside shingles), checked against a hand recompute on a
+    double-spaced corpus where filtered and unfiltered shingles differ."""
+    import hashlib
+
+    from music_database_spark.corpus import CorpusPipeline
+
+    rows = [(0, "a  b c d"), (1, "a b c d"), (2, "x  y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, "a  b c d")], "doc_id long, text string")
+
+    def hand(text: str, ngram: int = 4) -> set[str]:
+        toks = text.split(" ")  # unfiltered: '' tokens survive
+        n = max(len(toks) - ngram + 1, 1)
+        return {
+            hashlib.md5(" ".join(toks[i : i + ngram]).encode()).hexdigest()
+            for i in range(n)
+        }
+
+    bench_set = hand("a  b c d")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in CorpusPipeline(docs).contamination_fraction(bench).collect()
+    }
+    for doc_id, text in rows:
+        shingles = hand(text)
+        hits = len(shingles & bench_set)
+        assert out[doc_id]["n_total"] == len(shingles)
+        assert out[doc_id]["n_hit"] == hits
+        assert out[doc_id]["overlap_frac"] == pytest.approx(
+            round(hits / len(shingles), 6), abs=1e-9
+        )
+    # the double-spaced doc is a full hit, its single-spaced variant is not
+    assert out[0]["overlap_frac"] == 1.0
+    assert out[1]["overlap_frac"] < 1.0
