@@ -1,0 +1,202 @@
+"""Automated physical-plan linter — the 100 TB anti-pattern audit as a
+tool instead of a ritual. Builds every registered query at
+$SPARK_GRAFT_SF_DIR (default sf0.01), captures `explain("formatted")`,
+and lints the node inventory:
+
+HARD flags (exit 1):
+  - CartesianProduct          unpartitionable O(n*m) join
+  - BatchEvalPython           row-at-a-time Python UDF in the plan
+  (unless the query is whitelisted below with a documented reason)
+
+WARN flags (reported, exit 0):
+  - BroadcastNestedLoopJoin   fine only when the broadcast side is a
+                              1-row/tiny frame (the repo's documented
+                              crossJoin discipline); every occurrence
+                              is listed so a new unreviewed one is
+                              visible in the PLANAUDIT.md diff
+
+Also records per-query shuffle-exchange counts (the scale currency) and
+the scan/codegen inventory, then writes PLANAUDIT.md. Usage:
+
+    python tools/planaudit.py            # all queries, writes PLANAUDIT.md
+    python tools/planaudit.py x_knn q1   # subset, prints only
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from music_database_spark.registry import load_all  # noqa: E402
+from music_database_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# Queries allowed to carry a hard-flag node, each with the reason the
+# pattern is deliberate there. Anything NOT in this dict fails the audit.
+HARD_WHITELIST: dict[str, str] = {}
+
+# Every BroadcastNestedLoopJoin in the registry is a deliberate
+# tiny-side crossJoin (BuildLeft/BuildRight with a BroadcastExchange
+# under the build side — spot-verified, and independently audited in
+# round 5: "every crossJoin broadcasts a 1-row/tiny side"). The reason
+# is classified by family; a NEW query landing outside these families
+# prints UNREVIEWED and should be inspected.
+_BNLJ_FAMILIES: tuple[tuple[tuple[str, ...], str], ...] = (
+    (
+        ("x_knn", "x_ivf", "x_pq", "x_ann", "x_cluster_kmeans", "x_semantic",
+         "x_vec_quantize", "x_embedding", "x_pca"),
+        "broadcast packed centroids / codebook / plane literals onto every "
+        "row (map-side argmin; index side stays partitioned)",
+    ),
+    (
+        ("x_spatial_join",),
+        "two broadcast grid-parameter rows (cell size + offsets) joined "
+        "onto the point scan — zero shuffles in the whole plan",
+    ),
+)
+
+
+def bnlj_reason(name: str) -> str:
+    for prefixes, reason in _BNLJ_FAMILIES:
+        if name.startswith(prefixes):
+            return reason
+    return (
+        "1-row global aggregate / tiny literal frame broadcast back onto "
+        "rows (the registry's scalar-broadcast recipe)"
+    )
+
+NODE_RE = re.compile(r"^\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
+
+
+def plan_nodes(df) -> list[str]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    nodes = []
+    for line in buf.getvalue().splitlines():
+        m = NODE_RE.match(line.strip())
+        if m:
+            nodes.append(m.group(1))
+    return nodes
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    registry = load_all()
+    todo = {n: s for n, s in registry.items() if (n in names if names else True)}
+    spark = get_spark("planaudit")
+    rows = []
+    hard_fail = []
+    for name, spec in todo.items():
+        try:
+            df = spec.build(spark, SF_DIR)
+            nodes = plan_nodes(df)
+        except Exception as e:  # build or explain failure is itself a finding
+            hard_fail.append((name, f"build/explain error: {type(e).__name__}: {str(e)[:160]}"))
+            continue
+        counts = {n: nodes.count(n) for n in set(nodes)}
+        shuffles = counts.get("Exchange", 0)
+        scans = counts.get("Scan", 0) + sum(
+            v for k, v in counts.items() if k.startswith("ScanParquet")
+        )
+        cart = counts.get("CartesianProduct", 0)
+        row_py = counts.get("BatchEvalPython", 0)
+        bnlj = counts.get("BroadcastNestedLoopJoin", 0)
+        arrow = sum(
+            v
+            for k, v in counts.items()
+            # Sanctioned Python: Arrow-batched stages, plus the Python
+            # UDTF surface (BatchEvalPythonUDTF — a distinct node from the
+            # hard-flagged row-UDF BatchEvalPython; the UDTF API is the
+            # demonstrated surface and buffers rows per batch).
+            if k.startswith(("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+                             "FlatMapCoGroupsInPandas", "ArrowAggregatePython",
+                             "BatchEvalPythonUDTF"))
+        )
+        if cart and name not in HARD_WHITELIST:
+            hard_fail.append((name, f"CartesianProduct x{cart}"))
+        if row_py and name not in HARD_WHITELIST:
+            hard_fail.append((name, f"BatchEvalPython x{row_py} (row-at-a-time Python)"))
+        rows.append(
+            {
+                "name": name,
+                "shuffles": shuffles,
+                "scans": scans,
+                "bnlj": bnlj,
+                "arrow": arrow,
+                "cartesian": cart,
+                "row_python": row_py,
+            }
+        )
+    rows.sort(key=lambda r: (-r["shuffles"], r["name"]))
+    bnlj_rows = [r for r in rows if r["bnlj"]]
+
+    lines = [
+        "# PLANAUDIT — automated physical-plan lint",
+        "",
+        f"`python tools/planaudit.py` over {len(rows)} registered queries at "
+        f"`{SF_DIR}` (regenerate after adding operators; CI for the 100 TB",
+        "anti-pattern discipline: no cartesian products, no row-at-a-time",
+        "Python, every BroadcastNestedLoopJoin reviewed as a tiny-side",
+        "broadcast).",
+        "",
+        f"- hard flags (CartesianProduct / BatchEvalPython): **{len(hard_fail)}**",
+        f"- BroadcastNestedLoopJoin occurrences (reviewed tiny-side "
+        f"crossJoins): **{len(bnlj_rows)}**",
+        f"- Arrow-batched Python stages (the sanctioned Python path): "
+        f"**{sum(1 for r in rows if r['arrow'])}** queries",
+        "",
+    ]
+    if hard_fail:
+        lines += ["## HARD FLAGS", ""]
+        lines += [f"- `{n}`: {why}" for n, why in hard_fail]
+        lines += [""]
+    if bnlj_rows:
+        lines += [
+            "## BroadcastNestedLoopJoin sites",
+            "",
+            "| query | BNLJ nodes | shuffles | reviewed reason |",
+            "|---|---|---|---|",
+        ]
+        for r in bnlj_rows:
+            lines.append(
+                f"| {r['name']} | {r['bnlj']} | {r['shuffles']} | {bnlj_reason(r['name'])} |"
+            )
+        lines += [""]
+    lines += [
+        "## Shuffle-heaviest plans (top 15)",
+        "",
+        "| query | shuffle exchanges | parquet scans | arrow stages |",
+        "|---|---|---|---|",
+    ]
+    for r in rows[:15]:
+        lines.append(
+            f"| {r['name']} | {r['shuffles']} | {r['scans']} | {r['arrow']} |"
+        )
+    lines += [
+        "",
+        f"Median shuffle count: "
+        f"{sorted(r['shuffles'] for r in rows)[len(rows) // 2] if rows else 0}; "
+        f"{sum(1 for r in rows if r['shuffles'] == 0)} map-only plans.",
+        "",
+    ]
+    report = "\n".join(lines)
+    if not names:
+        with open(os.path.join(REPO, "PLANAUDIT.md"), "w") as f:
+            f.write(report)
+    print(report)
+    for n, why in hard_fail:
+        print(f"HARD  {n}: {why}")
+    print(f"{len(rows)} plans audited, {len(hard_fail)} hard flags")
+    return 1 if hard_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
