@@ -356,3 +356,33 @@ def test_unrolled_oracle_round_bounds_are_sufficient(spark):
             break
         visited = visited.unionAll(frontier)
     assert used < BFS_ROUNDS, "BFS used the whole budget - raise BFS_ROUNDS"
+
+
+def test_planaudit_lint_is_clean_on_representative_plans(spark):
+    """tools/planaudit.py's hard rules as a fast regression gate: a
+    diverse slice of the registry (join-heavy, window, ANN, dedup,
+    graph, UDF-surface, the two newest) must contain no
+    CartesianProduct and no row-at-a-time BatchEvalPython node. The
+    full 277-plan sweep lives in PLANAUDIT.md; this keeps the lint in
+    every pytest run."""
+    from music_database_spark.registry import load_all
+    from tools.planaudit import plan_nodes
+
+    reg = load_all()
+    sample = [
+        "q5_top_rated",
+        "x_running_sum",
+        "x_knn_ivf",
+        "x_dedup_minhash_md5",
+        "x_triangle_count",
+        "x_grouped_map",
+        "x_python_udtf",
+        "x_padding_waste",
+        "x_embed_coherence",
+    ]
+    for name in sample:
+        nodes = plan_nodes(reg[name].build(spark, SF))
+        assert "CartesianProduct" not in nodes, name
+        # exact node name: BatchEvalPythonUDTF (the UDTF surface) is allowed
+        assert "BatchEvalPython" not in nodes, name
+        assert nodes, f"{name}: empty plan parse"
