@@ -62,15 +62,38 @@ _BNLJ_FAMILIES: tuple[tuple[tuple[str, ...], str], ...] = (
     ),
 )
 
+# The scalar-broadcast family can't be recognized by name prefix, so the
+# reviewed members are pinned explicitly (the 2026-08 audit's inventory).
+# A BNLJ in any query NOT matched by a family and NOT in this set gets
+# UNREVIEWED — the signal this report exists to raise.
+_BNLJ_SCALAR_REVIEWED = frozenset(
+    {
+        "q17_idle_customers", "x_acf", "x_assoc_rules", "x_benford",
+        "x_bm25_search", "x_bpe_train", "x_calibration", "x_cms_join_size",
+        "x_collocations", "x_cusum_changepoint", "x_dedup_recall",
+        "x_dsir_weights", "x_expectations", "x_histogram", "x_interpolate",
+        "x_interval_overlap", "x_kmv_setops", "x_ks_drift", "x_ks_test",
+        "x_length_mixture", "x_lorenz_curve", "x_minhash_band_tuning",
+        "x_modularity", "x_ndcg", "x_ngram_lm_score", "x_null_safe_join",
+        "x_pagerank", "x_poisson_bootstrap", "x_quantile_binning",
+        "x_rfm_segmentation", "x_rolling_distinct_exact", "x_seasonal_dow",
+        "x_segmented_regression", "x_skew_profile", "x_sql_table_udf",
+        "x_t_closeness", "x_tfidf", "x_theilsen_slope",
+        "x_window_ignore_nulls",
+    }
+)
+
 
 def bnlj_reason(name: str) -> str:
     for prefixes, reason in _BNLJ_FAMILIES:
         if name.startswith(prefixes):
             return reason
-    return (
-        "1-row global aggregate / tiny literal frame broadcast back onto "
-        "rows (the registry's scalar-broadcast recipe)"
-    )
+    if name in _BNLJ_SCALAR_REVIEWED:
+        return (
+            "1-row global aggregate / tiny literal frame broadcast back "
+            "onto rows (the registry's scalar-broadcast recipe)"
+        )
+    return "UNREVIEWED — inspect"
 
 NODE_RE = re.compile(r"^\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
 
@@ -90,6 +113,10 @@ def plan_nodes(df) -> list[str]:
 def main() -> int:
     names = sys.argv[1:]
     registry = load_all()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
     todo = {n: s for n, s in registry.items() if (n in names if names else True)}
     spark = get_spark("planaudit")
     rows = []
@@ -103,9 +130,10 @@ def main() -> int:
             continue
         counts = {n: nodes.count(n) for n in set(nodes)}
         shuffles = counts.get("Exchange", 0)
-        scans = counts.get("Scan", 0) + sum(
-            v for k, v in counts.items() if k.startswith("ScanParquet")
-        )
+        # the formatted node "Scan parquet <table>" tokenizes to "Scan";
+        # this also counts any non-parquet Scan node, which is what the
+        # column means.
+        scans = counts.get("Scan", 0)
         cart = counts.get("CartesianProduct", 0)
         row_py = counts.get("BatchEvalPython", 0)
         bnlj = counts.get("BroadcastNestedLoopJoin", 0)
@@ -173,7 +201,7 @@ def main() -> int:
     lines += [
         "## Shuffle-heaviest plans (top 15)",
         "",
-        "| query | shuffle exchanges | parquet scans | arrow stages |",
+        "| query | shuffle exchanges | scan nodes | arrow stages |",
         "|---|---|---|---|",
     ]
     for r in rows[:15]:
