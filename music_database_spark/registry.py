@@ -62,107 +62,42 @@ def register(
     return deco
 
 
+# The round this DRIVER_PRIORITY window was designed against: every name
+# in the window had NO row in CORRECTNESS_r02..r{WINDOW_DESIGNED_AFTER_ROUND}
+# when the window was rotated. Tests must compute "already verified"
+# against rounds <= this constant only, so they stay green after the
+# driver stamps the next CORRECTNESS file (the r05/r06 self-expiring-test
+# lesson). Re-verification policy: once the never-verified pool is empty
+# (round 7 drains it), subsequent windows rotate the OLDEST-verified
+# names first — freshness debt, oldest round wins; new additions take
+# window slots ahead of re-verifications, capped at the window size.
+WINDOW_DESIGNED_AFTER_ROUND = 6
+
 # The driver's correctness pass samples the FIRST 50 entries of queries()
-# in dict order. After r02–r05 (50 each, r05 fully disjoint), 178
-# distinct queries carry a driver CORRECTNESS row; 86 never got one
-# (79 oracle-backed + 7 rows-only). This round-6 window is:
-#   slot 1      x_seq_packing — r05's one red row; its ORACLE carried a
-#               DuckDB HUGEINT `bin` (float64 in pandas vs Spark bigint).
-#               Fixed with CAST(... AS BIGINT); kept in the window so the
-#               fix is externally verified (round-5 verdict ask #1).
-#   slots 2–50  49 of the 79 never-verified oracle-backed queries,
-#               leading with the round-5 headline set the verdict named
-#               (ask #4), then the riskiest determinism recipes (stream
-#               twins, order-dependent float folds, graph fixpoints,
-#               privacy/eval stats).
-# The 30 oracle-backed queries deferred to round 7 sit immediately after
-# the window (so a wider driver window verifies them first); each has a
-# driver-green cousin exercising the same plan shape (noted inline).
-# Round-7 rotation pool entering next round: those 30 + 7 rows-only +
-# the 13 round-6 additions (incl. x_dsir_weights, x_padding_waste,
-# x_embed_coherence) = 50 — exactly one 50-slot window drains it.
+# in dict order. After r02–r06 (50 each, all green), 227 distinct queries
+# carry a driver CORRECTNESS row; exactly 50 never got one. This round-7
+# window IS that pool — the 43 never-verified oracle-backed queries
+# (hash-checked) followed by the 7 rows-only ones (rows-only checked;
+# each has an oracle-checked twin on the same plan) — so after round 7
+# every one of the 277 registered queries has a driver anchor and the
+# verification debt is zero.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r05 red row — oracle type bug fixed this round, re-verify
-    "x_seq_packing",
-    # round-5 verdict headline set (ask #4)
-    "x_dedup_embedding_det",
-    "x_substring_dedup",
-    "x_span_mask",
-    "x_kcore",
-    "x_bfs",
-    "x_sssp_weighted",
-    "x_cms_heavy_hitters",
-    "x_kmv_setops",
-    "x_expectations",
-    "x_stream_recovery",
-    "x_dataset_card",
-    "x_knn_lsh_det",
-    "x_ann_recall",
-    "pk_uniqueness",
-    # streaming twins (slicing-invariant state folds)
-    "x_stream_cms",
-    "x_stream_ewma",
-    "x_stream_group_sample",
-    # privacy family (x_dp_noisy_counts oracle also type-hardened this round)
-    "x_kanonymity",
-    "x_l_diversity",
-    "x_dp_noisy_counts",
-    # classifier/ranking eval (order-dependent float folds)
-    "x_ndcg",
-    "x_kappa",
-    "x_auc_roc",
-    "x_calibration",
-    # graph analytics beyond the headline trio
-    "x_modularity",
-    "x_link_prediction",
-    # time-series statistics (n-scaled ratio / cumulative-fold recipes)
-    "x_theilsen_slope",
-    "x_acf",
-    "x_twap",
-    "x_forecast_snaive",
-    "x_cusum_changepoint",
-    "x_segmented_regression",
-    "x_poisson_bootstrap",
-    # hypothesis tests / distribution audits
-    "x_mann_whitney",
-    "x_chi2_independence",
-    "x_benford",
-    "x_histogram_equidepth",
-    # sessionization / funnel / segmentation over events
-    "x_rfm_segmentation",
-    "x_path_mining",
-    "x_conversion_time",
-    "x_spatial_join",
-    # corpus pipeline + ANN tuning exhibits
-    "x_normalize_dedup",
-    "x_media_frame_dedup",
-    "x_assoc_rules",
-    "x_ivf_probe_curve",
-    "x_lsh_curve_empirical",
-    "x_temperature_sample",
-    "x_token_budget",
-    "x_group_sample",
-    # --- driver window ends at 50 entries. The 30 never-verified
-    # oracle-backed queries deferred to round 7, each with a driver-green
-    # cousin on the same plan shape: x_stream_foreach_batch (streams
-    # family pass-D4/D5), x_union_by_name (x_union_releases), x_except_all
-    # (x_except), x_intersect_all (q4_intersect), x_moving_avg /
-    # x_lag_delta / x_time_range_frame (x_anomaly_zscore + r05 frame
-    # family), x_dedup_hash_groups (x_dedup_exact), x_dedup_incremental
-    # (_band) (x_dedup family), x_vec_quantize / x_semantic_dedup (ANN
-    # recall harness), x_bpe_tokens (x_bpe_train), x_token_count
-    # (x_text_stats), x_lang_id_sql (x_lang_id), x_fingerprint
-    # (x_winnow_fingerprint), x_lsh_curve (x_lsh_curve_empirical, in
-    # window), x_winsorize (x_quantile_binning), x_histogram
-    # (x_histogram_equidepth, in window), x_ewma_smooth (x_stream_ewma
-    # twin, in window), x_rolling_slope / x_crosscorr (x_theilsen_slope /
-    # x_acf recipes, in window), x_seasonal_dow (x_forecast_snaive
-    # composes it, in window), x_lorenz_curve (x_gini_concentration
-    # pass-D5), x_wilson_bounds (x_abtest_lift pass-D5), x_prf_eval
-    # (x_auc_roc/x_calibration, in window), x_cms_join_size
-    # (x_cms_heavy_hitters, in window), x_drop_manifest (x_snapshot_diff
-    # pass-D), x_assortativity (x_modularity, in window),
-    # x_simpson_diversity (x_gini_concentration pass-D5).
+    # --- 43 oracle-backed, never driver-verified ---
+    # round-6 additions (13)
+    "x_dsir_weights",
+    "x_pii_scan",
+    "x_t_closeness",
+    "x_embed_coherence",
+    "x_padding_waste",
+    "x_contamination_overlap",
+    "x_gopher_rules",
+    "x_minhash_band_tuning",
+    "x_length_mixture",
+    "x_tokenizer_fertility",
+    "x_ks_test",
+    "x_runs_streaks",
+    "x_sessionized_bounce",
+    # set-ops / frame-spec holdovers
     "x_stream_foreach_batch",
     "x_union_by_name",
     "x_except_all",
@@ -170,16 +105,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_moving_avg",
     "x_lag_delta",
     "x_time_range_frame",
+    # dedup / ANN holdovers
     "x_dedup_hash_groups",
     "x_dedup_incremental",
     "x_dedup_incremental_band",
     "x_vec_quantize",
     "x_semantic_dedup",
+    "x_lsh_curve",
+    # text holdovers
     "x_bpe_tokens",
     "x_token_count",
     "x_lang_id_sql",
     "x_fingerprint",
-    "x_lsh_curve",
+    # stats / time-series holdovers
     "x_winsorize",
     "x_histogram",
     "x_ewma_smooth",
@@ -193,6 +131,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_drop_manifest",
     "x_assortativity",
     "x_simpson_diversity",
+    # --- 7 rows-only, never driver-verified (each has an oracle-checked
+    # twin on the same plan shape: x_dedup_minhash_md5, x_dedup_simhash_det,
+    # x_dedup_embedding_det, x_knn_lsh_det, x_zorder_layout, ...) ---
+    "x_pca_project",
+    "x_dedup_minhash",
+    "x_dedup_embedding",
+    "x_dedup_simhash",
+    "x_knn_lsh",
+    "x_compaction",
+    "x_sorted_layout",
 )
 
 
