@@ -228,7 +228,10 @@ def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fact.join(F.broadcast(busy), "day")
-        .groupBy("day")
+        # partition-column type inference reads `day` back as DATE; the
+        # oracle emits VARCHAR — stringifications agree today, but the
+        # planaudit type-parity lint (round-7) pins the types equal.
+        .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("day")
     )
@@ -311,7 +314,9 @@ def x_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     back = spark.read.parquet(path)
     return (
-        back.groupBy("day")
+        # same DATE-inference note as x_dynamic_partition_pruning: pin
+        # the read-back partition column to the oracle's VARCHAR type.
+        back.groupBy(F.col("day").cast("string").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),

@@ -153,9 +153,12 @@ def test_csv_malformed_mode_contract(spark, reg):
     assert sum(r["n_rows"] for r in out.values()) == n_total
     assert sum(r["n_quarantined"] for r in out.values()) == seeded_bad
 
+    from music_database_spark.sources.loader import source_mtime_tag
+
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".tmp", "malformed", f"docs_{os.path.basename(SF_SMOKE)}_csv",
+        ".tmp", "malformed",
+        f"docs_{os.path.basename(SF_SMOKE)}_{source_mtime_tag(SF_SMOKE, 'documents')}_csv",
     )
     dropped = (
         spark.read.option("header", "false")

@@ -362,13 +362,26 @@ def test_planaudit_lint_is_clean_on_representative_plans(spark):
     """tools/planaudit.py's hard rules as a fast regression gate: a
     diverse slice of the registry (join-heavy, window, ANN, dedup,
     graph, UDF-surface, the two newest) must contain no
-    CartesianProduct and no row-at-a-time BatchEvalPython node. The
+    CartesianProduct, no row-at-a-time BatchEvalPython node, no
+    unpartitioned window over a non-collapsed frame, and no
+    Spark-vs-oracle output-type divergence (the round-7 lints). The
     full 277-plan sweep lives in PLANAUDIT.md; this keeps the lint in
     every pytest run."""
+    import duckdb
+
     from music_database_spark.registry import load_all
-    from tools.planaudit import plan_nodes
+    from music_database_spark.sources.loader import DRIVER_TABLES
+    from tools.planaudit import (
+        formatted_plan,
+        plan_nodes,
+        type_parity_findings,
+        unpartitioned_window_findings,
+    )
 
     reg = load_all()
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     sample = [
         "q5_top_rated",
         "x_running_sum",
@@ -377,12 +390,22 @@ def test_planaudit_lint_is_clean_on_representative_plans(spark):
         "x_triangle_count",
         "x_grouped_map",
         "x_python_udtf",
+        "x_ndcg",  # unpartitioned windows over collapsed frames — must stay clean
+        "x_dynamic_partition_pruning",  # the round-7 type-parity regression site
         "x_padding_waste",
         "x_embed_coherence",
     ]
     for name in sample:
-        nodes = plan_nodes(reg[name].build(spark, SF))
+        df = reg[name].build(spark, SF)
+        text = formatted_plan(df)
+        nodes = plan_nodes(text)
         assert "CartesianProduct" not in nodes, name
         # exact node name: BatchEvalPythonUDTF (the UDTF surface) is allowed
         assert "BatchEvalPython" not in nodes, name
         assert nodes, f"{name}: empty plan parse"
+        assert unpartitioned_window_findings(text) == [], name
+        if reg[name].oracle:
+            duck_cols = [
+                (c, t) for c, t, *_ in con.execute(f"DESCRIBE {reg[name].oracle}").fetchall()
+            ]
+            assert type_parity_findings(df.schema, duck_cols) == [], name

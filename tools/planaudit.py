@@ -6,6 +6,12 @@ and lints the node inventory:
 HARD flags (exit 1):
   - CartesianProduct          unpartitionable O(n*m) join
   - BatchEvalPython           row-at-a-time Python UDF in the plan
+  - unpartitioned Window whose input frame is NOT grain-collapsed
+    (no upstream aggregate / top-k limit / bounded-dim scan under the
+    Window node) — the single-partition-sort scale-killer
+  - Spark-vs-oracle OUTPUT type divergence (Spark decimal column the
+    oracle types differently, int-vs-float splits, …) — the
+    x_embed_coherence decimal-scale bug class, now machine-checked
   (unless the query is whitelisted below with a documented reason)
 
 WARN flags (reported, exit 0):
@@ -96,18 +102,182 @@ def bnlj_reason(name: str) -> str:
     return "UNREVIEWED — inspect"
 
 NODE_RE = re.compile(r"^\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
+TREE_RE = re.compile(r"^(?P<prefix>[ :+\-|*]*)(?P<name>[A-Za-z][A-Za-z0-9_]*)")
+ID_RE = re.compile(r"\((\d+)\)")
+
+# Node names that prove the frame entering an unpartitioned Window is
+# grain-collapsed / bounded, when found anywhere in the Window's subtree.
+_COLLAPSERS = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "ArrowAggregatePython", "TakeOrderedAndProject", "GlobalLimit",
+    "CollectLimit",
+)
+# Parquet tables small-by-construction (dimension carriers): a window
+# over ONLY these scans is bounded even without an aggregate.
+_BOUNDED_TABLES = ("nation.parquet", "region.parquet")
+
+# Queries allowed an unpartitioned Window over a non-collapsed frame,
+# each with the reviewed reason the frame is bounded in a way the node
+# inventory can't prove.
+WINDOW_WHITELIST: dict[str, str] = {}
 
 
-def plan_nodes(df) -> list[str]:
+def formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_nodes(text: str) -> list[str]:
     nodes = []
-    for line in buf.getvalue().splitlines():
+    for line in text.splitlines():
         m = NODE_RE.match(line.strip())
         if m:
             nodes.append(m.group(1))
     return nodes
+
+
+def _split_top_brackets(s: str) -> list[str]:
+    """Top-level [...] groups of a formatted Arguments line."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_window_findings(text: str) -> list[str]:
+    """Lint (a): every Window node with an EMPTY partition spec must sit
+    above a grain-collapsing subtree (aggregate / top-k / bounded-dim
+    scans only). Returns ['Window(id): reason', ...] for violations.
+
+    Works off explain("formatted"): the tree section gives structure
+    (indent depth), the details section gives each Window's
+    Arguments: [exprs], [partitionSpec], [orderSpec]."""
+    lines = text.splitlines()
+    # --- tree section: (depth, name, id) until the first blank-then-details
+    tree = []  # (line_idx, depth, name, id)
+    for i, line in enumerate(lines):
+        if NODE_RE.match(line.strip()):
+            break  # details section reached
+        m = TREE_RE.match(line)
+        if not m:
+            continue
+        idm = ID_RE.search(line)
+        if not idm:
+            continue
+        tree.append((len(m.group("prefix")), m.group("name"), int(idm.group(1))))
+    # --- details: window id -> partition spec emptiness
+    part_empty: dict[int, bool] = {}
+    for i, line in enumerate(lines):
+        m = re.match(r"^\((\d+)\) Window\b", line.strip())
+        if not m:
+            continue
+        nid = int(m.group(1))
+        for j in range(i + 1, min(i + 12, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                groups = _split_top_brackets(lines[j][len("Arguments:"):])
+                if len(groups) >= 3:
+                    part_empty[nid] = groups[-2].strip() == ""
+                break
+    # --- per-window subtree check
+    findings = []
+    scan_loc: dict[int, str] = {}
+    for i, line in enumerate(lines):
+        m = re.match(r"^\((\d+)\) Scan parquet", line.strip())
+        if m:
+            for j in range(i + 1, min(i + 8, len(lines))):
+                if lines[j].startswith("Location:"):
+                    scan_loc[int(m.group(1))] = lines[j]
+                    break
+    for idx, (depth, name, nid) in enumerate(tree):
+        if name != "Window" or not part_empty.get(nid, False):
+            continue
+        subtree = []
+        for d2, n2, id2 in tree[idx + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append((n2, id2))
+        if any(n in _COLLAPSERS for n, _ in subtree):
+            continue
+        scans = [id2 for n2, id2 in subtree if n2 == "Scan"]
+        parquet_scans = [s for s in scans if s in scan_loc]
+        if parquet_scans and all(
+            any(t in scan_loc[s] for t in _BOUNDED_TABLES) for s in parquet_scans
+        ):
+            continue
+        if not parquet_scans:
+            # only LocalTableScan / ExistingRDD / Range literal frames
+            if all(n2 in ("LocalTableScan", "Scan", "Range", "InMemoryTableScan",
+                          "InMemoryRelation", "Project", "Filter", "Sort", "Exchange",
+                          "Generate", "Expand", "Union", "AdaptiveSparkPlan",
+                          "BroadcastExchange", "BroadcastHashJoin",
+                          "BroadcastNestedLoopJoin", "ReusedExchange") for n2, _ in subtree):
+                continue
+        findings.append(
+            f"Window({nid}): empty partition spec over a non-collapsed frame "
+            f"(subtree: {[n for n, _ in subtree][:8]})"
+        )
+    return findings
+
+
+# --- Lint (b): Spark output schema vs DuckDB oracle DESCRIBE parity ----
+
+_DUCK_INT = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def type_parity_findings(schema, duck_cols: list[tuple[str, str]]) -> list[str]:
+    """Compare Spark result schema against DuckDB DESCRIBE of the oracle.
+    The driver stringifies both sides (floats via repr()), so the lint
+    flags exactly the pairs whose stringification can diverge while the
+    values are equal: decimal-vs-anything (scale truncation class),
+    int-vs-float splits, and kind mismatches."""
+    spark_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    duck_types = {c: t.upper() for c, t in duck_cols}
+    findings = []
+    if sorted(spark_types) != sorted(duck_types):
+        return [f"column sets differ: spark={sorted(spark_types)} oracle={sorted(duck_types)}"]
+    for col, st in sorted(spark_types.items()):
+        dt = duck_types[col]
+        if st.startswith("decimal"):
+            # oracle DECIMAL outputs are already banned by diffcheck; a
+            # Spark-side decimal output therefore always diverges in
+            # stringification (Decimal('1.50') vs repr float '1.5').
+            findings.append(f"{col}: spark {st} vs oracle {dt} — cast the Spark output")
+        elif st in ("double", "float"):
+            if not any(k in dt for k in ("DOUBLE", "FLOAT", "REAL")):
+                findings.append(f"{col}: spark {st} vs oracle {dt} (float-vs-int split)")
+        elif st in ("bigint", "int", "smallint", "tinyint"):
+            if dt not in _DUCK_INT:
+                findings.append(f"{col}: spark {st} vs oracle {dt} (int-vs-{dt} split)")
+        elif st == "string":
+            if "VARCHAR" not in dt and "STRING" not in dt:
+                findings.append(f"{col}: spark string vs oracle {dt}")
+        elif st == "date":
+            if dt != "DATE":
+                findings.append(f"{col}: spark date vs oracle {dt}")
+        elif st.startswith("timestamp"):
+            if "TIMESTAMP" not in dt:
+                findings.append(f"{col}: spark {st} vs oracle {dt}")
+        elif st == "boolean":
+            if dt != "BOOLEAN":
+                findings.append(f"{col}: spark boolean vs oracle {dt}")
+        elif st.startswith(("array", "map", "struct")):
+            if not any(k in dt for k in ("[]", "LIST", "MAP", "STRUCT")):
+                findings.append(f"{col}: spark {st} vs oracle {dt}")
+    return findings
 
 
 def main() -> int:
@@ -119,15 +289,37 @@ def main() -> int:
         return 2
     todo = {n: s for n, s in registry.items() if (n in names if names else True)}
     spark = get_spark("planaudit")
+    import duckdb
+
+    from music_database_spark.sources.loader import DRIVER_TABLES
+
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     rows = []
     hard_fail = []
     for name, spec in todo.items():
         try:
             df = spec.build(spark, SF_DIR)
-            nodes = plan_nodes(df)
+            text = formatted_plan(df)
+            nodes = plan_nodes(text)
         except Exception as e:  # build or explain failure is itself a finding
             hard_fail.append((name, f"build/explain error: {type(e).__name__}: {str(e)[:160]}"))
             continue
+        if name not in WINDOW_WHITELIST:
+            for w in unpartitioned_window_findings(text):
+                hard_fail.append((name, w))
+        if spec.oracle:
+            try:
+                duck_cols = [
+                    (c, t) for c, t, *_ in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+                ]
+                for w in type_parity_findings(df.schema, duck_cols):
+                    hard_fail.append((name, f"type parity: {w}"))
+            except Exception as e:
+                hard_fail.append((name, f"oracle DESCRIBE error: {str(e)[:160]}"))
         counts = {n: nodes.count(n) for n in set(nodes)}
         shuffles = counts.get("Exchange", 0)
         # the formatted node "Scan parquet <table>" tokenizes to "Scan";

@@ -1,0 +1,90 @@
+"""Driver-verification freshness ledger. Reads every CORRECTNESS_r*.json
+the driver has stamped and writes VERIFIED.json:
+
+    {"rounds_seen": [2,3,...],
+     "queries": {name: {"last_round": N, "rounds": [..], "last_green": bool}},
+     "never_verified": [...],
+     "stalest": [[name, last_round], ...]}
+
+This is the input to the re-verification policy stated in
+music_database_spark/registry.py: once the never-verified pool is empty,
+each round's DRIVER_PRIORITY window takes (a) that round's new
+additions, then (b) the stalest `last_round` names — freshness debt,
+oldest round first. Run after every driver stamp:
+
+    python tools/verified_rounds.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def collect() -> dict:
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    rounds: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            rounds[int(m.group(1))] = json.load(f)
+    queries: dict[str, dict] = {}
+    for rnd in sorted(rounds):
+        for name, row in rounds[rnd].items():
+            if name not in queries:
+                queries[name] = {"rounds": [], "last_round": None, "last_green": None}
+            q = queries[name]
+            q["rounds"].append(rnd)
+            q["last_round"] = rnd
+            # rows-only rows have hash_match None/absent; green means the
+            # strongest check the row carries passed.
+            q["last_green"] = bool(
+                row.get("err") is None
+                and row.get("rows_match", True) is not False
+                and row.get("schema_match", True) is not False
+                and row.get("hash_match", True) is not False
+            )
+    never = sorted(n for n in reg if n not in queries)
+    stale = sorted(
+        ((n, q["last_round"]) for n, q in queries.items() if n in reg),
+        key=lambda t: (t[1], t[0]),
+    )
+    return {
+        "rounds_seen": sorted(rounds),
+        "queries": queries,
+        "never_verified": never,
+        "stalest": stale[:60],
+        "registered": len(reg),
+        "verified": sum(1 for n in reg if n in queries),
+    }
+
+
+def main() -> int:
+    data = collect()
+    out = os.path.join(REPO, "VERIFIED.json")
+    with open(out, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    print(
+        f"{data['verified']}/{data['registered']} registered queries have a "
+        f"driver CORRECTNESS row (rounds {data['rounds_seen']}); "
+        f"{len(data['never_verified'])} never verified"
+    )
+    not_green = [n for n, q in data["queries"].items() if not q["last_green"]]
+    if not_green:
+        print(f"not green on last check: {sorted(not_green)}")
+    print("stalest 10:", data["stalest"][:10])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
