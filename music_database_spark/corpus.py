@@ -885,3 +885,70 @@ class CorpusPipeline:
                 .alias("dsir_weight")
             )
         )
+
+    # ---- corpus-health metrics (round 7) ---------------------------------
+
+    def char_entropy(self, out_col: str = "char_entropy") -> DataFrame:
+        """docs + per-document character-entropy column (bits; 6-dp
+        decimal fold). Same expression as x_char_entropy — filter on it
+        against the ENTROPY_LOW/HIGH gates to drop degenerate or
+        noise-like text. Map-only."""
+        from .operators.corpus_health import char_entropy_col
+
+        return self.docs.withColumn(
+            out_col, char_entropy_col(self.text_col).cast("double")
+        )
+
+    def lexicon_score(
+        self,
+        lexicon: tuple[tuple[str, int], ...] | None = None,
+        out_col: str = "lexicon_score",
+    ) -> DataFrame:
+        """docs + weighted lexicon-hit score (x_toxicity_lexicon's
+        expression over a caller-supplied policy lexicon). Map-only; the
+        lexicon compiles into one CASE expression — no join."""
+        from .operators.corpus_health import TOX_LEXICON, lexicon_score_col
+
+        return self.docs.withColumn(
+            out_col, lexicon_score_col(self.text_col, lexicon or TOX_LEXICON)
+        )
+
+    def ngram_novelty(self, ngram: int = 3) -> DataFrame:
+        """(id, n_ngrams, n_novel) per document — the x_ngram_novelty
+        first-occurrence index over ANY corpus; novelty fraction =
+        n_novel / n_ngrams. One digest-keyed partial agg, one id-keyed
+        join."""
+        from .operators.corpus_health import novelty_per_doc
+
+        return novelty_per_doc(self.docs, self.id_col, self.text_col, ngram)
+
+    def stratified_split(
+        self,
+        strata_cols: list[str],
+        train: float = 0.8,
+        val: float = 0.9,
+        salt: str = "split:",
+    ) -> DataFrame:
+        """docs + (split, n_stratum) with EXACT per-stratum quotas
+        (x_stratified_split semantics over caller-defined strata):
+        ranked md5 cut at floor(train·n)/floor(val·n), deterministic
+        from ids alone. Use instead of with_split() when every stratum's
+        proportions must hold to within one document."""
+        from .operators.corpus_health import stratified_assign
+
+        return stratified_assign(
+            self.docs, strata_cols, self.id_col, train, val, salt
+        )
+
+    def keep_best_dedup(self) -> DataFrame:
+        """Canonical-text dedup keeping the variant with the LONGEST raw
+        text per group (ties: lowest id) — x_dedup_keep_best's selection
+        rule, returning the surviving rows. Shuffle key is the 16-byte
+        canonical digest."""
+        from .operators.corpus_health import keep_best_rank
+
+        return (
+            keep_best_rank(self.docs, self.id_col, self.text_col)
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )

@@ -1,0 +1,745 @@
+"""Corpus-health and data-curation operators, round 7: character-level
+entropy filtering, Zipf rank-frequency fit, lexicon-weighted content
+scoring, n-gram novelty, event burstiness, stratified splits, and
+keep-best canonical dedup selection.
+
+All seven are Catalyst-first: per-document feature math is higher-order
+array functions or codegen'd scalar expressions (map-only over the
+corpus scan), and every shuffle is either doc-keyed with map-side
+combine or a collapse to a bounded (lang/bucket/vocab) frame. No Python
+reaches the hot path. Determinism follows the registry recipe: integer
+arithmetic wherever possible, one documented double division at the
+end, transcendental (ln/log2) outputs rounded to 6 dp before
+DECIMAL-stabilized order-free summation.
+
+Reference parity: the reference (music_db.sql / Queries) has no corpus
+surface; these fulfil the brief's large-scale training-data-pipeline
+mandate alongside operators/{textops,quality,pipeline,dedup}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loader import load_table, wide_docs
+
+_docs = wide_docs
+
+# ---------------------------------------------------------------------------
+# x_char_entropy — character-distribution entropy as a quality gate
+# ---------------------------------------------------------------------------
+
+ENTROPY_LOW = 3.2  # bits; below -> repetitive/degenerate text
+ENTROPY_HIGH = 4.6  # bits; above -> noise-like text
+
+
+def char_entropy_col(text_col: str = "text") -> F.Column:
+    """Per-row character-entropy expression (bits, DECIMAL(25,6)): the
+    6-dp-rounded -p*log2(p) terms fold order-free over the distinct
+    alphabet. Shared by the registered query and CorpusPipeline."""
+    chars = F.split(text_col, "")
+    n = F.size(chars)
+
+    def _term(c):
+        k = F.size(F.filter(chars, lambda x: x == c))
+        p = k / n
+        return F.round(-(p * F.log2(p)), 6).cast("decimal(18,6)")
+
+    return F.aggregate(
+        F.transform(F.array_distinct(chars), _term),
+        F.lit(0).cast("decimal(25,6)"),
+        lambda acc, t: (acc + t).cast("decimal(25,6)"),
+    )
+
+
+@register(
+    "x_char_entropy",
+    tags=("EXT", "X4", "F4", "F5"),
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+            FROM documents
+        ), cc AS (
+            SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS k
+            FROM ch GROUP BY doc_id, lang, c
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id
+        ), ent AS (
+            SELECT cc.doc_id, cc.lang,
+                   SUM(CAST(round(-(CAST(k AS DOUBLE) / n)
+                                  * log2(CAST(k AS DOUBLE) / n), 6)
+                            AS DECIMAL(18,6))) AS h
+            FROM cc JOIN tot USING (doc_id)
+            GROUP BY cc.doc_id, cc.lang
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+               CAST(SUM(CASE WHEN h < {ENTROPY_LOW} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN h > {ENTROPY_HIGH} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+        FROM ent GROUP BY lang ORDER BY lang
+    """,
+)
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    garbage detector every web-scale text pipeline runs before anything
+    tokenizes: near-zero entropy is a stuck-key / boilerplate page, very
+    high entropy is base64/binary noise. Reported per language with
+    low/high flag counts against fixed bit thresholds.
+
+    Spark-first: the whole per-document computation is ONE projected
+    expression — split to chars, array_distinct for the alphabet, a
+    nested filter/size HOF for per-char counts, and an F.aggregate fold
+    of 6-dp-rounded -p*log2(p) terms into a DECIMAL accumulator
+    (order-free, engine-portable). The only shuffle is the |langs|-row
+    final aggregate: the 100 TB cost is exactly one corpus scan.
+
+    The oracle computes the same terms relationally (unnest + GROUP BY
+    char); the term multiset is identical, so the decimal sums match
+    bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select("lang", char_entropy_col("text").alias("h"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 6).alias("avg_entropy"),
+            F.sum(F.when(F.col("h") < ENTROPY_LOW, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("h") > ENTROPY_HIGH, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_zipf_fit — rank-frequency power-law fit over the token vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_MIN_FREQ = 5  # tokens below this frequency are excluded from the fit
+
+
+@register(
+    "x_zipf_fit",
+    tags=("EXT", "X4", "F4", "O3"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok WHERE tok <> '' GROUP BY tok
+            HAVING COUNT(*) >= {ZIPF_MIN_FREQ}
+        ), ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok) AS r
+            FROM vocab
+        ), pts AS (
+            SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+                   round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+            FROM ranked
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS syy
+            FROM pts
+        )
+        SELECT n AS n_points,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        FROM s
+    """,
+)
+def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    ln(frequency) on ln(rank) over the token vocabulary (freq >=
+    ZIPF_MIN_FREQ). Natural corpora sit near slope -1; a slope near 0
+    (as on this synthetic testdata) or an r² collapse is the standard
+    screen for TEMPLATED/MACHINE-GENERATED text slipping into a crawl —
+    a corpus-level twin of the per-document entropy gate.
+
+    Determinism: ln() outputs and cross-products are rounded to 6 dp and
+    summed as DECIMALs (order-free); the closed-form slope/intercept/r²
+    arithmetic runs once on a single row of exact-cast doubles with the
+    identical expression tree on both engines.
+
+    100 TB design: one token explode into a map-side-combinable vocab
+    count (the x_token_count exchange), a rank window over the
+    vocab-COLLAPSED frame (bounded by |vocab|, the planaudit
+    unpartitioned-window rule), and a 1-row reduction. Nothing after the
+    vocabulary aggregate scales with the corpus."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= ZIPF_MIN_FREQ)
+    )
+    ranked = vocab.select(
+        "cnt", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok"))).alias("r")
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_toxicity_lexicon — lexicon-weighted content-policy scoring
+# ---------------------------------------------------------------------------
+
+# Demo denylist over the testdata vocabulary ('leak' deliberately absent
+# from the corpus — exercises the zero-hit path). In production this is
+# the policy lexicon; the plan is lexicon-size-independent because the
+# weights compile into one codegen'd CASE expression per token.
+TOX_LEXICON: tuple[tuple[str, int], ...] = (
+    ("slow", 3),
+    ("dup", 5),
+    ("big", 1),
+    ("leak", 4),
+)
+TOX_RATE_MIN = 0.12  # weighted hits per token >= this -> flagged
+
+
+def _tox_case_sql() -> str:
+    arms = " ".join(f"WHEN '{t}' THEN {w}" for t, w in TOX_LEXICON)
+    return f"CASE tok {arms} ELSE 0 END"
+
+
+def lexicon_score_col(
+    text_col: str = "text",
+    lexicon: tuple[tuple[str, int], ...] = TOX_LEXICON,
+) -> F.Column:
+    """Per-row weighted lexicon-hit score (BIGINT): the lexicon compiles
+    into one CASE expression folded over the token array — map-only, no
+    join. Shared by the registered query and CorpusPipeline."""
+    def _w(t):
+        expr = F.lit(0)
+        for term, wgt in lexicon:
+            expr = F.when(t == term, wgt).otherwise(expr)
+        return expr
+
+    return F.aggregate(
+        F.split(text_col, " "), F.lit(0).cast("bigint"), lambda acc, t: acc + _w(t)
+    )
+
+
+@register(
+    "x_toxicity_lexicon",
+    tags=("EXT", "X4", "F5", "F7"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM({_tox_case_sql()}) AS BIGINT) AS score
+            FROM tok GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS total_score,
+               CAST(SUM(CASE WHEN CAST(score AS DOUBLE) / n_tok
+                                  >= {TOX_RATE_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               round(CAST(SUM(CAST(round(CAST(score AS DOUBLE) / n_tok, 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_rate
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def x_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-weighted content scoring (the toxicity/denylist gate of a
+    crawl pipeline): every token is looked up in a weighted policy
+    lexicon, per-document weighted-hit RATE (length-normalized, like the
+    contamination fraction) drives the flag, and the per-language
+    summary is what a release report publishes.
+
+    Spark-first: the lexicon compiles into a single CASE expression
+    inside an F.aggregate fold over the token array — a map-only
+    projection with NO join (the broadcast-join formulation ships the
+    lexicon per-task and loses zero-hit docs to the inner join; the
+    fold keeps every doc in the denominator for free). Integer weights
+    keep everything exact until one int/int double division per doc.
+
+    100 TB: one scan, one |langs|-row aggregate. Lexicon growth changes
+    the expression, not the plan."""
+    docs = _docs(spark, sf_dir)
+    # NOTE: the fold mirrors the oracle's COUNT(*) over unnest — the raw
+    # split (empties kept) so token counts agree even if spacing changes.
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        lexicon_score_col("text").alias("score"),
+    )
+    rate = F.col("score").cast("double") / F.col("n_tok")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score").cast("bigint").alias("total_score"),
+            F.sum(F.when(rate >= TOX_RATE_MIN, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum(F.round(rate, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_ngram_novelty — first-occurrence n-gram fraction per ingest decile
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 3  # words per shingle
+NOVELTY_DECILES = 10
+
+
+def novelty_per_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = NOVELTY_NGRAM,
+) -> DataFrame:
+    """(id, n_ngrams, n_novel) per document, where novel = this doc is
+    the FIRST (lowest id) carrier of the distinct ngram. The h-keyed
+    index collapses straight to (first_doc, count) — no join back on the
+    ngram key; the only join is id-keyed. Shared by the registered query
+    and CorpusPipeline."""
+    toks = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
+    )
+    sh = (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh_arr).alias("h"))
+        .dropDuplicates(["id", "h"])
+        .persist()  # read twice: per-doc totals and the first-occurrence index
+    )
+    novel = (
+        sh.groupBy("h")
+        .agg(F.min("id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_ngrams"))
+    return totals.join(novel, "id", "left").select(
+        "id",
+        "n_ngrams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+    )
+
+
+@register(
+    "x_ngram_novelty",
+    tags=("EXT", "X4", "X2", "J5"),
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                       string_split(text, ' ')[i : i + {NOVELTY_NGRAM} - 1],
+                       ' ')) AS h
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, GREATEST(len(string_split(text, ' '))
+                                       - {NOVELTY_NGRAM} + 1, 1))) AS i
+                FROM documents
+            ) t
+        ), first AS (
+            SELECT h, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM sh GROUP BY h
+        ), per_doc AS (
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM sh s JOIN first f USING (h)
+            GROUP BY s.doc_id
+        ), mx AS (
+            SELECT CAST(MAX(doc_id) AS BIGINT) AS max_doc FROM documents
+        )
+        SELECT CAST(floor(({NOVELTY_DECILES} * doc_id) / (max_doc + 1))
+                    AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(CAST(round(CAST(n_novel AS DOUBLE) / n_ngrams, 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_novelty
+        FROM per_doc CROSS JOIN mx
+        GROUP BY decile ORDER BY decile
+    """,
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: for each document, the fraction of its
+    distinct {NOVELTY_NGRAM}-gram shingles that appear for the FIRST
+    time in the corpus (by ingest order = doc_id), averaged per ingest
+    decile. The declining curve is the standard "is the crawl
+    saturating?" diagnostic for continued pretraining — when marginal
+    novelty flattens, more of the same crawl stops buying new tokens
+    (the corpus-level complement of pairwise near-dup dedup).
+
+    100 TB design: the shingle explode is the x_decontaminate shape; the
+    first-occurrence index is ONE min() partial agg keyed by the 16-byte
+    digest, joined back on the same key (no payload shuffles). The
+    1-row max(doc_id) frame rides a reviewed scalar broadcast. Novelty
+    per doc is one exact int/int division, 6-dp decimal-averaged."""
+    docs = _docs(spark, sf_dir)
+    per_doc = novelty_per_doc(docs).withColumnRenamed("id", "doc_id")
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("max_doc"))
+    nov = F.col("n_novel").cast("double") / F.col("n_ngrams")
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            # floor on BOTH engines: DuckDB's double->BIGINT cast rounds
+            # to nearest while Spark's truncates — floor first makes the
+            # bucketing identical.
+            F.floor((F.lit(NOVELTY_DECILES) * F.col("doc_id")) / (F.col("max_doc") + 1))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round(nov, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_burstiness — Fano factor of per-minute event counts
+# ---------------------------------------------------------------------------
+
+FANO_BURSTY = 1.2  # index of dispersion above this -> bursty
+
+
+@register(
+    "x_burstiness",
+    tags=("EXT", "A1", "F4", "T1"),
+    oracle=f"""
+        WITH buckets AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, minute
+        ), s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM buckets GROUP BY event_type
+        )
+        SELECT event_type, n_buckets, n_events,
+               round(CAST(n_events AS DOUBLE) / n_buckets, 6) AS mean_per_min,
+               round((CAST(s2 AS DOUBLE) / n_buckets
+                      - (CAST(n_events AS DOUBLE) / n_buckets)
+                        * (CAST(n_events AS DOUBLE) / n_buckets))
+                     / (CAST(n_events AS DOUBLE) / n_buckets), 6) AS fano,
+               ((CAST(s2 AS DOUBLE) / n_buckets
+                 - (CAST(n_events AS DOUBLE) / n_buckets)
+                   * (CAST(n_events AS DOUBLE) / n_buckets))
+                / (CAST(n_events AS DOUBLE) / n_buckets)) > {FANO_BURSTY}
+                   AS is_bursty
+        FROM s ORDER BY event_type
+    """,
+)
+def x_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (index of dispersion / Fano factor) of per-minute
+    event arrivals per event type: variance/mean of occupied-minute
+    counts. Poisson traffic sits at 1; values above FANO_BURSTY mark
+    types whose arrivals clump — the signal that drives partition-skew
+    salting and rate-limit sizing for a streaming ingest (the batch
+    twin of the stateful EWMA monitor).
+
+    Exactness: counts, their sum and sum-of-squares are pure BIGINT
+    partial aggregates; mean/variance/Fano derive from those three
+    integers via an identical double expression tree on both engines —
+    no float accumulates across rows, so the result is
+    partitioning-invariant without decimal scaffolding.
+
+    100 TB: two partial-agg shuffles, the first keyed (event_type,
+    minute) — combine absorbs the raw stream — the second collapsing to
+    |event types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("n_events").cast("double") / F.col("n_buckets")
+    fano = (F.col("s2").cast("double") / F.col("n_buckets") - mean * mean) / mean
+    return s.select(
+        "event_type",
+        "n_buckets",
+        "n_events",
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(fano, 6).alias("fano"),
+        (fano > FANO_BURSTY).alias("is_bursty"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# x_stratified_split — exact stratified train/val/test assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_TOK_EDGES = (32, 64, 96)  # token-count stratum boundaries
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative rank fractions
+
+
+def stratified_assign(
+    docs: DataFrame,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    train: float = SPLIT_TRAIN,
+    val: float = SPLIT_VAL,
+    salt: str = "split:",
+) -> DataFrame:
+    """docs + (split, n_stratum): exact per-stratum train/val/test quotas
+    via a salted-md5 rank cut at floor(train·n)/floor(val·n). ONE shuffle
+    keyed by the stratum; deterministic from ids alone. Shared by the
+    registered query and CorpusPipeline."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = W.partitionBy(*strata_cols)
+    r = docs.select(
+        "*",
+        F.row_number().over(win.orderBy(key, F.asc(id_col))).alias("__rn"),
+        F.count(F.lit(1)).over(win).alias("n_stratum"),
+    )
+    split = (
+        F.when(F.col("__rn") <= F.floor(train * F.col("n_stratum")).cast("bigint"), "train")
+        .when(F.col("__rn") <= F.floor(val * F.col("n_stratum")).cast("bigint"), "val")
+        .otherwise("test")
+    )
+    return r.withColumn("split", split).drop("__rn")
+
+
+def _tok_bucket_sql() -> str:
+    e = SPLIT_TOK_EDGES
+    return (
+        f"CASE WHEN n_tok < {e[0]} THEN 'tok_000' "
+        f"WHEN n_tok < {e[1]} THEN 'tok_{e[0]:03d}' "
+        f"WHEN n_tok < {e[2]} THEN 'tok_{e[1]:03d}' "
+        f"ELSE 'tok_{e[2]:03d}' END"
+    )
+
+
+@register(
+    "x_stratified_split",
+    tags=("EXT", "O3", "A1", "F7"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id, lang, {_tok_bucket_sql()} AS bucket FROM t
+        ), r AS (
+            SELECT lang, bucket,
+                   row_number() OVER (
+                       PARTITION BY lang, bucket
+                       ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang, bucket) AS n_stratum
+            FROM b
+        )
+        SELECT lang, bucket,
+               CASE WHEN rn <= CAST(floor({SPLIT_TRAIN} * n_stratum) AS BIGINT)
+                        THEN 'train'
+                    WHEN rn <= CAST(floor({SPLIT_VAL} * n_stratum) AS BIGINT)
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_stratum) AS DOUBLE), 6)
+                   AS frac
+        FROM r GROUP BY lang, bucket, split
+        ORDER BY lang, bucket, split
+    """,
+)
+def x_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum quotas:
+    strata are (lang, token-length bucket); within each stratum
+    documents are ranked by a salted md5 of their stable id and cut at
+    floor(0.8·n)/floor(0.9·n). Unlike the plain hash split
+    (x_hash_split), which only hits 80/10/10 in expectation, the ranked
+    cut guarantees every stratum's proportions to within one document —
+    what an eval-set contract actually requires — while staying fully
+    deterministic and reproducible from ids alone.
+
+    100 TB design: ONE shuffle keyed by the stratum (the rank and the
+    stratum count share the same partitioning); the md5 ranking key is
+    computed map-side in codegen. Strata are bounded (langs × 4
+    buckets), so the window never sees an unpartitioned frame; skewed
+    stratum sizes are exactly what AQE's skew handling absorbs. The
+    output is the audit table (per-stratum split counts + achieved
+    fractions); the assignment column itself is the same expression
+    kept per row in a real materialization."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    e = SPLIT_TOK_EDGES
+    bucket = (
+        F.when(n_tok < e[0], "tok_000")
+        .when(n_tok < e[1], f"tok_{e[0]:03d}")
+        .when(n_tok < e[2], f"tok_{e[1]:03d}")
+        .otherwise(f"tok_{e[2]:03d}")
+    )
+    b = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    r = stratified_assign(b, ["lang", "bucket"])
+    return (
+        r.groupBy("lang", "bucket", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_stratum").cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy("lang", "bucket", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_keep_best — canonical-group dedup keeping the BEST variant
+# ---------------------------------------------------------------------------
+
+
+def canonical_digest_col(text_col: str = "text") -> F.Column:
+    """md5 of the canonicalized text (lowercase, strip non-alphanumerics,
+    collapse/trim whitespace) — x_normalize_dedup's digest family."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+
+
+def keep_best_rank(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs + rn: rank 1 = the canonical-group variant with the longest
+    raw text (ties: lowest id). Filter rn == 1 to dedup keeping the
+    best. Shared by the registered query and CorpusPipeline."""
+    return docs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(canonical_digest_col(text_col)).orderBy(
+                F.desc(F.length(text_col)), F.asc(id_col)
+            )
+        ),
+    )
+
+
+@register(
+    "x_dedup_keep_best",
+    tags=("EXT", "X1", "O3", "F3"),
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id, lang, length(text) AS raw_len,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, lang, h,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY raw_len DESC, doc_id
+                   ) AS rn
+            FROM canon
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_sum
+        FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST exact dedup: canonical-text groups (lowercase, strip
+    punctuation, collapse whitespace — x_normalize_dedup's digest) keep
+    the variant with the LONGEST raw text (ties: lowest doc_id) instead
+    of an arbitrary first write. Keep-first loses formatting-rich
+    originals to their stripped mirror pages; ranking by a quality proxy
+    inside each duplicate group is how production crawl dedup picks the
+    canonical page. The kept-id checksum pins the exact selection, not
+    just the counts.
+
+    100 TB design: identical shuffle economics to x_dedup_exact — the
+    one wide exchange is keyed by the 16-byte canonical digest carrying
+    (doc_id, lang, raw_len); Spark's WindowGroupLimit pushes the rn=1
+    rank map-side so each partition forwards one candidate per group
+    before the shuffle. Payload text never moves."""
+    docs = _docs(spark, sf_dir)
+    ranked = keep_best_rank(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "rn"
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("rn") == 1, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -80,7 +80,8 @@ _BNLJ_SCALAR_REVIEWED = frozenset(
         "x_dsir_weights", "x_expectations", "x_histogram", "x_interpolate",
         "x_interval_overlap", "x_kmv_setops", "x_ks_drift", "x_ks_test",
         "x_length_mixture", "x_lorenz_curve", "x_minhash_band_tuning",
-        "x_modularity", "x_ndcg", "x_ngram_lm_score", "x_null_safe_join",
+        "x_modularity", "x_ndcg", "x_ngram_lm_score", "x_ngram_novelty",
+        "x_null_safe_join",
         "x_pagerank", "x_poisson_bootstrap", "x_quantile_binning",
         "x_rfm_segmentation", "x_rolling_distinct_exact", "x_seasonal_dow",
         "x_segmented_regression", "x_skew_profile", "x_sql_table_udf",
