@@ -69,8 +69,27 @@ def collect() -> dict:
     }
 
 
+def propose_window(data: dict, size: int = 50) -> list[str]:
+    """The next round's DRIVER_PRIORITY under the registry policy:
+    never-verified names first (oracle-backed before rows-only — the
+    registry's own remainder ordering already guarantees new additions
+    sit at the top of the never-verified pool), then the stalest
+    last_round names, oldest round first."""
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    never = [n for n in reg if n in data["never_verified"]]
+    never.sort(key=lambda n: reg[n].oracle is None)  # stable: registry order
+    stale = [n for n, _ in data["stalest"] if n not in never]
+    return (never + stale)[:size]
+
+
 def main() -> int:
     data = collect()
+    if "--propose-window" in sys.argv:
+        for name in propose_window(data):
+            print(f'    "{name}",')
+        return 0
     out = os.path.join(REPO, "VERIFIED.json")
     with open(out, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
