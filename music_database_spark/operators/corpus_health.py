@@ -722,9 +722,11 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: identical shuffle economics to x_dedup_exact — the
     one wide exchange is keyed by the 16-byte canonical digest carrying
-    (doc_id, lang, raw_len); Spark's WindowGroupLimit pushes the rn=1
-    rank map-side so each partition forwards one candidate per group
-    before the shuffle. Payload text never moves."""
+    (doc_id, lang, raw_len); payload text never moves. This audit form
+    counts BOTH kept and dropped rows, so every rank survives; the
+    production selection path (CorpusPipeline.keep_best_dedup, which
+    filters rn = 1) gets Spark's WindowGroupLimit map-side prune on the
+    same plan."""
     docs = _docs(spark, sf_dir)
     ranked = keep_best_rank(docs.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", "rn"
