@@ -2065,3 +2065,181 @@ def x_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_jl_projection — Johnson-Lindenstrauss sign projection + distortion audit
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16  # projected dimensions (from 64)
+JL_PAIR_MOD = 29  # pair sample: (v, v+1) for vec_id % JL_PAIR_MOD == 0
+JL_RATIO_LO, JL_RATIO_HI = 0.5, 2.0  # acceptable distortion band
+
+
+def _jl_sign_strings(n_planes: int = JL_DIM, dim: int = 64) -> list[str]:
+    """Deterministic ±1 sign planes as '+/-' strings: sign(j,k) = + iff
+    the first hex digit of md5('jl:j:k') is even. hashlib here and
+    md5() in the oracle produce the SAME planes — the engine-portable
+    hash family (the x_dedup_simhash_det convention)."""
+    import hashlib
+
+    return [
+        "".join(
+            "+" if int(hashlib.md5(f"jl:{j}:{k}".encode()).hexdigest()[0], 16) % 2 == 0
+            else "-"
+            for k in range(dim)
+        )
+        for j in range(n_planes)
+    ]
+
+
+def _jl_oracle() -> str:
+    planes = _jl_sign_strings()
+    plane_rows = ", ".join(f"({j}, '{s}')" for j, s in enumerate(planes))
+    return f"""
+        WITH planes(j, s) AS (VALUES {plane_rows}),
+        elems AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS k
+            FROM embeddings
+            WHERE vec_id % {JL_PAIR_MOD} = 0 OR (vec_id - 1) % {JL_PAIR_MOD} = 0
+        ),
+        proj AS (
+            SELECT e.vec_id, p.j,
+                   SUM(CAST(round(CASE WHEN substring(p.s, e.k, 1) = '+'
+                                       THEN CAST(e.x AS DOUBLE)
+                                       ELSE -CAST(e.x AS DOUBLE) END, 6)
+                            AS DECIMAL(18,6))) AS y
+            FROM elems e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.j
+        ),
+        dproj AS (
+            SELECT a.vec_id,
+                   SUM(CAST(round((CAST(a.y AS DOUBLE) - CAST(b.y AS DOUBLE))
+                                  * (CAST(a.y AS DOUBLE) - CAST(b.y AS DOUBLE)), 6)
+                            AS DECIMAL(24,6))) AS d2p
+            FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+            WHERE a.vec_id % {JL_PAIR_MOD} = 0
+            GROUP BY a.vec_id
+        ),
+        dorig AS (
+            SELECT a.vec_id,
+                   SUM(CAST(round((CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))
+                                  * (CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE)), 6)
+                            AS DECIMAL(24,6))) AS d2o
+            FROM elems a JOIN elems b ON b.vec_id = a.vec_id + 1 AND b.k = a.k
+            WHERE a.vec_id % {JL_PAIR_MOD} = 0
+            GROUP BY a.vec_id
+        ),
+        ratios AS (
+            SELECT round(CAST(p.d2p AS DOUBLE)
+                         / ({JL_DIM} * CAST(o.d2o AS DOUBLE)), 6) AS r
+            FROM dproj p JOIN dorig o USING (vec_id)
+            WHERE CAST(o.d2o AS DOUBLE) > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_ratio,
+               round(MIN(r), 6) AS min_ratio,
+               round(MAX(r), 6) AS max_ratio,
+               CAST(SUM(CASE WHEN r >= {JL_RATIO_LO} AND r <= {JL_RATIO_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+        FROM ratios
+    """
+
+
+@register("x_jl_projection", tags=("EXT", "X3", "F5", "F4"), oracle=_jl_oracle())
+def x_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas 2003 ±1
+    variant): 64-d embeddings projected to JL_DIM=16 dims by
+    deterministic md5-parity sign planes, audited by squared-distance
+    distortion ratio d²_proj / (JL_DIM · d²_orig) over a deterministic
+    pair sample — E[ratio] = 1, and the report (avg/min/max ratio +
+    in-band count) is the go/no-go gate before an embedding store swaps
+    64 floats for 16 (4x cheaper ANN candidate generation feeding the
+    LSH/IVF paths; PCA needs a trained basis, JL needs none).
+
+    Determinism: planes are hashlib-vs-md5() identical literals; every
+    per-dimension term is 6-dp-rounded into an order-free DECIMAL sum;
+    ratio is one double division mirrored verbatim.
+
+    100 TB design: the projection is a map-only expression (16 folds of
+    a 64-term zip_with — no shuffle, no UDF, no trained state to ship);
+    the audit's only joins are id-keyed on the pair sample. Projecting
+    the full corpus for an embedding-store rewrite is the same
+    projection expression in a writer, linear end to end.
+
+    Reference parity: no vector surface in the reference (SURVEY.md
+    §2.10 X3 mandate)."""
+    planes = _jl_sign_strings()
+    emb = _emb(spark, sf_dir).filter(
+        (F.col("vec_id") % JL_PAIR_MOD == 0) | ((F.col("vec_id") - 1) % JL_PAIR_MOD == 0)
+    )
+
+    def _proj(j: int) -> F.Column:
+        terms = F.zip_with(
+            F.split(F.lit(planes[j]), ""),
+            F.col("embedding"),
+            lambda s, x: F.round(
+                F.when(s == "+", x.cast("double")).otherwise(-x.cast("double")), 6
+            ).cast("decimal(18,6)"),
+        )
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(25,6)"),
+            lambda acc, t: (acc + t).cast("decimal(25,6)"),
+        ).cast("double")
+
+    projected = emb.select(
+        "vec_id",
+        "embedding",
+        F.array(*[_proj(j) for j in range(JL_DIM)]).alias("proj"),
+    )
+    a = projected.alias("a")
+    b = projected.alias("b")
+    pairs = (
+        a.filter(F.col("a.vec_id") % JL_PAIR_MOD == 0)
+        .join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.proj").alias("pa"),
+            F.col("b.proj").alias("pb"),
+        )
+    )
+
+    def _d2(x_col: str, y_col: str, prec: str = "decimal(24,6)") -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(x_col),
+                F.col(y_col),
+                lambda x, y: F.round(
+                    (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                    6,
+                ).cast("decimal(24,6)"),
+            ),
+            F.lit(0).cast("decimal(30,6)"),
+            lambda acc, t: (acc + t).cast("decimal(30,6)"),
+        ).cast("double")
+
+    ratios = (
+        pairs.select(
+            _d2("pa", "pb").alias("d2p"),
+            _d2("ea", "eb").alias("d2o"),
+        )
+        .filter(F.col("d2o") > 0)
+        .select(F.round(F.col("d2p") / (JL_DIM * F.col("d2o")), 6).alias("r"))
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_ratio"),
+        F.round(F.min("r"), 6).alias("min_ratio"),
+        F.round(F.max("r"), 6).alias("max_ratio"),
+        F.sum(F.when((F.col("r") >= JL_RATIO_LO) & (F.col("r") <= JL_RATIO_HI), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within"),
+    )

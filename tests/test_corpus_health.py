@@ -264,3 +264,33 @@ def test_corpus_pipeline_facade_matches_registered_queries(spark):
         for r in load_all()["x_toxicity_lexicon"].build(spark, SF).collect()
     )
     assert tox_total == reg_tox
+
+
+def test_jl_projection_distortion_is_controlled(spark):
+    """E[ratio] = 1 for ±1 JL; with m=16 the ratio std is ~sqrt(2/16),
+    so the mean sits near 1 and most pairs stay in the [0.5, 2] band.
+    Also pins the sign planes against an independent md5 recomputation."""
+    import hashlib
+
+    from music_database_spark.operators.knn import (
+        JL_DIM,
+        _jl_sign_strings,
+    )
+
+    planes = _jl_sign_strings()
+    assert len(planes) == JL_DIM and all(len(p) == 64 for p in planes)
+    # spot-pin two cells against the documented formula
+    assert planes[0][0] == (
+        "+" if int(hashlib.md5(b"jl:0:0").hexdigest()[0], 16) % 2 == 0 else "-"
+    )
+    assert planes[7][33] == (
+        "+" if int(hashlib.md5(b"jl:7:33").hexdigest()[0], 16) % 2 == 0 else "-"
+    )
+    # signs are balanced enough to be a real projection (not all +)
+    assert any("-" in p for p in planes) and any("+" in p for p in planes)
+
+    row = load_all()["x_jl_projection"].build(spark, SF).collect()[0]
+    assert row["n_pairs"] > 0
+    assert 0.6 < row["avg_ratio"] < 1.6, row
+    assert row["min_ratio"] > 0
+    assert row["n_within"] >= 0.5 * row["n_pairs"], row
