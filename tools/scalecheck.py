@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -80,6 +80,9 @@ def main() -> int:
     if "--linkpred" in sys.argv[1:]:
         linkpred_growth(ks)
         return 0
+    if "--novelty" in sys.argv[1:]:
+        novelty_growth(ks)
+        return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
 
@@ -102,6 +105,70 @@ def main() -> int:
         spark.catalog.clearCache()
     return 0
 
+
+
+def novelty_growth(ks: list[int]) -> None:
+    """First-occurrence index growth for x_ngram_novelty (round 7):
+
+        python tools/scalecheck.py --novelty 1 2 4 10
+
+    What the numbers must show for the design to hold at 100 TB:
+    * the distinct-ngram INDEX grows with unique content, not corpus
+      size — replicas add only their salt-boundary grams, so index
+      rows stay ~flat while docs grow K-fold;
+    * replica docs score ~0 novelty (their grams' min-id carrier is the
+      base copy) while base docs keep their curve — the semantic that
+      makes the metric a saturation detector;
+    * wall-clock grows ~linearly in K (one explode + two partial aggs +
+      one id-keyed join; no quadratic pair work anywhere)."""
+    from music_database_spark.operators.corpus_health import novelty_per_doc
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents")
+    n_base = base.count()
+    cores = spark.sparkContext.defaultParallelism
+    print(
+        f"{'K':>3} {'docs':>7} {'sec':>7} {'index_ngrams':>12} "
+        f"{'base_nov':>9} {'replica_nov':>11}"
+    )
+    for k in ks:
+        docs = replicate(base, k).repartition(cores).persist()
+        docs.count()
+        t0 = time.time()
+        per_doc = novelty_per_doc(docs).persist()
+        stats = (
+            per_doc.groupBy((F.col("id") < n_base).alias("is_base"))
+            .agg(
+                (F.sum("n_novel") / F.sum("n_ngrams")).alias("nov"),
+            )
+            .collect()
+        )
+        dt = time.time() - t0
+        idx = (
+            docs.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1)),
+                        ),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice(F.split("text", " "), i, 3))
+                        ),
+                    )
+                ).alias("h")
+            )
+            .agg(F.countDistinct("h"))
+            .collect()[0][0]
+        )
+        by = {r["is_base"]: r["nov"] for r in stats}
+        print(
+            f"{k:>3} {docs.count():>7} {dt:>7.2f} {idx:>12} "
+            f"{by.get(True, 0):>9.4f} {by.get(False, float('nan')):>11.4f}"
+        )
+        per_doc.unpersist()
+        docs.unpersist()
+        spark.catalog.clearCache()
 
 
 def winnow_growth(ks: list[int]) -> None:
