@@ -565,3 +565,38 @@ def test_pairwise_cosine_identity_on_arbitrary_vectors(vecs):
     s = u.sum(axis=0)
     identity = (s * s).sum() - (u * u).sum()
     assert identity == pytest.approx(brute, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stratified_assign_quotas_and_order_invariance(spark, rows):
+    """x_stratified_split's assignment helper on ARBITRARY frames: every
+    stratum gets exactly floor(0.8n) train and floor(0.9n) train+val,
+    and the assignment depends only on ids — row order can't move it."""
+    from music_database_spark.operators.corpus_health import stratified_assign
+
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = stratified_assign(df, ["stratum"]).collect()
+    by: dict[str, dict[str, int]] = {}
+    assign: dict[int, str] = {}
+    for r in out:
+        by.setdefault(r["stratum"], {}).setdefault(r["split"], 0)
+        by[r["stratum"]][r["split"]] += 1
+        assign[r["doc_id"]] = r["split"]
+    for s, d in by.items():
+        n = sum(d.values())
+        assert d.get("train", 0) == int(0.8 * n // 1), (s, d)
+        assert d.get("train", 0) + d.get("val", 0) == int(0.9 * n // 1), (s, d)
+    # permutation invariance: reversed input, same per-id assignment
+    out2 = stratified_assign(
+        spark.createDataFrame(list(reversed(rows)), "doc_id long, stratum string"),
+        ["stratum"],
+    ).collect()
+    assert {r["doc_id"]: r["split"] for r in out2} == assign
