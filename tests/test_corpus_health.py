@@ -294,3 +294,33 @@ def test_jl_projection_distortion_is_controlled(spark):
     assert 0.6 < row["avg_ratio"] < 1.6, row
     assert row["min_ratio"] > 0
     assert row["n_within"] >= 0.5 * row["n_pairs"], row
+
+
+def test_prefix_join_is_lossless_vs_brute_force(spark):
+    """The AllPairs guarantee: prefix filtering finds EVERY pair with
+    true shingle-Jaccard >= 1/2 — pinned against an exhaustive Python
+    recomputation (all O(n²) pairs at sf0.001), values included."""
+    from music_database_spark.operators.dedup import SHINGLE_LEN
+
+    docs = _docs_pd()
+    sets = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        sets[row["doc_id"]] = {
+            "\x1f".join(toks[i : i + SHINGLE_LEN])
+            for i in range(len(toks) - SHINGLE_LEN + 1)
+        }
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 3 * inter >= len(sets[a]) + len(sets[b]):
+                expected[(a, b)] = (inter, round(inter / union, 6))
+    rows = load_all()["x_prefix_join"].build(spark, SF).collect()
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["jaccard"]) for r in rows}
+    assert got == expected
+    assert expected, "testdata has no qualifying pairs — the pin is vacuous"
