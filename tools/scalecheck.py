@@ -50,7 +50,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--tpch" in sys.argv[1:]:
@@ -82,6 +82,9 @@ def main() -> int:
         return 0
     if "--novelty" in sys.argv[1:]:
         novelty_growth(ks)
+        return 0
+    if "--prefixjoin" in sys.argv[1:]:
+        prefixjoin_growth(ks)
         return 0
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -167,6 +170,87 @@ def novelty_growth(ks: list[int]) -> None:
             f"{by.get(True, 0):>9.4f} {by.get(False, float('nan')):>11.4f}"
         )
         per_doc.unpersist()
+        docs.unpersist()
+        spark.catalog.clearCache()
+
+
+def prefixjoin_growth(ks: list[int]) -> None:
+    """Candidate growth for the LOSSLESS prefix-filtered join (round 7):
+
+        python tools/scalecheck.py --prefixjoin 1 2 4
+
+    The honest claim to verify: with near-dup replicas the TRUE pair
+    mass itself grows ~K^2 per duplicate group (replicas of one doc are
+    all pairwise similar), and a lossless join must return all of them
+    — so verified pairs growing quadratically is CORRECT, not a
+    blow-up. What must stay controlled is the prefix OVERHEAD: the
+    candidate:verified ratio (how many candidates the rare-prefix
+    postings admit per true pair) should stay ~flat as K grows, and
+    wall-clock should track candidates, not corpus^2."""
+    import re as _re
+
+    spark = get_spark("scalecheck")
+    base = load_table(spark, SF_DIR, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    from music_database_spark.operators.dedup import SHINGLE_LEN, shingles
+    from pyspark.sql import Window as W
+
+    print(f"{'K':>3} {'docs':>7} {'sec':>7} {'candidates':>10} {'verified':>9} {'cand/true':>9}")
+    for k in ks:
+        docs = replicate(base, k).repartition(cores).persist()
+        docs.count()
+        t0 = time.time()
+        sh = docs.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+        ).persist()
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .join(sizes, "doc_id")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+                ),
+            )
+        )
+        pfx = ranked.filter(
+            F.col("rk") <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+        ).select("doc_id", "shingle", "n")
+        cand = (
+            pfx.alias("a")
+            .join(
+                pfx.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (3 * F.least(F.col("a.n"), F.col("b.n")) >= F.col("a.n") + F.col("b.n")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        n_cand = cand.count()
+        sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+        pairs = (
+            cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+            .filter(3 * F.col("inter") >= F.col("n_a") + F.col("n_b"))
+        )
+        n_true = pairs.count()
+        dt = time.time() - t0
+        print(
+            f"{k:>3} {docs.count():>7} {dt:>7.2f} {n_cand:>10} {n_true:>9} "
+            f"{(n_cand / max(n_true, 1)):>9.2f}"
+        )
+        cand.unpersist()
+        sh.unpersist()
         docs.unpersist()
         spark.catalog.clearCache()
 
