@@ -78,7 +78,19 @@ def main() -> int:
     names = args[1:] if args and os.path.isdir(args[0]) else args
     registry = load_all()
     todo = {n: registry[n] for n in (names or sorted(registry))}
-    spark = get_spark("diffcheck")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Driver-style session: NO tuned conf (no forced UTC, no Arrow
+        # flag, default shuffle partitions) — catches any query that
+        # silently depends on get_spark's settings before the driver
+        # does. Pair with cwd outside the repo to also exercise the
+        # addPyFile worker-import path.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        ).appName("diffcheck-vanilla").getOrCreate()
+    else:
+        spark = get_spark("diffcheck")
     con = duck_con(sf_dir)
     failures = []
     for name, spec in todo.items():
