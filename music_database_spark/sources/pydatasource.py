@@ -38,6 +38,25 @@ from pyspark.sql.types import (
 
 from ..registry import register
 
+# Pickle this module's DataSource classes BY VALUE (cloudpickle), not by
+# module reference. Spark's driver-side PythonStreamingSourceRunner
+# subprocess unpickles the registered source BEFORE any task runs, and —
+# unlike the batch plan_data_source_read worker — it does not reliably
+# see the addPyFile zip, so a by-reference pickle dies with
+# ModuleNotFoundError whenever the launching process' cwd is not the
+# repo root (found by the round-7 vanilla-session rehearsal; the driver
+# happened to mask it by running from the repo). By-value capture makes
+# the classes self-contained: they reference only pyspark base classes
+# and the integer constants above, both of which serialize cleanly.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - vendored cloudpickle too old
+    pass
+
 SENSOR_ROWS = 20_000  # default generator size
 SENSOR_SPLITS = 8  # reader partitions
 N_SENSORS = 50
