@@ -71,76 +71,72 @@ def register(
 # (round 7 drains it), subsequent windows rotate the OLDEST-verified
 # names first — freshness debt, oldest round wins; new additions take
 # window slots ahead of re-verifications, capped at the window size.
-WINDOW_DESIGNED_AFTER_ROUND = 6
+WINDOW_DESIGNED_AFTER_ROUND = 7
 
-# The driver's correctness pass samples the FIRST 50 entries of queries()
-# in dict order. After r02–r06 (50 each, all green), 227 distinct queries
-# carry a driver CORRECTNESS row; exactly 50 never got one. This round-7
-# window IS that pool — the 43 never-verified oracle-backed queries
-# (hash-checked) followed by the 7 rows-only ones (rows-only checked;
-# each has an oracle-checked twin on the same plan) — so after round 7
-# every one of the 277 registered queries has a driver anchor and the
-# verification debt is zero.
+# Round-8 window — the first rotation under the re-verification policy
+# (the never-verified pool drained in r07). Emitted verbatim by
+# `python tools/verified_rounds.py --propose-window` against the
+# r02–r07 ledger: (a) the 9 round-7 additions, which predate the r07
+# window and so have no driver row yet; then (b) the stalest
+# last-verified names, oldest driver round first — the r02-anchored
+# q12–q17/q3 family, the three r02 rows-only sketch internals
+# (q9b/x_approx_percentiles/x_rolling_distinct_hll, never re-smoked
+# under the hardened harness), and the rest of the r02 cohort up to the
+# 50-slot cap. After round 8, no query's newest driver anchor predates
+# round 3.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 43 oracle-backed, never driver-verified ---
-    # round-6 additions (13)
-    "x_dsir_weights",
-    "x_pii_scan",
-    "x_t_closeness",
-    "x_embed_coherence",
-    "x_padding_waste",
-    "x_contamination_overlap",
-    "x_gopher_rules",
-    "x_minhash_band_tuning",
-    "x_length_mixture",
-    "x_tokenizer_fertility",
-    "x_ks_test",
-    "x_runs_streaks",
-    "x_sessionized_bounce",
-    # set-ops / frame-spec holdovers
-    "x_stream_foreach_batch",
-    "x_union_by_name",
-    "x_except_all",
-    "x_intersect_all",
-    "x_moving_avg",
-    "x_lag_delta",
-    "x_time_range_frame",
-    # dedup / ANN holdovers
-    "x_dedup_hash_groups",
-    "x_dedup_incremental",
-    "x_dedup_incremental_band",
-    "x_vec_quantize",
-    "x_semantic_dedup",
-    "x_lsh_curve",
-    # text holdovers
-    "x_bpe_tokens",
-    "x_token_count",
-    "x_lang_id_sql",
-    "x_fingerprint",
-    # stats / time-series holdovers
-    "x_winsorize",
-    "x_histogram",
-    "x_ewma_smooth",
-    "x_rolling_slope",
-    "x_crosscorr",
-    "x_seasonal_dow",
-    "x_lorenz_curve",
-    "x_wilson_bounds",
-    "x_prf_eval",
-    "x_cms_join_size",
-    "x_drop_manifest",
-    "x_assortativity",
-    "x_simpson_diversity",
-    # --- 7 rows-only, never driver-verified (each has an oracle-checked
-    # twin on the same plan shape: x_dedup_minhash_md5, x_dedup_simhash_det,
-    # x_dedup_embedding_det, x_knn_lsh_det, x_zorder_layout, ...) ---
-    "x_pca_project",
-    "x_dedup_minhash",
-    "x_dedup_embedding",
-    "x_dedup_simhash",
-    "x_knn_lsh",
-    "x_compaction",
-    "x_sorted_layout",
+    # --- 9 round-7 additions, never driver-verified ---
+    "x_char_entropy",
+    "x_zipf_fit",
+    "x_toxicity_lexicon",
+    "x_ngram_novelty",
+    "x_burstiness",
+    "x_stratified_split",
+    "x_dedup_keep_best",
+    "x_jl_projection",
+    "x_prefix_join",
+    # --- 41 stalest re-verifications, all last anchored in r02 ---
+    "q12_pricing_summary",
+    "q13_shipping_priority",
+    "q15_small_quantity_revenue",
+    "q16_large_orders",
+    "q17_idle_customers",
+    "q3_genre_counts",
+    "q9b_approx_distinct",
+    "x_approx_percentiles",
+    "x_calendar_gapfill",
+    "x_exists_frontdoor",
+    "x_funnel",
+    "x_incremental_rollup",
+    "x_join_hints",
+    "x_json_props",
+    "x_merge_upsert",
+    "x_observe_metrics",
+    "x_percent_change",
+    "x_percentiles",
+    "x_quantile_binning",
+    "x_recursive_cte",
+    "x_regression",
+    "x_retention_cohorts",
+    "x_rolling_distinct_exact",
+    "x_rolling_distinct_hll",
+    "x_sessionize_lag",
+    "x_skew_profile",
+    "x_stats_agg",
+    "x_try_funcs",
+    "ddl_roundtrip",
+    "fk_violations",
+    "j_event_window",
+    "j_large_large",
+    "q10_topk",
+    "q11_effective_date",
+    "q14_local_volume",
+    "q1_singles_by_artist",
+    "q2_last_in_year",
+    "q4_both_kinds",
+    "q4_intersect",
+    "q4b_only_albums",
+    "q5_top_rated",
 )
 
 

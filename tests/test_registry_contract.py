@@ -51,41 +51,61 @@ def test_flagship_runs_and_returns_rows(spark):
     assert df.count() > 0
 
 
-def test_driver_window_rotated_to_unverified_queries():
-    """Rotation contract since round 4: the driver's 50-query window
-    (first 50 of load_all() order) must point at queries that had NEVER
-    received a driver correctness row *when the window was designed*, so
-    every registry entry eventually earns a pass-D anchor.
+def test_driver_window_follows_reverification_policy():
+    """Rotation contract since round 8 (the never-verified pool drained
+    in r07): the driver's 50-query window (first 50 of load_all() order)
+    must be exactly what `tools/verified_rounds.propose_window` emits —
+    never-verified names first (new additions), then the stalest
+    last-verified names, oldest driver round first — computed against the
+    ledger state the window was designed from.
 
-    Round-5/6 lesson: computing "already verified" from ALL
+    Round-5/6 lesson: computing the expected window from ALL
     CORRECTNESS_r*.json files makes the test self-expire the moment the
-    driver stamps the current round's file. So we only count rounds
-    <= WINDOW_DESIGNED_AFTER_ROUND — the state the window was rotated
-    against — keeping the test green both before and after the driver
-    does its job."""
-    import glob
-    import json
-    import re
+    driver stamps the current round's file. So the ledger is rebuilt with
+    max_round=WINDOW_DESIGNED_AFTER_ROUND — the state the window was
+    rotated against — keeping the test green both before and after the
+    driver does its job."""
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    from tools.verified_rounds import collect, propose_window
 
     from music_database_spark.registry import WINDOW_DESIGNED_AFTER_ROUND
 
     reg = load_all()
     window = list(reg)[:50]
-    already = set()
-    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > WINDOW_DESIGNED_AFTER_ROUND:
-            continue
-        with open(path) as f:
-            already.update(json.load(f))
-    revisits = sorted(set(window) & already)
-    assert revisits == [], revisits
+    expected = propose_window(collect(max_round=WINDOW_DESIGNED_AFTER_ROUND))
+    assert window == expected
     # Every curated priority name must actually exist in the registry —
     # a typo would silently shrink the window.
     from music_database_spark.registry import DRIVER_PRIORITY
 
     missing = [n for n in DRIVER_PRIORITY if n not in reg]
     assert missing == [], missing
+
+
+def test_verified_ledger_is_fresh():
+    """VERIFIED.json must have been regenerated after the current window
+    was designed: its rounds_seen must include every driver round up to
+    WINDOW_DESIGNED_AFTER_ROUND (the r07 lesson — the ledger was stamped
+    before the driver run and drifted). Later rounds are allowed (the
+    driver stamps CORRECTNESS_r{N} after our final commit); the
+    round-start ritual bumps the constant and regenerates."""
+    import glob
+    import json
+    import re
+
+    from music_database_spark.registry import WINDOW_DESIGNED_AFTER_ROUND
+
+    with open(os.path.join(REPO_ROOT, "VERIFIED.json")) as f:
+        ledger = json.load(f)
+    on_disk = set()
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) <= WINDOW_DESIGNED_AFTER_ROUND:
+            on_disk.add(int(m.group(1)))
+    missing = sorted(on_disk - set(ledger["rounds_seen"]))
+    assert missing == [], f"VERIFIED.json stale: missing rounds {missing}"
 
 
 def test_approx_distinct_tracks_exact(spark):

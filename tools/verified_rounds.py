@@ -27,7 +27,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def collect() -> dict:
+def collect(max_round: int | None = None) -> dict:
+    """Build the freshness ledger from the driver's CORRECTNESS stamps.
+
+    max_round, when given, ignores rounds after it — this is how the
+    rotation test reconstructs the exact state a DRIVER_PRIORITY window
+    was designed against (registry.WINDOW_DESIGNED_AFTER_ROUND), so the
+    test stays green after the driver stamps the current round's file."""
     from music_database_spark.registry import load_all
 
     reg = load_all()
@@ -35,6 +41,8 @@ def collect() -> dict:
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
+            continue
+        if max_round is not None and int(m.group(1)) > max_round:
             continue
         with open(path) as f:
             rounds[int(m.group(1))] = json.load(f)
