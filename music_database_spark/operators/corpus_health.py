@@ -339,6 +339,19 @@ def x_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NOVELTY_NGRAM = 3  # words per shingle
+
+
+def novelty_shingle_arr(text_col: str = "text", ngram: int = NOVELTY_NGRAM) -> F.Column:
+    """The md5 word-ngram shingle array the novelty index is keyed by.
+    Single definition shared by novelty_per_doc and the scalecheck
+    index-size probe, so the scale evidence cannot silently measure a
+    different digest family than the operator it validates."""
+    toks = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
+    )
 NOVELTY_DECILES = 10
 
 
@@ -353,12 +366,7 @@ def novelty_per_doc(
     index collapses straight to (first_doc, count) — no join back on the
     ngram key; the only join is id-keyed. Shared by the registered query
     and CorpusPipeline."""
-    toks = F.split(text_col, " ")
-    n_sh = F.greatest(F.size(toks) - ngram + 1, F.lit(1))
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, ngram))),
-    )
+    sh_arr = novelty_shingle_arr(text_col, ngram)
     sh = (
         docs.select(F.col(id_col).alias("id"), F.explode(sh_arr).alias("h"))
         .dropDuplicates(["id", "h"])
@@ -539,6 +547,20 @@ SPLIT_TOK_EDGES = (32, 64, 96)  # token-count stratum boundaries
 SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative rank fractions
 
 
+def split_quota_ratio(frac: float) -> tuple[int, int]:
+    """The exact rational (numerator, denominator) a split fraction is
+    evaluated at: quotas are floor(num·n / den) in INTEGER arithmetic,
+    never floor(frac·n) in binary floating point — 0.7·90 is
+    62.99999999999999 as a double, so the float floor gives 62 where the
+    documented exact quota is 63 (and DuckDB, evaluating the same
+    literal as DECIMAL, would give 63 and diverge). Shared with the SQL
+    oracle so both engines cut at the identical rank."""
+    from fractions import Fraction
+
+    fr = Fraction(frac).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
 def stratified_assign(
     docs: DataFrame,
     strata_cols: list[str],
@@ -548,9 +570,10 @@ def stratified_assign(
     salt: str = "split:",
 ) -> DataFrame:
     """docs + (split, n_stratum): exact per-stratum train/val/test quotas
-    via a salted-md5 rank cut at floor(train·n)/floor(val·n). ONE shuffle
-    keyed by the stratum; deterministic from ids alone. Shared by the
-    registered query and CorpusPipeline."""
+    via a salted-md5 rank cut at floor(train·n)/floor(val·n), the floors
+    taken in exact integer arithmetic (bigint `div`, see
+    split_quota_ratio). ONE shuffle keyed by the stratum; deterministic
+    from ids alone. Shared by the registered query and CorpusPipeline."""
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     win = W.partitionBy(*strata_cols)
     r = docs.select(
@@ -558,9 +581,11 @@ def stratified_assign(
         F.row_number().over(win.orderBy(key, F.asc(id_col))).alias("__rn"),
         F.count(F.lit(1)).over(win).alias("n_stratum"),
     )
+    tn, td = split_quota_ratio(train)
+    vn, vd = split_quota_ratio(val)
     split = (
-        F.when(F.col("__rn") <= F.floor(train * F.col("n_stratum")).cast("bigint"), "train")
-        .when(F.col("__rn") <= F.floor(val * F.col("n_stratum")).cast("bigint"), "val")
+        F.when(F.col("__rn") <= F.expr(f"({tn}L * n_stratum) div {td}L"), "train")
+        .when(F.col("__rn") <= F.expr(f"({vn}L * n_stratum) div {vd}L"), "val")
         .otherwise("test")
     )
     return r.withColumn("split", split).drop("__rn")
@@ -597,9 +622,11 @@ def _tok_bucket_sql() -> str:
             FROM b
         )
         SELECT lang, bucket,
-               CASE WHEN rn <= CAST(floor({SPLIT_TRAIN} * n_stratum) AS BIGINT)
+               CASE WHEN rn <= ({split_quota_ratio(SPLIT_TRAIN)[0]} * n_stratum)
+                               // {split_quota_ratio(SPLIT_TRAIN)[1]}
                         THEN 'train'
-                    WHEN rn <= CAST(floor({SPLIT_VAL} * n_stratum) AS BIGINT)
+                    WHEN rn <= ({split_quota_ratio(SPLIT_VAL)[0]} * n_stratum)
+                               // {split_quota_ratio(SPLIT_VAL)[1]}
                         THEN 'val'
                     ELSE 'test' END AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -2217,7 +2217,7 @@ def x_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (x.cast("double") - y.cast("double"))
                     * (x.cast("double") - y.cast("double")),
                     6,
-                ).cast("decimal(24,6)"),
+                ).cast(prec),
             ),
             F.lit(0).cast("decimal(30,6)"),
             lambda acc, t: (acc + t).cast("decimal(30,6)"),

@@ -1808,32 +1808,50 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents, orderkey) order (x_lorenz_curve's formula); boundaries and
     NDV are exact; the only floats are fixed /100 presentations.
 
-    100 TB design: the exact global rank is the scale-bound stage —
-    same range-partitioned-ranking escape as x_lorenz_curve, or the
-    standard production move: boundaries from approx quantiles, then
-    ONE partial-aggregable pass for per-bucket counts/NDV against
-    broadcast boundaries. The statistics object itself is {EQD_BINS}
-    rows.
+    100 TB design: the raw rows are NEVER globally ranked. Every output
+    (per-bucket count, min, max, NDV) depends only on the multiset of
+    values, so the plan partial-aggregates to per-value counts first —
+    the frame collapses from row count to the VALUE DOMAIN (price cents,
+    bounded by the price range, not the table) — then a cumulative sum
+    over that collapsed frame gives each value's exact rank span
+    [cum+1, cum+c], which is intersected with the pure-integer bucket
+    rank ranges ((b-1)·n div B, b·n div B]. Same-value rows are
+    interchangeable under the (cents, orderkey) tie-break, so the
+    result is bit-identical to the raw ranking the oracle runs. The
+    statistics object itself is {EQD_BINS} rows.
 
     Reference parity: no statistics surface in the reference;
     SURVEY.md §2 EXT sketches/stats family."""
     orders = scan_wide(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     v = orders.select(
-        "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
     )
-    ranked = v.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_orderkey")).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
-    )
-    return (
-        ranked.select(
-            F.expr(f"(rn * {EQD_BINS} + n - 1) div n").alias("bucket"), "cents"
+    vc = v.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_tot = vc.agg(F.sum("c").cast("bigint").alias("n"))
+    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    spans = (
+        vc.withColumn("cum", F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "cents",
+            "c",
+            "cum",
+            "n",
+            F.expr(f"((cum + 1) * {EQD_BINS} + n - 1) div n").alias("b0"),
+            F.expr(f"((cum + c) * {EQD_BINS} + n - 1) div n").alias("b1"),
         )
+    )
+    overlap = F.least(
+        F.col("cum") + F.col("c"), F.expr(f"(bucket * n) div {EQD_BINS}")
+    ) - F.greatest(F.col("cum"), F.expr(f"((bucket - 1) * n) div {EQD_BINS}"))
+    return (
+        spans.select(
+            "cents", "c", "cum", "n", F.explode(F.sequence("b0", "b1")).alias("bucket")
+        )
+        .select("bucket", "cents", overlap.cast("bigint").alias("k"))
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("n_rows"),
             F.round(F.min("cents") / 100.0, 2).alias("lo_dollars"),
             F.round(F.max("cents") / 100.0, 2).alias("hi_dollars"),
             F.count_distinct(F.col("cents")).cast("bigint").alias("ndv"),

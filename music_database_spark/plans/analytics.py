@@ -1166,20 +1166,35 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, minimize toxicity) — this is the relational form of that
     selection.
 
-    100 TB design: a single global sort is the textbook skyline
-    tradeoff; the distributed refinement is pre-filtering by
-    per-partition local skylines (each partition's dominated rows can
-    never join the global frontier — a map-side 99%+ reduction) before
-    one small global pass. The window here IS the global pass;
-    range-partitioned sort keeps it parallel until the final frontier
-    merge. Deterministic: integer cents/dates, total ordering with
-    orderkey tie-break."""
+    100 TB design: the global running-max pass never sees the raw
+    table. Only each o_orderdate's champion — its (max price, then min
+    orderkey) row — can be on the frontier: any later same-date row in
+    (price desc, key) scan order has a strictly-prior row with an EQUAL
+    date and fails the strict date test. So one keyed aggregation
+    (partial map-side combine, max(struct)) collapses the frame to the
+    date domain — ~2.4k rows at ANY scale factor, since TPC-H dates
+    span a fixed 7-year window — and the single-partition window runs
+    over that bounded frontier-candidate set, the classic local-prune /
+    global-merge skyline split. Deterministic: integer cents/dates,
+    total ordering with orderkey tie-break."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    champion = F.max(
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg_key"))
+    )
+    cand = (
+        orders.groupBy("o_orderdate")
+        .agg(champion.alias("b"))
+        .select(
+            (-F.col("b.neg_key")).alias("o_orderkey"),
+            F.col("b.o_totalprice").alias("o_totalprice"),
+            "o_orderdate",
+        )
+    )
     w = (
         W.orderBy(F.desc("o_totalprice"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    scan = orders.select(
+    scan = cand.select(
         "o_orderkey",
         "o_totalprice",
         "o_orderdate",

@@ -592,11 +592,32 @@ def test_stratified_assign_quotas_and_order_invariance(spark, rows):
         assign[r["doc_id"]] = r["split"]
     for s, d in by.items():
         n = sum(d.values())
-        assert d.get("train", 0) == int(0.8 * n // 1), (s, d)
-        assert d.get("train", 0) + d.get("val", 0) == int(0.9 * n // 1), (s, d)
+        assert d.get("train", 0) == 4 * n // 5, (s, d)
+        assert d.get("train", 0) + d.get("val", 0) == 9 * n // 10, (s, d)
     # permutation invariance: reversed input, same per-id assignment
     out2 = stratified_assign(
         spark.createDataFrame(list(reversed(rows)), "doc_id long, stratum string"),
         ["stratum"],
     ).collect()
     assert {r["doc_id"]: r["split"] for r in out2} == assign
+
+
+def test_stratified_assign_quota_is_exact_not_float_floor(spark):
+    """Caller-supplied fractions must cut at the exact rational quota:
+    train=0.7 over n=90 is exactly 63, but floor(0.7*90) in binary
+    floating point is floor(62.99999999999999) = 62 — the advisor-flagged
+    divergence (DuckDB's DECIMAL evaluation of the same literal gives
+    63). Pins the integer-div implementation in stratified_assign."""
+    from music_database_spark.operators.corpus_health import (
+        split_quota_ratio,
+        stratified_assign,
+    )
+
+    assert split_quota_ratio(0.7) == (7, 10)
+    df = spark.createDataFrame([(i, "s") for i in range(90)], "doc_id long, stratum string")
+    out = stratified_assign(df, ["stratum"], train=0.7, val=0.9).collect()
+    counts: dict[str, int] = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts["train"] == 63, counts  # float floor would give 62
+    assert counts["train"] + counts["val"] == 81, counts

@@ -103,6 +103,7 @@ def bnlj_reason(name: str) -> str:
     return "UNREVIEWED — inspect"
 
 NODE_RE = re.compile(r"^\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
+_ORDER_SPEC_RE = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
 TREE_RE = re.compile(r"^(?P<prefix>[ :+\-|*]*)(?P<name>[A-Za-z][A-Za-z0-9_]*)")
 ID_RE = re.compile(r"\((\d+)\)")
 
@@ -158,6 +159,23 @@ def _split_top_brackets(s: str) -> list[str]:
     return groups
 
 
+def _detail_blocks(lines: list[str]) -> list[tuple[int, str, list[str]]]:
+    """(node_id, header_line, block_lines) for every '(N) Name' detail
+    header; a block runs until the NEXT detail header (or EOF), never a
+    fixed line count — formatted details vary in length (long Input
+    lists push Arguments/Location arbitrarily far down)."""
+    headers = [
+        (i, int(m.group(1)))
+        for i, line in enumerate(lines)
+        if (m := re.match(r"^\((\d+)\) [A-Za-z]", line.strip()))
+    ]
+    blocks = []
+    for k, (i, nid) in enumerate(headers):
+        end = headers[k + 1][0] if k + 1 < len(headers) else len(lines)
+        blocks.append((nid, lines[i].strip(), lines[i:end]))
+    return blocks
+
+
 def unpartitioned_window_findings(text: str) -> list[str]:
     """Lint (a): every Window node with an EMPTY partition spec must sit
     above a grain-collapsing subtree (aggregate / top-k / bounded-dim
@@ -165,7 +183,10 @@ def unpartitioned_window_findings(text: str) -> list[str]:
 
     Works off explain("formatted"): the tree section gives structure
     (indent depth), the details section gives each Window's
-    Arguments: [exprs], [partitionSpec], [orderSpec]."""
+    Arguments: [exprs], [partitionSpec], [orderSpec]. FAILS CLOSED: a
+    Window whose partition spec can't be extracted, or a parquet Scan
+    whose Location can't, is itself a finding — a silent parse miss must
+    not let a real violation through (advisor-flagged fail-open)."""
     lines = text.splitlines()
     # --- tree section: (depth, name, id) until the first blank-then-details
     tree = []  # (line_idx, depth, name, id)
@@ -179,29 +200,47 @@ def unpartitioned_window_findings(text: str) -> list[str]:
         if not idm:
             continue
         tree.append((len(m.group("prefix")), m.group("name"), int(idm.group(1))))
-    # --- details: window id -> partition spec emptiness
-    part_empty: dict[int, bool] = {}
-    for i, line in enumerate(lines):
-        m = re.match(r"^\((\d+)\) Window\b", line.strip())
-        if not m:
-            continue
-        nid = int(m.group(1))
-        for j in range(i + 1, min(i + 12, len(lines))):
-            if lines[j].startswith("Arguments:"):
-                groups = _split_top_brackets(lines[j][len("Arguments:"):])
-                if len(groups) >= 3:
-                    part_empty[nid] = groups[-2].strip() == ""
-                break
-    # --- per-window subtree check
     findings = []
+    # --- details: window id -> partition spec emptiness; parquet scan
+    # id -> Location line. Both parsed over full detail blocks.
+    part_empty: dict[int, bool] = {}
     scan_loc: dict[int, str] = {}
-    for i, line in enumerate(lines):
-        m = re.match(r"^\((\d+)\) Scan parquet", line.strip())
-        if m:
-            for j in range(i + 1, min(i + 8, len(lines))):
-                if lines[j].startswith("Location:"):
-                    scan_loc[int(m.group(1))] = lines[j]
+    parquet_scan_ids: set[int] = set()
+    for nid, header, block in _detail_blocks(lines):
+        if re.match(r"^\(\d+\) Window\b", header):
+            spec_empty = None
+            for line in block[1:]:
+                ls = line.strip()
+                if ls.startswith("Arguments:"):
+                    groups = _split_top_brackets(ls[len("Arguments:"):])
+                    # The formatted printer OMITS empty field lists:
+                    # 3 groups = [exprs],[partition],[order]; 2 = exprs +
+                    # exactly one of partition/order (an order spec always
+                    # carries 'ASC/DESC NULLS FIRST/LAST'); 1 = exprs only
+                    # (both empty). The old 'len>=3 else skip' rule was
+                    # blind to the 2- and 1-group unpartitioned shapes.
+                    if len(groups) >= 3:
+                        spec_empty = groups[-2].strip() == ""
+                    elif len(groups) == 2:
+                        spec_empty = bool(_ORDER_SPEC_RE.search(groups[1]))
+                    elif len(groups) == 1:
+                        spec_empty = True
                     break
+            if spec_empty is None:
+                findings.append(
+                    f"Window({nid}): partition spec unparseable from formatted "
+                    f"details — parse failure (fail closed)"
+                )
+                part_empty[nid] = False  # already reported; don't double-flag
+            else:
+                part_empty[nid] = spec_empty
+        elif re.match(r"^\(\d+\) Scan parquet", header):
+            parquet_scan_ids.add(nid)
+            for line in block[1:]:
+                if line.strip().startswith("Location:"):
+                    scan_loc[nid] = line
+                    break
+    # --- per-window subtree check
     for idx, (depth, name, nid) in enumerate(tree):
         if name != "Window" or not part_empty.get(nid, False):
             continue
@@ -213,7 +252,14 @@ def unpartitioned_window_findings(text: str) -> list[str]:
         if any(n in _COLLAPSERS for n, _ in subtree):
             continue
         scans = [id2 for n2, id2 in subtree if n2 == "Scan"]
-        parquet_scans = [s for s in scans if s in scan_loc]
+        parquet_scans = [s for s in scans if s in parquet_scan_ids]
+        unlocated = [s for s in parquet_scans if s not in scan_loc]
+        if unlocated:
+            findings.append(
+                f"Window({nid}): parquet Scan {unlocated} Location unparseable "
+                f"— parse failure (fail closed)"
+            )
+            continue
         if parquet_scans and all(
             any(t in scan_loc[s] for t in _BOUNDED_TABLES) for s in parquet_scans
         ):

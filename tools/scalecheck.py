@@ -124,7 +124,10 @@ def novelty_growth(ks: list[int]) -> None:
       makes the metric a saturation detector;
     * wall-clock grows ~linearly in K (one explode + two partial aggs +
       one id-keyed join; no quadratic pair work anywhere)."""
-    from music_database_spark.operators.corpus_health import novelty_per_doc
+    from music_database_spark.operators.corpus_health import (
+        novelty_per_doc,
+        novelty_shingle_arr,
+    )
 
     spark = get_spark("scalecheck")
     base = load_table(spark, SF_DIR, "documents")
@@ -147,20 +150,10 @@ def novelty_growth(ks: list[int]) -> None:
             .collect()
         )
         dt = time.time() - t0
+        # the operator's own shingle expression — the probe measures the
+        # exact index novelty_per_doc builds, not a hardcoded twin
         idx = (
-            docs.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1)),
-                        ),
-                        lambda i: F.md5(
-                            F.concat_ws(" ", F.slice(F.split("text", " "), i, 3))
-                        ),
-                    )
-                ).alias("h")
-            )
+            docs.select(F.explode(novelty_shingle_arr("text")).alias("h"))
             .agg(F.countDistinct("h"))
             .collect()[0][0]
         )
