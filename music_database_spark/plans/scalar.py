@@ -191,16 +191,25 @@ def x_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql to exercise the recursive front door; the DataFrame-native
     equivalent (sequence(min, max, interval 1 day) + explode, one pass,
     no iteration) is what a 100 TB pipeline would prefer and what the
-    calendar spine compiles down to at day grain (tiny either way)."""
+    calendar spine compiles down to at day grain (tiny either way).
+
+    The recursion is BATCHED: 7 anchor days, each stepping +7 days —
+    the standard deep-recursion move (each fixpoint iteration costs a
+    driver round-trip, so recursing per-week over 7 seed rows cuts the
+    iteration count 7x while producing the identical day set)."""
     from .relational import _t as _load
 
     _load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql("""
         WITH RECURSIVE cal(day) AS (
-            SELECT date_trunc('DAY', MIN(ts)) FROM events
+            SELECT explode(sequence(lo, least(lo + INTERVAL 6 DAY, hi),
+                                    INTERVAL 1 DAY))
+            FROM (SELECT date_trunc('DAY', MIN(ts)) AS lo,
+                         date_trunc('DAY', MAX(ts)) AS hi FROM events)
             UNION ALL
-            SELECT day + INTERVAL 1 DAY FROM cal
-            WHERE day < (SELECT date_trunc('DAY', MAX(ts)) FROM events)
+            SELECT day + INTERVAL 7 DAY FROM cal
+            WHERE day + INTERVAL 7 DAY
+                  <= (SELECT date_trunc('DAY', MAX(ts)) FROM events)
         )
         SELECT date_format(cal.day, 'yyyy-MM-dd') AS day,
                COALESCE(e.n, 0) AS n_events
