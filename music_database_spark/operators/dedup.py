@@ -99,6 +99,66 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def freq_capped(
+    df: DataFrame, keys: list[str], cap: int, style: str = "semijoin"
+) -> DataFrame:
+    """Drop bucket keys held by more than `cap` rows — the hot-bucket
+    guard every banded-LSH candidate stage needs (a bucket of k ids is
+    k²/2 pairs through ONE shuffle key; dense duplicate clusters are
+    exact-dedup's job). Both historical styles are kept verbatim so
+    every caller's physical plan — and therefore its value hash — is
+    unchanged: 'semijoin' (partial-aggregated counts equi-joined back)
+    and 'window' (count over the bucket partition)."""
+    if style == "window":
+        w = W.partitionBy(*keys)
+        return (
+            df.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= cap)
+            .drop("bsz")
+        )
+    ok = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= cap)
+        .select(*keys)
+    )
+    return df.join(ok, keys)
+
+
+def bucket_self_join(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """a ⋈ b on the bucket keys with a.id < b.id — THE shared candidate
+    core of every banded join (minhash bands, simhash chunks, hyperplane
+    buckets, shingle postings). Returns the joined frame with both
+    aliased sides intact, so callers select 'a.…'/'b.…' payload columns
+    or fold straight into pair aggregates."""
+    from functools import reduce
+
+    conds = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    conds.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return df.alias("a").join(df.alias("b"), reduce(lambda x, y: x & y, conds))
+
+
+def candidate_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cap: int | None = None,
+    cap_style: str = "semijoin",
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs colliding on the bucket
+    keys, optionally behind a freq_capped hot-bucket guard — the whole
+    generate-candidates stage of an LSH/banded dedup in one call."""
+    if cap is not None:
+        df = freq_capped(df, keys, cap, cap_style)
+    return (
+        bucket_self_join(df, keys, id_col)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def rare_shingle_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -128,12 +188,7 @@ def index_pair_stats(filtered: DataFrame, sizes: DataFrame) -> DataFrame:
     self-join on the shingle key is the only quadratic-risk stage and
     it is bounded by the index's frequency cap."""
     pairs = (
-        filtered.alias("a")
-        .join(
-            filtered.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_self_join(filtered, ["shingle"], "doc_id")
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
@@ -242,27 +297,9 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-size cap pass and both sides of the candidate self-join);
     # without it the 32-hash signature aggregation runs three times.
     bands = minhash_signature(sh_cached).persist()
-    # Hot-bucket cap: a band bucket holding k ids contributes k^2/2 candidate
-    # pairs on one shuffle key — at 100 TB a cluster of near-identical docs
-    # (or a degenerate band hash) would serialize one task. Buckets past
-    # MAX_BAND_FREQ are dominated by exact/near-exact dup clusters that the
-    # cheaper exact-dedup pass (x_dedup_exact) already catches.
-    bucket_sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bsz"))
-    bands = bands.join(
-        bucket_sizes.filter(F.col("bsz") <= MAX_BAND_FREQ).select("band_id", "band_hash"),
-        ["band_id", "band_hash"],
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    # Hot-bucket cap (freq_capped): dense duplicate clusters that would
+    # serialize one task are exact-dedup's job (x_dedup_exact).
+    cand = candidate_pairs(bands, ["band_id", "band_hash"], "id", cap=MAX_BAND_FREQ)
     sh = sh_cached
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -526,19 +563,7 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     buckets = tables[0].unionByName(tables[1])
-    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    buckets = buckets.join(
-        sizes.filter(F.col("bsz") <= MAX_BAND_FREQ).select("bucket"), "bucket"
-    )
-    cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = candidate_pairs(buckets, ["bucket"], "doc_id", cap=MAX_BAND_FREQ)
     va = vecs.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = vecs.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
@@ -607,24 +632,12 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
-    # Hot-chunk cap (same k^2 skew argument as the minhash band cap): a
-    # 16-bit chunk value shared by k docs puts k^2/2 pairs through one task.
-    # Chunks hotter than MAX_CHUNK_FREQ are dropped from candidate
-    # generation; dense duplicate clusters are exact-dedup's job, and each
-    # remaining true near-dup pair still has 3 other chunks to match on.
-    chunk_sizes = chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("csz"))
-    chunks = chunks.join(
-        chunk_sizes.filter(F.col("csz") <= MAX_CHUNK_FREQ).select("chunk_id", "chunk"),
-        ["chunk_id", "chunk"],
-    )
+    # Hot-chunk cap (same k^2 skew argument as the minhash band cap):
+    # dropped chunks cost little recall — each remaining true near-dup
+    # pair still has 3 other chunks to match on.
+    chunks = freq_capped(chunks, ["chunk_id", "chunk"], MAX_CHUNK_FREQ)
     cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_self_join(chunks, ["chunk_id", "chunk"], "doc_id")
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
@@ -774,18 +787,11 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "c0", "c1", "c2", "c3", "ch.chunk_id", "ch.chunk")
-    chunk_sizes = chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("csz"))
-    chunks = chunks.join(
-        chunk_sizes.filter(F.col("csz") <= MAX_CHUNK_FREQ).select("chunk_id", "chunk"),
-        ["chunk_id", "chunk"],
-    )
     cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bucket_self_join(
+            freq_capped(chunks, ["chunk_id", "chunk"], MAX_CHUNK_FREQ),
+            ["chunk_id", "chunk"],
+            "doc_id",
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -974,24 +980,7 @@ def x_dedup_embedding_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("doc_id", "tb.table_id", "tb.bucket")
-    ok = (
-        buckets.groupBy("table_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= MAX_BAND_FREQ)
-        .select("table_id", "bucket")
-    )
-    bf = buckets.join(ok, ["table_id", "bucket"])
-    cand = (
-        bf.alias("a")
-        .join(
-            bf.alias("b"),
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = candidate_pairs(buckets, ["table_id", "bucket"], "doc_id", cap=MAX_BAND_FREQ)
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("b"), F.col("c").alias("c_a"))
     cb = counts.select(F.col("doc_id").alias("id_b"), F.col("b"), F.col("c").alias("c_b"))
     dots = (
@@ -1133,22 +1122,8 @@ def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     shset = shingle_frame(docs, "doc_id", "text").persist()
     bands = md5_band_frame(shset)
-    w = W.partitionBy("band_id", "band_hash")
-    bands_f = (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= MAX_BAND_FREQ)
-        .drop("bsz")
-    )
-    cand = (
-        bands_f.alias("a")
-        .join(
-            bands_f.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = candidate_pairs(
+        bands, ["band_id", "band_hash"], "id", cap=MAX_BAND_FREQ, cap_style="window"
     )
     ver = (
         cand.join(shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -1414,158 +1389,8 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_dedup_recall",
-    tags=("EXT", "X2", "A1"),
-    oracle=f"""
-        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
-        shset AS (
-            SELECT id,
-                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
-                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
-            FROM toks WHERE len(t) >= {SHINGLE_LEN}
-        ),
-        sh AS (SELECT id, unnest(sh) AS g FROM shset),
-        rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
-        filtered AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
-        tpairs AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id
-        ),
-        truth AS (
-            SELECT id_a, id_b FROM (
-                SELECT id_a, id_b,
-                       len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS ni,
-                       len(x.sh) + len(y.sh)
-                           - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS nu
-                FROM tpairs JOIN shset x ON x.id = tpairs.id_a
-                            JOIN shset y ON y.id = tpairs.id_b
-            ) WHERE ni * 5 >= nu * 3
-        ),
-        mh AS (
-            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
-            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
-            GROUP BY id, s.s
-        ),
-        bands AS (
-            SELECT id, seed // 2 AS band_id,
-                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-            FROM mh GROUP BY id, seed // 2
-        ),
-        bands_f AS (
-            SELECT id, band_id, band_hash FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
-                FROM bands
-            ) WHERE bsz <= {MAX_BAND_FREQ}
-        ),
-        cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bands_f a JOIN bands_f b ON a.band_id = b.band_id
-                          AND a.band_hash = b.band_hash AND a.id < b.id
-        ),
-        hit AS (SELECT c.id_a, c.id_b FROM cand c
-                JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
-        counts AS (
-            SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-                   (SELECT COUNT(*) FROM cand) AS n_cand,
-                   (SELECT COUNT(*) FROM hit) AS n_hit
-        )
-        SELECT n_truth, n_cand, n_hit,
-               round(CASE WHEN n_cand = 0 THEN NULL
-                          ELSE CAST(n_hit AS DOUBLE) / n_cand END, 6) AS cand_precision,
-               round(CASE WHEN n_truth = 0 THEN NULL
-                          ELSE CAST(n_hit AS DOUBLE) / n_truth END, 6) AS cand_recall
-        FROM counts
-    """,
-)
-def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality harness for the banded-MinHash dedup path (the
-    x_ann_recall analog for near-dup): candidate pairs from the md5
-    band index (x_dedup_minhash_md5's stage, pre-verification) scored
-    against the exact-Jaccard ground truth (J >= 0.6 over full shingle
-    sets, generated via the rare-shingle inverted index) — one row of
-    corpus-level precision/recall for the LSH configuration. This is
-    the monitoring query a production dedup pipeline runs on a sampled
-    corpus slice after every re-tune of (bands, rows, caps): recall
-    says what the bands miss, precision says how much exact-verify work
-    each candidate costs.
+# x_dedup_recall lives in operators/dedup_eval.py (round-8 split).
 
-    100 TB design: composes two already-linear stages (banded LSH
-    candidates; frequency-capped inverted-index truth pairs) and three
-    COUNT aggregates — no new join shape, no all-pairs anywhere. Both
-    caps (MAX_SHINGLE_FREQ, MAX_BAND_FREQ) are shared with the
-    production queries, so the harness measures exactly the plan it
-    monitors. The md5 minhash family keeps every intermediate
-    engine-portable: even the PRECISION/RECALL numbers hash-match the
-    oracle. At full corpus scale the same query runs on a hash-sampled
-    slice (x_quantile_sample's deterministic md5-bucket pattern).
-    """
-    docs = _docs(spark, sf_dir)
-    shset = shingle_frame(docs, "doc_id", "text").persist()
-    exploded = shset.select("id", F.explode("sh").alias("g")).persist()
-    rare = (
-        exploded.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") <= MAX_SHINGLE_FREQ)
-        .select("g")
-    )
-    filtered = exploded.join(rare, "g")
-    tpairs = (
-        filtered.alias("a")
-        .join(
-            filtered.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    truth = (
-        tpairs.join(shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(inter * 5 >= (F.size("sh_a") + F.size("sh_b") - inter) * 3)
-        .select("id_a", "id_b")
-    )
-    bands = md5_band_frame(shset)
-    w = W.partitionBy("band_id", "band_hash")
-    bands_f = (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= MAX_BAND_FREQ)
-        .drop("bsz")
-    )
-    cand = (
-        bands_f.alias("a")
-        .join(
-            bands_f.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-        .persist()
-    )
-    hit = cand.join(truth, ["id_a", "id_b"])
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return n_truth.crossJoin(n_cand).crossJoin(n_hit).select(
-        "n_truth",
-        "n_cand",
-        "n_hit",
-        F.round(
-            F.when(F.col("n_cand") == 0, F.lit(None)).otherwise(
-                F.col("n_hit").cast("double") / F.col("n_cand")
-            ),
-            6,
-        ).alias("cand_precision"),
-        F.round(
-            F.when(F.col("n_truth") == 0, F.lit(None)).otherwise(
-                F.col("n_hit").cast("double") / F.col("n_truth")
-            ),
-            6,
-        ).alias("cand_recall"),
-    )
 
 
 @register(
@@ -1898,8 +1723,7 @@ def substring_span_runs(
     )
     f = kg.join(rare.select("h"), "h")
     m = (
-        f.alias("a")
-        .join(f.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        bucket_self_join(f, ["h"], "doc_id")
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
@@ -2052,227 +1876,9 @@ def mask_budget_from_runs(runs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-@register(
-    "x_lsh_curve",
-    tags=("EXT", "F4", "X2"),
-    oracle="""
-        WITH grid AS (
-            SELECT CAST((n_nationkey + 1) * 5 AS INTEGER) AS s_pct,
-                   CAST((n_nationkey + 1) * 5 AS DOUBLE) / 100.0 AS s
-            FROM nation WHERE n_nationkey < 19
-        ),
-        powed AS (
-            SELECT s_pct, s, (s * s) * (s * s) AS s_r FROM grid
-        ),
-        banded AS (
-            SELECT s_pct, s_r,
-                   (1.0 - s_r) * (1.0 - s_r) AS t2
-            FROM powed
-        )
-        SELECT s_pct,
-               round(s_r, 6) AS p_band_match,
-               round(1.0 - (t2 * t2) * (t2 * t2), 6) AS p_candidate,
-               1.0 - (t2 * t2) * (t2 * t2) >= 0.5 AS above_half
-        FROM banded ORDER BY s_pct
-    """,
-)
-def x_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The analytical S-curve of the production MinHash-LSH config
-    (N_BANDS=8 bands x 4 rows: P(candidate | Jaccard=s) =
-    1-(1-s^4)^8), evaluated on a 5%-step similarity grid — the tuning
-    exhibit that justifies the \"catches Jaccard >~ 0.6\" claim
-    stamped on the dedup family (dedup.py:29): the curve crosses 1/2
-    between 50% and 55% and reaches ~0.67 at s=0.6. Exponentiation is spelled as explicit
-    squaring chains (s^4 = (s*s)*(s*s); t^8 = ((t*t)*(t*t))... ) in
-    BOTH engines — never POWER(), whose exp/log path is not
-    bit-portable — so the curve itself hash-matches.
-
-    100 TB relevance: this is how you retune (b, r) before a run —
-    the curve is closed-form, evaluated over a 19-row grid; zero data
-    touched beyond the constant grid carrier.
-
-    Reference parity: analytical exhibit for SURVEY.md §2 X2;
-    Leskovec-Rajaraman-Ullman ch.3 construction."""
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
-    grid = nation.filter(F.col("n_nationkey") < 19).select(
-        ((F.col("n_nationkey") + 1) * 5).cast("int").alias("s_pct"),
-        (((F.col("n_nationkey") + 1) * 5).cast("double") / 100.0).alias("s"),
-    )
-    s_r = (F.col("s") * F.col("s")) * (F.col("s") * F.col("s"))
-    powed = grid.select("s_pct", s_r.alias("s_r"))
-    t2 = (1.0 - F.col("s_r")) * (1.0 - F.col("s_r"))
-    banded = powed.select("s_pct", "s_r", t2.alias("t2"))
-    p_cand = 1.0 - (F.col("t2") * F.col("t2")) * (F.col("t2") * F.col("t2"))
-    return banded.select(
-        "s_pct",
-        F.round("s_r", 6).alias("p_band_match"),
-        F.round(p_cand, 6).alias("p_candidate"),
-        (p_cand >= 0.5).alias("above_half"),
-    ).orderBy("s_pct")
+# x_lsh_curve / x_lsh_curve_empirical live in operators/dedup_eval.py.
 
 
-@register(
-    "x_lsh_curve_empirical",
-    tags=("EXT", "X2", "A1", "F4"),
-    oracle=f"""
-        WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
-        shset AS (
-            SELECT id,
-                   list_distinct([array_to_string(t[i:i+{SHINGLE_LEN - 1}], chr(31))
-                                  for i in range(1, len(t) - {SHINGLE_LEN - 2})]) AS sh
-            FROM toks WHERE len(t) >= {SHINGLE_LEN}
-        ),
-        sh AS (SELECT id, unnest(sh) AS g FROM shset),
-        rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
-        filtered AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
-        tpairs AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM filtered a JOIN filtered b ON a.g = b.g AND a.id < b.id
-        ),
-        jbuck AS (
-            SELECT id_a, id_b, LEAST(9, (ni * 10) // nu) AS bucket FROM (
-                SELECT id_a, id_b,
-                       len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS ni,
-                       len(x.sh) + len(y.sh)
-                           - len(list_filter(x.sh, g -> list_contains(y.sh, g))) AS nu
-                FROM tpairs JOIN shset x ON x.id = tpairs.id_a
-                            JOIN shset y ON y.id = tpairs.id_b
-            ) WHERE nu > 0 AND ni * 10 >= nu * 3
-        ),
-        mh AS (
-            SELECT id, s.s AS seed, min(md5(CAST(s.s AS VARCHAR) || ':' || g)) AS h
-            FROM sh CROSS JOIN (SELECT unnest(range(0, {N_MINHASH_MD5})) AS s) s
-            GROUP BY id, s.s
-        ),
-        bands AS (
-            SELECT id, seed // 2 AS band_id,
-                   md5(string_agg(h, ',' ORDER BY seed)) AS band_hash
-            FROM mh GROUP BY id, seed // 2
-        ),
-        bands_f AS (
-            SELECT id, band_id, band_hash FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz
-                FROM bands
-            ) WHERE bsz <= {MAX_BAND_FREQ}
-        ),
-        cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bands_f a JOIN bands_f b ON a.band_id = b.band_id
-                          AND a.band_hash = b.band_hash AND a.id < b.id
-        )
-        SELECT j.bucket,
-               round(j.bucket / 10.0, 1) AS jaccard_lo,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_caught,
-               round(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
-                          AS DOUBLE) / COUNT(*), 6) AS capture_rate
-        FROM jbuck j LEFT JOIN cand c
-          ON c.id_a = j.id_a AND c.id_b = j.id_b
-        GROUP BY j.bucket ORDER BY j.bucket
-    """,
-)
-def x_lsh_curve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MEASURED LSH S-curve: capture rate of the production band
-    index per exact-Jaccard decile (0.3 up), on the corpus itself —
-    the empirical validation of x_lsh_curve's analytic
-    P(candidate|s) = 1-(1-s^4)^8 and the full-curve generalization of
-    x_dedup_recall's single J>=0.6 operating point (truth there IS
-    buckets >= 6 here: ni*10 >= 6*nu, pinned in tests). Run after any
-    (bands, rows, caps) re-tune to see where the curve's knee actually
-    sits on YOUR data, not the iid model.
-
-    Determinism: Jaccard deciles come from integer cross-multiplied
-    (ni, nu) — no float thresholds; the md5 minhash family keeps bands
-    engine-portable; capture rates are single divisions of exact
-    counts.
-
-    Truth-side caveat (documented bias): ground-truth pairs are
-    enumerable only through the rare-shingle inverted index, so pairs
-    sharing NO rare shingle never enter any bucket — exact at J >= 0.5,
-    conservative below; the curve starts at 0.3 where coverage is
-    still meaningful.
-
-    100 TB design: composes the two already-linear capped stages
-    (inverted-index truth pairs, banded candidates) plus one
-    pair-keyed left join and a 7-row rollup — no new join shape; at
-    full corpus scale the harness runs on a deterministic hash-sampled
-    slice like x_dedup_recall."""
-    docs = _docs(spark, sf_dir)
-    shset = shingle_frame(docs, "doc_id", "text").persist()
-    exploded = shset.select("id", F.explode("sh").alias("g")).persist()
-    rare = (
-        exploded.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") <= MAX_SHINGLE_FREQ)
-        .select("g")
-    )
-    filtered = exploded.join(rare, "g")
-    tpairs = (
-        filtered.alias("a")
-        .join(
-            filtered.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jbuck = (
-        tpairs.join(
-            shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("ni"),
-            (F.size("sh_a") + F.size("sh_b") - inter).alias("nu"),
-        )
-        .filter((F.col("nu") > 0) & (F.col("ni") * 10 >= F.col("nu") * 3))
-        .select(
-            "id_a",
-            "id_b",
-            F.least(F.lit(9), F.expr("(ni * 10) div nu")).alias("bucket"),
-        )
-    )
-    bands = md5_band_frame(shset)
-    w = W.partitionBy("band_id", "band_hash")
-    bands_f = (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= MAX_BAND_FREQ)
-        .drop("bsz")
-    )
-    cand = (
-        bands_f.alias("a")
-        .join(
-            bands_f.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-        .withColumn("caught", F.lit(1))
-    )
-    return (
-        jbuck.join(cand, ["id_a", "id_b"], "left")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum(F.coalesce("caught", F.lit(0))).cast("bigint").alias("n_caught"),
-        )
-        .select(
-            "bucket",
-            F.round(F.col("bucket") / 10.0, 1).alias("jaccard_lo"),
-            "n_pairs",
-            "n_caught",
-            F.round(F.col("n_caught").cast("double") / F.col("n_pairs"), 6).alias(
-                "capture_rate"
-            ),
-        )
-        .orderBy("bucket")
-    )
 
 
 @register(
@@ -2367,142 +1973,7 @@ def x_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round 6 addition ---------------------------------------------------
-
-# Equal-budget (b x r = 64 minhashes) LSH configurations to compare.
-# r and b are powers of two so s^r and (1-s^r)^b are explicit squaring
-# chains in BOTH engines (x_lsh_curve's portability rule: never POWER).
-BAND_TUNE_CONFIGS: tuple[tuple[int, int], ...] = ((32, 2), (16, 4), (8, 8), (4, 16))
-BAND_TUNE_THRESHOLD_PCT = 50  # design point: dup iff Jaccard >= 0.5
-
-
-def _sq_chain_sql(expr: str, power: int) -> str:
-    """expr**power (power = 2^k) as an explicit squaring chain."""
-    out = expr
-    while power > 1:
-        out = f"({out} * {out})"
-        power //= 2
-    return out
-
-
-def _band_tune_oracle() -> str:
-    arms = []
-    for b, r in BAND_TUNE_CONFIGS:
-        # p_candidate = 1 - (1 - s^r)^b, both powers as squaring chains
-        one_minus = f"(1.0 - {_sq_chain_sql('s', r)})"
-        p = f"(1.0 - {_sq_chain_sql(one_minus, b)})"
-        arms.append(
-            f"""SELECT {b} AS bands, {r} AS rows_per_band, s_pct,
-                   round({p}, 6) AS p_cand
-            FROM grid"""
-        )
-    arms_sql = "\n            UNION ALL\n            ".join(arms)
-    return f"""
-        WITH grid AS (
-            SELECT CAST((n_nationkey + 1) * 5 AS INTEGER) AS s_pct,
-                   CAST((n_nationkey + 1) * 5 AS DOUBLE) / 100.0 AS s
-            FROM nation WHERE n_nationkey < 19
-        ),
-        curves AS (
-            {arms_sql}
-        ),
-        costs AS (
-            SELECT bands, rows_per_band,
-                   CAST(SUM(CASE WHEN s_pct < {BAND_TUNE_THRESHOLD_PCT}
-                                 THEN CAST(p_cand AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
-                        AS DECIMAL(18,6)) AS fp_mass,
-                   CAST(SUM(CASE WHEN s_pct >= {BAND_TUNE_THRESHOLD_PCT}
-                                 THEN CAST(round(1.0 - p_cand, 6) AS DECIMAL(18,6))
-                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
-                        AS DECIMAL(18,6)) AS fn_mass
-            FROM curves GROUP BY bands, rows_per_band
-        ),
-        best AS (SELECT MIN(fp_mass + fn_mass) AS best_cost FROM costs)
-        SELECT bands, rows_per_band,
-               CAST(fp_mass AS DOUBLE) AS fp_mass,
-               CAST(fn_mass AS DOUBLE) AS fn_mass,
-               CAST(fp_mass + fn_mass AS DOUBLE) AS total_cost,
-               (fp_mass + fn_mass = best_cost) AS is_best
-        FROM costs, best
-        ORDER BY bands DESC
-    """
-
-
-@register("x_minhash_band_tuning", tags=("EXT", "F4", "X2"), oracle=_band_tune_oracle())
-def x_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH (bands x rows) tuning table: x_lsh_curve generalized from the
-    production config's single S-curve to the full equal-budget design
-    sweep (64 minhashes split 32x2 / 16x4 / 8x8 / 4x16), scored by
-    false-positive mass below the Jaccard-0.5 design point plus
-    false-negative mass above it (the Riemann sum of the S-curve against
-    the step-function ideal), with the argmin flagged — the closed-form
-    pre-run answer to "which banding should this corpus use?".
-
-    Determinism: every power is an explicit squaring chain (never
-    POWER); each grid term is rounded to 6 then summed as
-    DECIMAL(18,6) — exact and order-independent — so even the argmin
-    comparison is exact-decimal equality on both engines.
-
-    100 TB relevance: retuning (b, r) costs 4 x 19 closed-form rows —
-    zero data touched; the chosen config then drives the banded
-    self-join whose candidate volume the S-curve prices (PLANS.md
-    winnow/basket tables)."""
-    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
-    grid = nation.filter(F.col("n_nationkey") < 19).select(
-        ((F.col("n_nationkey") + 1) * 5).cast("int").alias("s_pct"),
-        (((F.col("n_nationkey") + 1) * 5).cast("double") / 100.0).alias("s"),
-    )
-
-    def chain(col: F.Column, power: int) -> F.Column:
-        out = col
-        while power > 1:
-            out = out * out
-            power //= 2
-        return out
-
-    curves = None
-    for b, r in BAND_TUNE_CONFIGS:
-        p = 1.0 - chain(1.0 - chain(F.col("s"), r), b)
-        arm = grid.select(
-            F.lit(b).alias("bands"),
-            F.lit(r).alias("rows_per_band"),
-            "s_pct",
-            F.round(p, 6).alias("p_cand"),
-        )
-        curves = arm if curves is None else curves.unionAll(arm)
-    zero = F.lit(0).cast("decimal(18,6)")
-    costs = curves.groupBy("bands", "rows_per_band").agg(
-        F.sum(
-            F.when(
-                F.col("s_pct") < BAND_TUNE_THRESHOLD_PCT,
-                F.col("p_cand").cast("decimal(18,6)"),
-            ).otherwise(zero)
-        )
-        .cast("decimal(18,6)")
-        .alias("fp_mass"),
-        F.sum(
-            F.when(
-                F.col("s_pct") >= BAND_TUNE_THRESHOLD_PCT,
-                F.round(1.0 - F.col("p_cand"), 6).cast("decimal(18,6)"),
-            ).otherwise(zero)
-        )
-        .cast("decimal(18,6)")
-        .alias("fn_mass"),
-    )
-    best = costs.agg(F.min(F.col("fp_mass") + F.col("fn_mass")).alias("best_cost"))
-    return (
-        costs.crossJoin(F.broadcast(best))
-        .select(
-            "bands",
-            "rows_per_band",
-            F.col("fp_mass").cast("double").alias("fp_mass"),
-            F.col("fn_mass").cast("double").alias("fn_mass"),
-            (F.col("fp_mass") + F.col("fn_mass")).cast("double").alias("total_cost"),
-            (F.col("fp_mass") + F.col("fn_mass") == F.col("best_cost")).alias("is_best"),
-        )
-        .orderBy(F.desc("bands"))
-    )
+# x_minhash_band_tuning lives in operators/dedup_eval.py (round-8 split).
 
 
 # ---------------------------------------------------------------------------

@@ -330,24 +330,10 @@ def x_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.bb", "band.band_hash")
-    from pyspark.sql import Window as W
+    from .dedup import candidate_pairs
 
-    w = W.partitionBy("bb", "band_hash")
-    bands_f = (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= PHASH_MAX_BAND_FREQ)
-        .drop("bsz")
-    )
-    cand = (
-        bands_f.alias("a")
-        .join(
-            bands_f.alias("b"),
-            (F.col("a.bb") == F.col("b.bb"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    cand = candidate_pairs(
+        bands, ["bb", "band_hash"], "doc_id", cap=PHASH_MAX_BAND_FREQ, cap_style="window"
     )
     ver = (
         cand.join(bits.select(F.col("doc_id").alias("id_a"), F.col("b").alias("b_a")), "id_a")
@@ -445,12 +431,10 @@ def x_media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq") <= FRAME_MAX_FREQ
     )
     f = frames.join(rare.select("fh"), "fh").distinct()
+    from .dedup import bucket_self_join
+
     pairs = (
-        f.alias("a")
-        .join(
-            f.alias("b"),
-            (F.col("a.fh") == F.col("b.fh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_self_join(f, ["fh"], "doc_id")
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= FRAME_MIN_SHARED)

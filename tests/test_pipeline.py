@@ -2035,12 +2035,8 @@ def test_histogram_equidepth_buckets_are_equal_count_and_ordered(spark, reg):
 
 
 def test_ivf_probe_curve_is_monotone_and_consistent_with_point_harness(spark, reg):
-    from music_database_spark.operators.knn import (
-        N_PROBES,
-        PROBE_CURVE_LEVELS,
-        TOP_K,
-        TRAINED_PROBE_CELLS,
-    )
+    from music_database_spark.operators.knn import N_PROBES, TOP_K, TRAINED_PROBE_CELLS
+    from music_database_spark.operators.knn_eval import PROBE_CURVE_LEVELS
 
     rows = {r["nprobe"]: r for r in reg["x_ivf_probe_curve"].build(spark, SF_SMOKE).collect()}
     assert set(rows) == set(PROBE_CURVE_LEVELS)
