@@ -46,13 +46,118 @@ def replicate(docs: DataFrame, k: int) -> DataFrame:
     return out
 
 
+# --- heavy-family scaling exponents (round-8 verdict ask #8) -------------
+
+# One representative per expensive plan family, with the tables its scan
+# actually reads. K-replication materializes real parquet (same layout
+# for every K, I/O included) so the exponent measures the whole job.
+HEAVY: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("x_dedup_minhash_md5", ("documents",)),   # banded dedup + verify
+    ("x_dedup_embedding_det", ("documents",)), # sparse-BOW LSH + cosine verify
+    ("x_span_mask", ("documents",)),           # k-gram position index + islands
+    ("x_knn_pq", ("embeddings",)),             # PQ train + ADC rerank
+    ("x_knn_ivf_trained", ("embeddings",)),    # Lloyd train + cell search
+    ("x_lorenz_curve", ("orders",)),           # global rank (post-agg)
+    ("x_histogram_equidepth", ("orders",)),    # value-domain rank spans
+    ("x_sssp_weighted", ("lineitem", "orders", "customer", "supplier", "nation")),  # iterative rounds
+)
+
+# Key columns shifted per replica so copies are disjoint (documents get
+# the salted near-dup treatment instead — the worst case for candidate
+# generation). Bounded dimension keys (c_nationkey) stay put.
+_SHIFT_COLS: dict[str, tuple[str, ...]] = {
+    "embeddings": ("vec_id",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_suppkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "nation": (),  # bounded dimension: never replicated, K copies = 1 copy
+}
+
+
+def _replicated_table(spark, t: str, k: int) -> DataFrame:
+    df = load_table(spark, SF_DIR, t)
+    if k == 1:
+        return df
+    if t == "documents":
+        return replicate(df, k)
+    cols = _SHIFT_COLS[t]
+    if not cols:  # bounded dimension, identical at every K
+        return df
+    maxes = df.agg(*[(F.max(c) + 1).alias(c) for c in cols]).collect()[0]
+    out = df
+    for r in range(1, k):
+        out = out.unionByName(
+            df.select(
+                *[
+                    (F.col(c) + r * maxes[c]).alias(c) if c in cols else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        )
+    return out
+
+
+def heavy_growth(ks: list[int]) -> None:
+    """Measured sf0.1 -> K x sf0.1 scaling exponents for the heaviest
+    plan families:
+
+        python tools/scalecheck.py --heavy 1 2 4
+
+    For each query, K-replicated inputs are materialized to
+    .tmp/heavy_k{K}/ (identical parquet layout for every K, so K=1 is
+    measured through the same path), the query runs warm-up + 2 timed
+    noop-sink executions (median), and the exponent is
+    ln(t_Kmax / t_1) / ln(Kmax). Slope ~1.0 = linear scaling; anything
+    materially above ~1.3 earns a plan note in PLANS.md."""
+    import math
+
+    spark = get_spark("scalecheck")
+    needed: dict[str, None] = {}
+    for _, tabs in HEAVY:
+        for t in tabs:
+            needed[t] = None
+    for k in ks:
+        for t in needed:
+            path = os.path.join(REPO, ".tmp", f"heavy_k{k}", f"{t}.parquet")
+            if not os.path.exists(path):
+                _replicated_table(spark, t, k).write.mode("overwrite").parquet(path)
+    from music_database_spark.registry import load_all
+
+    reg = load_all()
+    print(f"{'query':<24} " + " ".join(f"K={k:<2}s".rjust(8) for k in ks) + "  slope")
+    for name, _tabs in HEAVY:
+        times = []
+        for k in ks:
+            sf_dir = os.path.join(REPO, ".tmp", f"heavy_k{k}")
+            runs = []
+            for i in range(3):  # 1 warm-up + 2 timed
+                t0 = time.time()
+                reg[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                if i > 0:
+                    runs.append(time.time() - t0)
+            times.append(sorted(runs)[len(runs) // 2])
+            spark.catalog.clearCache()
+        slope = math.log(times[-1] / times[0]) / math.log(ks[-1] / ks[0])
+        print(
+            f"{name:<24} "
+            + " ".join(f"{t:8.2f}" for t in times)
+            + f"  {slope:5.2f}"
+        )
+
+
 def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding", "--heavy")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
+    if "--heavy" in sys.argv[1:]:
+        heavy_growth(ks)
+        return 0
     if "--tpch" in sys.argv[1:]:
         tpch_growth(ks)
         return 0
