@@ -128,7 +128,7 @@ class CorpusPipeline:
         sides (the exact-substring dedup signal; x_substring_dedup /
         x_span_mask semantics). Returns (id_a, id_b, start_a, start_b,
         span)."""
-        from .operators.dedup import SPAN_MIN_TOKENS, substring_span_runs
+        from .operators.spans import SPAN_MIN_TOKENS, substring_span_runs
 
         return substring_span_runs(
             self.docs,
@@ -141,7 +141,7 @@ class CorpusPipeline:
         """Per-doc mask budget after merging overlapping shared-span
         intervals on the losing side (x_span_mask semantics): (doc_id,
         n_sources, n_raw_spans, n_spans_merged, n_tokens_masked)."""
-        from .operators.dedup import mask_budget_from_runs
+        from .operators.spans import mask_budget_from_runs
 
         return mask_budget_from_runs(self.substring_spans(), self.id_col)
 

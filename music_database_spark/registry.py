@@ -145,7 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
     reordered so DRIVER_PRIORITY comes first (driver correctness window),
     followed by the rest in registration order."""
     from .plans import analytics, ddl, relational, scalar, scale, setops, sketches, udf_surface, windows  # noqa: F401
-    from .operators import basket, constraints, corpus_health, dedup, dedup_eval, graph, knn, knn_eval, linkage, multimodal, pipeline, quality, textops  # noqa: F401
+    from .operators import basket, constraints, corpus_health, dedup, dedup_eval, graph, knn, knn_eval, linkage, multimodal, pipeline, quality, spans, textops  # noqa: F401
     from .sources import formats, pydatasource  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401
 

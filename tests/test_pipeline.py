@@ -689,7 +689,7 @@ def test_substring_spans_exact_on_constructed_corpus(spark):
     # 25-token span) plus noise; doc 3 shares nothing; doc 4 duplicates
     # doc 1 exactly (span = full length). Token vocabularies are unique
     # per position so no accidental k-gram collisions.
-    from music_database_spark.operators.dedup import (
+    from music_database_spark.operators.spans import (
         SPAN_K,
         substring_span_pairs,
     )
@@ -798,7 +798,7 @@ def test_kanonymity_generalization_strictly_reduces_risk(spark, reg):
 def test_span_mask_merges_overlaps_on_constructed_corpus(spark):
     # Doc 4 contains two overlapping copies of doc-1 fragments plus one
     # disjoint one: raw spans must merge to the known interval union.
-    from music_database_spark.operators.dedup import substring_span_runs, x_span_mask  # noqa: F401
+    from music_database_spark.operators.spans import substring_span_runs, x_span_mask  # noqa: F401
     from music_database_spark.operators import dedup as D
     from pyspark.sql import functions as F
 

@@ -621,3 +621,93 @@ def test_stratified_assign_quota_is_exact_not_float_floor(spark):
         counts[r["split"]] = counts.get(r["split"], 0) + 1
     assert counts["train"] == 63, counts  # float floor would give 62
     assert counts["train"] + counts["val"] == 81, counts
+
+
+# --- round-8 consolidation cores -----------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 4)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from(["semijoin", "window"]),
+)
+def test_candidate_pairs_matches_bruteforce(spark, rows, cap_style):
+    """candidate_pairs (the shared banded-join core) on ARBITRARY
+    (id, bucket) frames must equal brute-force pair enumeration under
+    the same frequency cap, for BOTH historical cap styles."""
+    from music_database_spark.operators.dedup import candidate_pairs
+
+    cap = 3
+    df = spark.createDataFrame(rows, "id long, bucket int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(df, ["bucket"], "id", cap=cap, cap_style=cap_style).collect()
+    }
+    from collections import defaultdict
+
+    by_bucket: dict[int, list[int]] = defaultdict(list)
+    for i, b in rows:
+        by_bucket[b].append(i)
+    want = {
+        (a, b)
+        for ids in by_bucket.values()
+        if len(ids) <= cap
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert got == want
+
+
+def test_packed_argmin_assign_matches_python_reference(spark):
+    """packed_argmin_assign (the shared Lloyd/IVF/ingest argmin) must
+    reproduce a plain-Python nearest-centroid with the (dist, cid)
+    lexicographic tie-break — including an exact tie."""
+    from music_database_spark.operators.knn import packed_argmin_assign
+
+    vecs = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.5, 0.5]), (3, [2.0, -1.0])]
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [9.0, 9.0])]
+    rows = spark.createDataFrame(vecs, "vec_id long, emb array<double>")
+    cdf = spark.createDataFrame(cents, "cluster_id int, cent array<double>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in packed_argmin_assign(rows, cdf).collect()
+    }
+
+    def ref(v):
+        best = min(
+            (sum((x - y) * (x - y) for x, y in zip(v, c)), cid) for cid, c in cents
+        )
+        return (best[1], best[0])
+
+    for vid, v in vecs:
+        assert got[vid] == ref(v), (vid, got[vid], ref(v))
+    # vec 2 is exactly equidistant from centroids 0 and 1: tie goes to
+    # the LOWER cluster_id by the (dist, cid) struct order.
+    assert got[2][0] == 0
+
+
+def test_decimal_mean_centroids_matches_numpy(spark):
+    """decimal_mean_centroids must equal the per-key numpy mean (the
+    decimal accumulator is exact for these values, so equality is
+    exact, not approximate)."""
+    import numpy as np
+
+    from music_database_spark.operators.knn import decimal_mean_centroids
+
+    data = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [2.0, 4.0, 6.0]),
+        ("a", [0.0, 0.0, 3.0]),
+        ("b", [10.0, -2.0, 0.5]),
+    ]
+    df = spark.createDataFrame(data, "k string, emb array<double>")
+    got = {r["k"]: r["cent"] for r in decimal_mean_centroids(df, "k").collect()}
+    for k in ("a", "b"):
+        want = np.mean([e for kk, e in data if kk == k], axis=0)
+        assert got[k] == list(want), (k, got[k], want)

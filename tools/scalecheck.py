@@ -534,7 +534,7 @@ def span_growth(ks: list[int]) -> None:
     (quadratic in the ANSWER) while the hot-k-gram cap keeps the
     inverted-index join bounded once replica multiplicity crosses
     SPAN_MAX_FREQ; wall-clock should track the answer, not corpus^2."""
-    from music_database_spark.operators.dedup import (
+    from music_database_spark.operators.spans import (
         SPAN_MAX_FREQ,
         substring_span_runs,
     )
@@ -564,7 +564,7 @@ def span_growth(ks: list[int]) -> None:
         runs = substring_span_runs(docs).persist()
         n_rows = runs.count()
         dt = time.time() - t0
-        from music_database_spark.operators.dedup import mask_budget_from_runs
+        from music_database_spark.operators.spans import mask_budget_from_runs
 
         masked = mask_budget_from_runs(runs).count()
         print(f"{k:>3} {docs.count():>7} {hot_pct:>8.1f} {dt:>7.2f} {n_rows:>10} {masked:>11}")
