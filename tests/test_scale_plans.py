@@ -394,6 +394,10 @@ def test_planaudit_lint_is_clean_on_representative_plans(spark):
         "x_dynamic_partition_pruning",  # the round-7 type-parity regression site
         "x_padding_waste",
         "x_embed_coherence",
+        # round-8 fixes: the fail-closed window parser found these two as
+        # real single-partition sorts over raw scans; a revert regresses here
+        "x_skyline",
+        "x_histogram_equidepth",
     ]
     for name in sample:
         df = reg[name].build(spark, SF)
@@ -409,3 +413,52 @@ def test_planaudit_lint_is_clean_on_representative_plans(spark):
                 (c, t) for c, t, *_ in con.execute(f"DESCRIBE {reg[name].oracle}").fetchall()
             ]
             assert type_parity_findings(df.schema, duck_cols) == [], name
+
+
+def test_window_lint_parses_all_three_argument_shapes():
+    """Pure-text pin of the round-8 fail-closed parser: the formatted
+    printer OMITS empty Window field lists, so the Arguments line has 3
+    bracket groups (exprs+partition+order), 2 (exprs + exactly one of
+    partition/order — the order spec carries ASC/DESC NULLS markers), or
+    1 (exprs only). The old len>=3-else-skip rule was silently blind to
+    the 2- and 1-group unpartitioned shapes; each canned plan below must
+    classify exactly as labeled, and an unparseable spec must FAIL
+    CLOSED (be itself a finding)."""
+    from tools.planaudit import unpartitioned_window_findings
+
+    def plan(args_line: str) -> str:
+        # minimal formatted-explain shape: tree section, then details;
+        # the scan is a parquet FACT table (lint treats dimension-only
+        # and literal-frame subtrees as bounded)
+        return "\n".join(
+            [
+                "* Window (2)",
+                "+- * Scan parquet  (1)",
+                "",
+                "(1) Scan parquet ",
+                "Output [1]: [x#1]",
+                "Location: InMemoryFileIndex [file:/data/orders.parquet]",
+                "",
+                "(2) Window",
+                "Input [1]: [x#1]",
+                args_line,
+                "",
+            ]
+        )
+
+    # 3 groups, non-empty partition: clean
+    ok3 = plan("Arguments: [sum(x) w AS s#2], [grp#3], [x#1 ASC NULLS FIRST]")
+    assert unpartitioned_window_findings(ok3) == []
+    # 2 groups, second is an ORDER spec -> unpartitioned over a raw scan: flagged
+    bad2 = plan("Arguments: [row_number() w AS r#2], [x#1 ASC NULLS FIRST]")
+    assert len(unpartitioned_window_findings(bad2)) == 1
+    # 2 groups, second is a PARTITION spec: clean
+    ok2 = plan("Arguments: [sum(x) w AS s#2], [grp#3]")
+    assert unpartitioned_window_findings(ok2) == []
+    # 1 group -> unpartitioned and unordered: flagged
+    bad1 = plan("Arguments: [sum(x) w AS s#2]")
+    assert len(unpartitioned_window_findings(bad1)) == 1
+    # no Arguments line at all -> parse failure must fail closed
+    broken = plan("NotArguments: []")
+    finds = unpartitioned_window_findings(broken)
+    assert len(finds) == 1 and "parse failure" in finds[0]
