@@ -1849,6 +1849,10 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents", "c", "cum", "n", F.explode(F.sequence("b0", "b1")).alias("bucket")
         )
         .select("bucket", "cents", overlap.cast("bigint").alias("k"))
+        # k = 0 only when B > n leaves a bucket's rank range empty inside
+        # a multi-rank value's span (property-tested edge); such phantom
+        # buckets hold no ranks and must not surface
+        .filter(F.col("k") >= 1)
         .groupBy("bucket")
         .agg(
             F.sum("k").cast("bigint").alias("n_rows"),

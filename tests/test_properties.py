@@ -711,3 +711,78 @@ def test_decimal_mean_centroids_matches_numpy(spark):
     for k in ("a", "b"):
         want = np.mean([e for kk, e in data if kk == k], axis=0)
         assert got[k] == list(want), (k, got[k], want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    st.sampled_from([2, 3, 7, 10]),
+)
+def test_equidepth_span_derivation_matches_rank_formula(cents_list, n_buckets):
+    """The round-8 x_histogram_equidepth rewrite, pinned in pure Python:
+    deriving per-bucket (count, lo, hi, ndv) from per-VALUE rank spans
+    intersected with the integer bucket ranges must equal bucketing every
+    individual rank with (rn*B + n - 1) div n — for any value multiset,
+    including all-equal values and n < B."""
+    from collections import Counter, defaultdict
+
+    B, n = n_buckets, len(cents_list)
+    v = sorted(cents_list)
+    # reference: per-rank bucketing (what the unchanged oracle computes)
+    ref: dict[int, list[int]] = defaultdict(list)
+    for rn, x in enumerate(v, start=1):
+        ref[(rn * B + n - 1) // n].append(x)
+    want = {
+        b: (len(xs), min(xs), max(xs), len(set(xs))) for b, xs in ref.items()
+    }
+    # span derivation (the rewritten plan's arithmetic)
+    got: dict[int, list] = defaultdict(lambda: [0, None, None, 0])
+    cum = 0
+    for val, c in sorted(Counter(v).items()):
+        b0 = ((cum + 1) * B + n - 1) // n
+        b1 = ((cum + c) * B + n - 1) // n
+        for b in range(b0, b1 + 1):
+            overlap = min(cum + c, (b * n) // B) - max(cum, ((b - 1) * n) // B)
+            if overlap < 1:
+                # B > n can leave a bucket's rank range empty inside a
+                # multi-rank value's span; the plan filters these out
+                # (k >= 1) — hypothesis found this edge
+                continue
+            g = got[b]
+            g[0] += overlap
+            g[1] = val if g[1] is None else min(g[1], val)
+            g[2] = val if g[2] is None else max(g[2], val)
+            g[3] += 1
+        cum += c
+    assert {b: tuple(g) for b, g in got.items()} == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),  # (price, date), small domains force ties
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_per_date_champion_pruning_is_lossless(rows):
+    """The round-8 x_skyline rewrite, pinned in pure Python: computing
+    the sort-filter skyline over only each date's champion (max price,
+    then min key) must return exactly the frontier the full scan
+    returns — for any (price, date) multiset including heavy ties."""
+    pts = [(k, p, d) for k, (p, d) in enumerate(rows)]
+
+    def frontier(candidates):
+        out, best_prior = [], None
+        for k, p, d in sorted(candidates, key=lambda t: (-t[1], t[0])):
+            if best_prior is None or d > best_prior:
+                out.append((k, p, d))
+            best_prior = d if best_prior is None else max(best_prior, d)
+        return sorted(out)
+
+    full = frontier(pts)
+    champs = {}
+    for k, p, d in pts:
+        if d not in champs or (p, -k) > (champs[d][1], -champs[d][0]):
+            champs[d] = (k, p, d)
+    assert frontier(champs.values()) == full
