@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .relational import _t, dsum, ts_range
+from .relational import _t, disc_price_dec, dsum, ts_range
 from ..sources.loader import scan_wide
 
 
@@ -27,7 +27,9 @@ from ..sources.loader import scan_wide
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+                         AS DECIMAL(27,4)) AS DOUBLE)
                    AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -55,9 +57,7 @@ def q12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum((F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)"))
-            .cast("double")
-            .alias("sum_disc_price"),
+            F.sum(disc_price_dec()).cast("decimal(27,4)").cast("double").alias("sum_disc_price"),
             (dsum("l_quantity") / n).alias("avg_qty"),
             (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
@@ -71,7 +71,9 @@ def q12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("EXT", "J2", "A1", "O2", "P5"),
     oracle="""
         SELECT l_orderkey AS orderkey,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+                         AS DECIMAL(27,4)) AS DOUBLE)
                    AS revenue,
                o_orderpriority AS priority
         FROM customer
@@ -96,9 +98,7 @@ def q13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     )
-    revenue = F.sum(
-        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)")
-    ).cast("double")
+    revenue = F.sum(disc_price_dec()).cast("decimal(27,4)").cast("double")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -115,7 +115,9 @@ def q13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("EXT", "J2", "J5", "A1", "P5"),
     oracle="""
         SELECT n_name AS nation,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,8))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+                         AS DECIMAL(27,4)) AS DOUBLE)
                    AS revenue
         FROM region
         JOIN nation ON r_regionkey = n_regionkey
@@ -142,9 +144,7 @@ def q14_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(ts_range("o_orderdate", 1996, 1996))
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
-    revenue = F.sum(
-        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(22,8)")
-    ).cast("double")
+    revenue = F.sum(disc_price_dec()).cast("decimal(27,4)").cast("double")
     return (
         F.broadcast(region)
         .join(nation, region.r_regionkey == nation.n_regionkey)

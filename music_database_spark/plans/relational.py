@@ -37,6 +37,30 @@ def dsum(col, precision: int = 18, scale: int = 4):
     return F.sum(F.col(col).cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def disc_price_dec():
+    """l_extendedprice * (1 - l_discount) in EXACT decimal arithmetic —
+    cast the clean 2-dp inputs to decimal FIRST, multiply in decimal.
+    The former double-product-then-cast-decimal(22,8) form hit engine
+    ulp divergence: Spark's double->decimal goes through the shortest
+    string repr (BigDecimal.valueOf) while DuckDB rounds the exact
+    binary expansion, and a product's long binary tail can land on a
+    half-way digit — invisible at sf0.01, one double ulp apart summed
+    over 215k rows at sf0.1 (round-8 finding). Inputs themselves are
+    safe: 2-dp values cast to 4-dp scale leave ~1e-13 vs 5e-5 margin.
+
+    Callers must ALSO cast the SUM to decimal(27,4) before the double
+    cast: the product is exactly a 4-dp value, but summing at the
+    multiply's natural scale 8 makes the scaled integer exceed 2^53
+    around 1e9 totals, where DuckDB's decimal->double DOUBLE-ROUNDS
+    (int128->double, then /10^8) while Spark/Python round once — one
+    ulp apart on the identical decimal. At scale 4 the scaled integer
+    stays exact to ~9e11 totals (sf100-ish); past that, emit cents as
+    BIGINT instead of any double."""
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+
+
 @register(
     "q1_singles_by_artist",
     tags=("REF", "P2", "P3", "P5", "J1", "A1", "A2", "O1", "F2"),
