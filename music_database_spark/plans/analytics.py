@@ -245,10 +245,12 @@ def x_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_linestatus AS linestatus,
                COUNT(*) AS n,
-               round(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,8))) AS DOUBLE) / COUNT(*)
+               round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0)))
+                               AS DECIMAL(27,0)) AS DOUBLE) / COUNT(*)
                      - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2),
                      6) AS var_qty,
-               round(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*)
+               round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DECIMAL(30,2)) AS DOUBLE) / COUNT(*)
                      - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
                        * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)),
                      6) AS cov_qty_price
@@ -263,10 +265,13 @@ def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = scan_wide(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
+    qd = F.col("l_quantity").cast("decimal(4,0)")
+    sxx = F.sum(qd * qd).cast("decimal(27,0)").cast("double")
     sy = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
-    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(26,8)")).cast(
-        "double"
+    sxy = (
+        F.sum(qd * F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .cast("double")
     )
     return (
         li.groupBy(F.col("l_linestatus").alias("linestatus"))
@@ -882,11 +887,13 @@ def x_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_linestatus AS linestatus,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,8))) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0)))
+                             AS DECIMAL(27,0)) AS DOUBLE) AS sxx,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(26,6))) AS DOUBLE)
-                       AS syy,
-                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) AS sxy
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DECIMAL(30,2)) AS DOUBLE) AS sxy
             FROM lineitem GROUP BY l_linestatus
         )
         SELECT linestatus, n,
@@ -911,14 +918,16 @@ def x_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = scan_wide(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     sx = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,8)")).cast("double")
+    qd = F.col("l_quantity").cast("decimal(4,0)")
+    pd2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    sxx = F.sum(qd * qd).cast("decimal(27,0)").cast("double")
     sy = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
-    syy = F.sum(
-        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(26,6)")
-    ).cast("double")
-    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(26,8)")).cast(
-        "double"
-    )
+    # syy's true 4-dp sum passes the 2^53 scaled-int boundary around 9e11
+    # totals, so it is reduced to scale 0 (identically on both engines)
+    # before the double cast — a <=0.5 absolute change on an ~1e15 total,
+    # invisible at the 6-dp-rounded r2
+    syy = F.sum(pd2 * pd2).cast("decimal(38,0)").cast("double")
+    sxy = F.sum(qd * pd2).cast("decimal(30,2)").cast("double")
     cov = sxy / n - (sx / n) * (sy / n)
     varx = sxx / n - (sx / n) * (sx / n)
     vary = syy / n - (sy / n) * (sy / n)
