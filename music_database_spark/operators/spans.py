@@ -218,17 +218,17 @@ def _span_mask_oracle() -> str:
         ),
         marked AS (
             SELECT doc_id, src, s, e,
-                   CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e, src
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                              IS NULL
-                          OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e, src
                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                         THEN 1 ELSE 0 END AS new_grp
             FROM iv
         ),
         grp AS (
             SELECT doc_id, src, s, e,
-                   SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                   SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e, src
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
             FROM marked
         ),
@@ -282,11 +282,22 @@ def mask_budget_from_runs(runs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("span")).alias("e"),
     )
+    # ORDER BY must be TOTAL: the gap-merge chains TWO ROWS-frame windows
+    # (new_grp, then its running sum), and with fully-tied (s, e) rows an
+    # engine may sort each window's peers differently — the row carrying
+    # new_grp=1 can land LAST in the second window's order, splitting one
+    # logical group in two (found by the round-8 variant-data sweep:
+    # three identical replica spans merged to 1 on Spark, 2 on DuckDB).
+    # src disambiguates; residual full-row duplicates are order-invariant.
     w_prev = (
-        W.partitionBy(id_col).orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy(id_col)
+        .orderBy("s", "e", "src")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     w_run = (
-        W.partitionBy(id_col).orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+        W.partitionBy(id_col)
+        .orderBy("s", "e", "src")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     prev_max = F.max("e").over(w_prev)
     grp = iv.withColumn(
