@@ -32,8 +32,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_VARIANT_BASE", "/root/testdata/sf0.01")
-OUT = os.path.join(REPO, ".tmp", "variant")
 K = int(os.environ.get("SPARK_GRAFT_VARIANT_K", "2"))
+# One OUT path per (base, K): several registered queries cache physical
+# layouts under .tmp keyed by basename(sf_dir), so two different variant
+# datasets sharing one directory name would serve each other stale
+# layouts (exactly the cross-scale gotcha the sf-keying exists to stop).
+OUT = os.path.join(
+    REPO, ".tmp", f"variant_{os.path.basename(os.path.normpath(BASE))}_k{K}"
+)
 
 SHIFT: dict[str, tuple[str, ...]] = {
     "region": (),
