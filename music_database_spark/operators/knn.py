@@ -1808,7 +1808,7 @@ def x_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _d2(x_col: str, y_col: str, prec: str = "decimal(24,6)") -> F.Column:
+    def _d2(x_col: str, y_col: str) -> F.Column:
         return F.aggregate(
             F.zip_with(
                 F.col(x_col),
@@ -1817,7 +1817,7 @@ def x_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (x.cast("double") - y.cast("double"))
                     * (x.cast("double") - y.cast("double")),
                     6,
-                ).cast(prec),
+                ).cast("decimal(24,6)"),
             ),
             F.lit(0).cast("decimal(30,6)"),
             lambda acc, t: (acc + t).cast("decimal(30,6)"),

@@ -71,72 +71,69 @@ def register(
 # (round 7 drains it), subsequent windows rotate the OLDEST-verified
 # names first — freshness debt, oldest round wins; new additions take
 # window slots ahead of re-verifications, capped at the window size.
-WINDOW_DESIGNED_AFTER_ROUND = 7
+WINDOW_DESIGNED_AFTER_ROUND = 8
 
-# Round-8 window — the first rotation under the re-verification policy
-# (the never-verified pool drained in r07). Emitted verbatim by
-# `python tools/verified_rounds.py --propose-window` against the
-# r02–r07 ledger: (a) the 9 round-7 additions, which predate the r07
-# window and so have no driver row yet; then (b) the stalest
-# last-verified names, oldest driver round first — the r02-anchored
-# q12–q17/q3 family, the three r02 rows-only sketch internals
-# (q9b/x_approx_percentiles/x_rolling_distinct_hll, never re-smoked
-# under the hardened harness), and the rest of the r02 cohort up to the
-# 50-slot cap. After round 8, no query's newest driver anchor predates
-# round 3.
+# Round-9 window — second rotation under the re-verification policy.
+# Emitted verbatim by `python tools/verified_rounds.py --propose-window`
+# against the r02–r08 ledger: no never-verified names remain (the r08
+# window closed the union — all 286 registered queries have a driver
+# anchor), so the whole window is freshness debt: the 50 stalest
+# last-verified names, all anchored in round 3 — the round-3 oracle
+# upgrades (x_udaf_norm, x_grouped_map), the round-3 dedup/ANN/streaming
+# additions (x_dedup_minhash_md5, x_knn_pq, x_stream_* family), and the
+# music q6–q9 block. After round 9, no query's newest driver anchor
+# predates round 3's remainder (next rotation drains the rest of r03).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 9 round-7 additions, never driver-verified ---
-    "x_char_entropy",
-    "x_zipf_fit",
-    "x_toxicity_lexicon",
-    "x_ngram_novelty",
-    "x_burstiness",
-    "x_stratified_split",
-    "x_dedup_keep_best",
-    "x_jl_projection",
-    "x_prefix_join",
-    # --- 41 stalest re-verifications, all last anchored in r02 ---
-    "q12_pricing_summary",
-    "q13_shipping_priority",
-    "q15_small_quantity_revenue",
-    "q16_large_orders",
-    "q17_idle_customers",
-    "q3_genre_counts",
-    "q9b_approx_distinct",
-    "x_approx_percentiles",
-    "x_calendar_gapfill",
-    "x_exists_frontdoor",
-    "x_funnel",
-    "x_incremental_rollup",
-    "x_join_hints",
-    "x_json_props",
-    "x_merge_upsert",
-    "x_observe_metrics",
-    "x_percent_change",
-    "x_percentiles",
-    "x_quantile_binning",
-    "x_recursive_cte",
-    "x_regression",
-    "x_retention_cohorts",
-    "x_rolling_distinct_exact",
-    "x_rolling_distinct_hll",
-    "x_sessionize_lag",
-    "x_skew_profile",
-    "x_stats_agg",
-    "x_try_funcs",
-    "ddl_roundtrip",
-    "fk_violations",
-    "j_event_window",
-    "j_large_large",
-    "q10_topk",
-    "q11_effective_date",
-    "q14_local_volume",
-    "q1_singles_by_artist",
-    "q2_last_in_year",
-    "q4_both_kinds",
-    "q4_intersect",
-    "q4b_only_albums",
-    "q5_top_rated",
+    "q6_active_users",
+    "q7_users_with_counts",
+    "q8_avg_rating",
+    "q9_distinct_counts",
+    "x_asof_join",
+    "x_bm25_search",
+    "x_corpus_prep_e2e",
+    "x_dedup_exact",
+    "x_dedup_minhash_md5",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_det",
+    "x_doc_join",
+    "x_dynamic_partition_pruning",
+    "x_except",
+    "x_format_roundtrip",
+    "x_grouped_map",
+    "x_grouping_sets",
+    "x_knn",
+    "x_knn_pq",
+    "x_multimodal_features",
+    "x_null_partition",
+    "x_pagerank",
+    "x_pandas_udf",
+    "x_runtime_bloom_filter",
+    "x_sliding",
+    "x_sql_frontdoor",
+    "x_stream_dedup",
+    "x_stream_session",
+    "x_stream_stream_join",
+    "x_string_funcs",
+    "x_tfidf",
+    "x_tumbling",
+    "x_udaf_norm",
+    "x_union_releases",
+    "x_variant_json",
+    "x_vec_norm",
+    "x_window_family",
+    "x_ann_index_ingest",
+    "x_ann_index_persist",
+    "x_anomaly_mad",
+    "x_anomaly_zscore",
+    "x_approx_top_k",
+    "x_aqe_skew_join",
+    "x_bloom_decontaminate",
+    "x_bpe_train",
+    "x_cdc_apply",
+    "x_cluster_kmeans",
+    "x_clustering_coef",
+    "x_collocations",
+    "x_corr_matrix",
 )
 
 

@@ -799,7 +799,6 @@ def test_span_mask_merges_overlaps_on_constructed_corpus(spark):
     # Doc 4 contains two overlapping copies of doc-1 fragments plus one
     # disjoint one: raw spans must merge to the known interval union.
     from music_database_spark.operators.spans import substring_span_runs, x_span_mask  # noqa: F401
-    from music_database_spark.operators import dedup as D
     from pyspark.sql import functions as F
 
     base = [f"w{i}" for i in range(80)]

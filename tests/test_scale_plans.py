@@ -415,6 +415,27 @@ def test_planaudit_lint_is_clean_on_representative_plans(spark):
             assert type_parity_findings(df.schema, duck_cols) == [], name
 
 
+def test_planaudit_ledger_ships_zero_unreviewed_bnlj_rows():
+    """Round-9 hardening: an 'UNREVIEWED — inspect' row in the shipped
+    BNLJ ledger defeats its purpose (round-8 verdict shipped one for
+    x_histogram_equidepth's 1-row total-count broadcast). The tool now
+    hard-fails on unreviewed BNLJ sites; this pins both the shipped
+    PLANAUDIT.md (no UNREVIEWED rows, zero hard flags) and the
+    classifier itself (the scalar-broadcast inventory covers the
+    round-8 rewrite)."""
+    import os
+
+    from tools.planaudit import bnlj_reason
+
+    assert not bnlj_reason("x_histogram_equidepth").startswith("UNREVIEWED")
+    # a name outside every reviewed family must still raise the signal
+    assert bnlj_reason("x_some_future_query").startswith("UNREVIEWED")
+    ledger = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANAUDIT.md")
+    text = open(ledger).read()
+    assert "UNREVIEWED" not in text, "shipped ledger carries an unreviewed BNLJ row"
+    assert "## HARD FLAGS" not in text, "shipped ledger carries hard flags"
+
+
 def test_window_lint_parses_all_three_argument_shapes():
     """Pure-text pin of the round-8 fail-closed parser: the formatted
     printer OMITS empty Window field lists, so the Arguments line has 3

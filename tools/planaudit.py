@@ -77,7 +77,10 @@ _BNLJ_SCALAR_REVIEWED = frozenset(
         "q17_idle_customers", "x_acf", "x_assoc_rules", "x_benford",
         "x_bm25_search", "x_bpe_train", "x_calibration", "x_cms_join_size",
         "x_collocations", "x_cusum_changepoint", "x_dedup_recall",
-        "x_dsir_weights", "x_expectations", "x_histogram", "x_interpolate",
+        "x_dsir_weights", "x_expectations", "x_histogram",
+        # round-8 rewrite: vc.crossJoin(broadcast(n_tot)) where n_tot is
+        # the 1-row global SUM(c) (operators/quality.py x_histogram_equidepth)
+        "x_histogram_equidepth", "x_interpolate",
         "x_interval_overlap", "x_kmv_setops", "x_ks_drift", "x_ks_test",
         "x_length_mixture", "x_lorenz_curve", "x_minhash_band_tuning",
         "x_modularity", "x_ndcg", "x_ngram_lm_score", "x_ngram_novelty",
@@ -391,6 +394,15 @@ def main() -> int:
             hard_fail.append((name, f"CartesianProduct x{cart}"))
         if row_py and name not in HARD_WHITELIST:
             hard_fail.append((name, f"BatchEvalPython x{row_py} (row-at-a-time Python)"))
+        # An unreviewed BNLJ is a HARD failure, not a table annotation: a
+        # ledger that ships an "UNREVIEWED — inspect" row defeats its
+        # purpose (round-8 verdict). New BNLJ sites must be classified in
+        # _BNLJ_FAMILIES / _BNLJ_SCALAR_REVIEWED before the audit passes.
+        if bnlj and bnlj_reason(name).startswith("UNREVIEWED"):
+            hard_fail.append(
+                (name, f"BroadcastNestedLoopJoin x{bnlj} UNREVIEWED — classify "
+                       f"it in planaudit.py's reviewed inventory")
+            )
         rows.append(
             {
                 "name": name,

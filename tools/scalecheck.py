@@ -12,6 +12,7 @@ Prints one line per (K, query): docs, seconds, output rows.
 
 from __future__ import annotations
 
+import glob
 import os
 import sys
 import time
@@ -111,16 +112,43 @@ def heavy_growth(ks: list[int]) -> None:
     ln(t_Kmax / t_1) / ln(Kmax). Slope ~1.0 = linear scaling; anything
     materially above ~1.3 earns a plan note in PLANS.md."""
     import math
+    import shutil
+
+    if len(ks) < 2 or ks[-1] == ks[0]:
+        raise SystemExit(
+            "--heavy needs at least two distinct K values to fit a slope, "
+            f"got {ks} (e.g. `python tools/scalecheck.py --heavy 1 4 16`)"
+        )
 
     spark = get_spark("scalecheck")
     needed: dict[str, None] = {}
     for _, tabs in HEAVY:
         for t in tabs:
             needed[t] = None
+    # Replica dirs are keyed by the base data's identity (sf basename +
+    # max source mtime over the tables we replicate): a regenerated
+    # testdata drop, or pointing SPARK_GRAFT_SF_DIR elsewhere, gets fresh
+    # replicas instead of silently measuring stale ones (advisor finding,
+    # round 8). Superseded siblings are swept. --force rebuilds anyway
+    # (for when the replication logic itself changes).
+    from music_database_spark.sources.loader import source_mtime_tag
+
+    base_tag = (
+        os.path.basename(os.path.normpath(SF_DIR))
+        + "_"
+        + str(max(int(source_mtime_tag(SF_DIR, t)) for t in needed))
+    )
+    force = "--force" in sys.argv[1:]
     for k in ks:
+        kdir = os.path.join(REPO, ".tmp", f"heavy_{base_tag}_k{k}")
+        for stale in glob.glob(os.path.join(REPO, ".tmp", f"heavy_*_k{k}")):
+            if stale != kdir:
+                shutil.rmtree(stale, ignore_errors=True)
+        if force:
+            shutil.rmtree(kdir, ignore_errors=True)
         for t in needed:
-            path = os.path.join(REPO, ".tmp", f"heavy_k{k}", f"{t}.parquet")
-            if not os.path.exists(path):
+            path = os.path.join(kdir, f"{t}.parquet")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 _replicated_table(spark, t, k).write.mode("overwrite").parquet(path)
     from music_database_spark.registry import load_all
 
@@ -129,7 +157,7 @@ def heavy_growth(ks: list[int]) -> None:
     for name, _tabs in HEAVY:
         times = []
         for k in ks:
-            sf_dir = os.path.join(REPO, ".tmp", f"heavy_k{k}")
+            sf_dir = os.path.join(REPO, ".tmp", f"heavy_{base_tag}_k{k}")
             runs = []
             for i in range(3):  # 1 warm-up + 2 timed
                 t0 = time.time()
@@ -152,7 +180,7 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding", "--heavy")
+        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding", "--heavy", "--force")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--heavy" in sys.argv[1:]:

@@ -98,6 +98,16 @@ def materialize() -> None:
         shutil.move(part, os.path.join(OUT, f"{t}.parquet"))
         shutil.rmtree(tmpdir)
         print(f"# {t}: materialized", file=sys.stderr)
+    # Every run rewrites the variant parquet, so any derived on-disk
+    # layout cache keyed by this basename (bucketed warehouse, DPP
+    # partition layouts, nested-doc rewrites — everything except the
+    # mtime-keyed ANN index) now describes the PREVIOUS run's data.
+    # Sweep them so registered queries rebuild from the fresh drop
+    # (advisor finding, round 8).
+    vbase = os.path.basename(OUT)
+    for entry in glob.glob(os.path.join(REPO, ".tmp", "*", f"*{vbase}*")):
+        shutil.rmtree(entry, ignore_errors=True)
+        print(f"# swept stale layout cache {entry}", file=sys.stderr)
 
 
 def main() -> int:
