@@ -108,7 +108,13 @@ def freq_capped(
     exact-dedup's job). Both historical styles are kept verbatim so
     every caller's physical plan — and therefore its value hash — is
     unchanged: 'semijoin' (partial-aggregated counts equi-joined back)
-    and 'window' (count over the bucket partition)."""
+    and 'window' (count over the bucket partition). The style is also a
+    perf lever: when the bucketed frame is EXPENSIVE to recompute (a
+    wide aggregation feeds it), 'window' rides the join's own exchange
+    and keeps the two self-join sides byte-identical for AQE exchange
+    reuse, where 'semijoin' forks an uncapped count branch that differs
+    from the join sides (no isnotnull pushdown) and recomputes the
+    upstream per branch — the x_dedup_simhash_det round-9 creep."""
     if style == "window":
         w = W.partitionBy(*keys)
         return (
@@ -729,7 +735,19 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_CHUNK_FREQ are dropped (k docs on one chunk value = k^2/2 pairs
     through one task), and verification is JVM-side bit_count(xor).
     Integer votes, integer chunks, integer Hamming -> exact DuckDB
-    oracle, unlike the weighted/numpy variant."""
+    oracle, unlike the weighted/numpy variant.
+
+    The hot-chunk cap uses freq_capped's WINDOW style deliberately
+    (round-9 fix for a three-round bench creep, 2.73 -> 4.36 s): the
+    semijoin style adds a count branch whose subplan lacks the
+    isnotnull join-key filters the self-join sides carry, so no
+    exchange is reusable and the 64-vote aggregation ran FOUR times
+    (payload + cap branch, x both sides). The windowed count rides the
+    same (chunk_id, chunk) exchange the join needs anyway, the two join
+    sides become byte-identical subplans (AQE reuses them), and the
+    vote aggregation count drops 4 -> 2 -> 1: quiet sf0.1 A/B medians
+    4.00 s (semijoin) / 3.49 (persist) / 2.66 (window, below the 2.73
+    v1 ratchet)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
@@ -769,9 +787,10 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = votes.select("doc_id", *[chunk(c).alias(f"c{c}") for c in range(4)])
     # NOT persisted (unlike the Arrow variant): the signature is pure
-    # codegen and AQE's exchange reuse already shares the aggregated
-    # votes across the cap pass and both join sides — a persist here
-    # measured ~10% SLOWER by blocking whole-stage pipelining.
+    # codegen, and with the window-style cap below the two self-join
+    # sides are identical subplans whose exchanges AQE reuses — a
+    # persist here measured SLOWER in both the round-5 (~10%) and
+    # round-9 (3.49 vs 2.66 s) A/Bs by blocking whole-stage pipelining.
     chunks = sig.select(
         "doc_id",
         "c0",
@@ -789,7 +808,7 @@ def x_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "c0", "c1", "c2", "c3", "ch.chunk_id", "ch.chunk")
     cand = (
         bucket_self_join(
-            freq_capped(chunks, ["chunk_id", "chunk"], MAX_CHUNK_FREQ),
+            freq_capped(chunks, ["chunk_id", "chunk"], MAX_CHUNK_FREQ, style="window"),
             ["chunk_id", "chunk"],
             "doc_id",
         )
