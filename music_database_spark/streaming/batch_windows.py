@@ -156,17 +156,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_is_long = (
         dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
     )
-    # File-source streams need a directory; select just the events file
-    # from the sf dir via glob (the real-deployment shape is a directory
-    # of arriving part files anyway).
-    raw = (
-        spark.readStream.schema(
-            _events_raw_schema(T.LongType() if ts_is_long else T.TimestampNTZType())
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    # File-source streams need a directory. The events table ships in two
+    # physical shapes: a single `events.parquet` FILE (driver testdata —
+    # stream the sf dir with a glob selecting just that file) or an
+    # `events.parquet` DIRECTORY of part files (the real-deployment shape,
+    # and what any Spark writer produces — stream the directory itself;
+    # a leaf-name glob of "events.parquet" would match zero part files
+    # and silently yield an empty stream, the round-9 layoutcheck catch).
+    schema = _events_raw_schema(
+        T.LongType() if ts_is_long else T.TimestampNTZType()
     )
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(events_path):
+        raw = reader.load(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

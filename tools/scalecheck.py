@@ -61,6 +61,9 @@ HEAVY: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("x_lorenz_curve", ("orders",)),           # global rank (post-agg)
     ("x_histogram_equidepth", ("orders",)),    # value-domain rank spans
     ("x_sssp_weighted", ("lineitem", "orders", "customer", "supplier", "nation")),  # iterative rounds
+    ("x_dedup_clusters", ("documents",)),       # pair gen + iterative label-prop CC
+    ("x_dedup_clusters_star", ("documents",)),  # pair gen + large/small-star CC
+    ("x_assoc_rules", ("lineitem",)),           # a-priori basket pair self-join
 )
 
 # Key columns shifted per replica so copies are disjoint (documents get
@@ -120,9 +123,20 @@ def heavy_growth(ks: list[int]) -> None:
             f"got {ks} (e.g. `python tools/scalecheck.py --heavy 1 4 16`)"
         )
 
+    only = [
+        a.split("=", 1)[1].split(",")
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+    ]
+    heavy = (
+        tuple(h for h in HEAVY if h[0] in set(only[0])) if only else HEAVY
+    )
+    if only and len(heavy) != len(set(only[0])):
+        raise SystemExit(f"--only names not in HEAVY: {set(only[0]) - {h[0] for h in heavy}}")
+
     spark = get_spark("scalecheck")
     needed: dict[str, None] = {}
-    for _, tabs in HEAVY:
+    for _, tabs in heavy:
         for t in tabs:
             needed[t] = None
     # Replica dirs are keyed by the base data's identity (sf basename +
@@ -154,7 +168,7 @@ def heavy_growth(ks: list[int]) -> None:
 
     reg = load_all()
     print(f"{'query':<24} " + " ".join(f"K={k:<2}s".rjust(8) for k in ks) + "  slope")
-    for name, _tabs in HEAVY:
+    for name, _tabs in heavy:
         times = []
         for k in ks:
             sf_dir = os.path.join(REPO, ".tmp", f"heavy_{base_tag}_k{k}")
@@ -180,7 +194,8 @@ def main() -> int:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding", "--heavy", "--force")
+        if not a.startswith("--only=")
+        and a not in ("--tpch", "--incremental", "--components", "--winnow", "--novelty", "--prefixjoin", "--spans", "--basket", "--linkpred", "--dsir", "--padding", "--heavy", "--force")
     ]
     ks = [int(a) for a in args] or [1, 2, 4, 10]
     if "--heavy" in sys.argv[1:]:
