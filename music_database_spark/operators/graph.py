@@ -175,13 +175,23 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_triangle_count",
     tags=("EXT", "J1", "J6", "A1"),
     oracle="""
-        WITH e AS (
-            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
-                   GREATEST(c_nationkey, s_nationkey) AS b
+        WITH np AS MATERIALIZED (
+            -- MATERIALIZED: without the barrier DuckDB's optimizer
+            -- treats the <> below as a customer-supplier join predicate
+            -- and nested-loops the two dims FIRST (576M-row
+            -- intermediate at 2x sf0.1, ~80 GB of temp spill — found by
+            -- the round-9 variantcheck sweep); the barrier pins the
+            -- selective key joins ahead of the inequality filter.
+            SELECT c_nationkey, s_nationkey
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey  = c_custkey
             JOIN supplier ON l_suppkey  = s_suppkey
+        ),
+        e AS (
+            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+                   GREATEST(c_nationkey, s_nationkey) AS b
+            FROM np
             WHERE c_nationkey <> s_nationkey
         ),
         tri AS (
@@ -262,13 +272,19 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_clustering_coef",
     tags=("EXT", "J1", "J6", "A1", "A5"),
     oracle="""
-        WITH e AS (
-            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
-                   GREATEST(c_nationkey, s_nationkey) AS b
+        WITH np AS MATERIALIZED (
+            -- MATERIALIZED join-order barrier — same DuckDB optimizer
+            -- trap as x_triangle_count's oracle (see note there).
+            SELECT c_nationkey, s_nationkey
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey  = c_custkey
             JOIN supplier ON l_suppkey  = s_suppkey
+        ),
+        e AS (
+            SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+                   GREATEST(c_nationkey, s_nationkey) AS b
+            FROM np
             WHERE c_nationkey <> s_nationkey
         ),
         deg AS (

@@ -1014,10 +1014,20 @@ def winnow_candidate_pairs(
     x_winnow_candidates query (module-constant parameters) and
     CorpusPipeline.winnow_candidates (caller parameters), so a tuning
     change cannot silently apply to only one surface."""
+    # Persist the DOC-LEVEL array frame, not the exploded index: the
+    # cache is a pushdown barrier, so Catalyst's generate-inferred
+    # `size(fps) > 0` predicate (when the session hasn't excluded
+    # InferFiltersFromGenerate — see session.EXCLUDED_OPTIMIZER_RULES)
+    # tests the cached column instead of re-inlining the whole md5
+    # winnow pipeline into an interpreted filter below the scan's
+    # repartition (measured: 199 s -> 3.7 s at 2x sf0.1). The arrays
+    # are the compact form of the same data the old exploded persist
+    # held; explode-from-cache is a cheap narrow re-derivation for the
+    # frequency pass and both join sides.
     fps = (
         _winnow_fps(docs, id_col, text_col)
-        .select("doc_id", F.explode("fps").alias("fp"))
         .persist()
+        .select("doc_id", F.explode("fps").alias("fp"))
     )
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("freq")).filter(
         F.col("freq") <= max_fp_freq

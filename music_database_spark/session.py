@@ -14,6 +14,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# InferFiltersFromGenerate clones a generate's INPUT EXPRESSION into an
+# inferred `size(e) > 0 AND isnotnull(e)` predicate below the Generate.
+# For an explode over a COMPUTED array (shingle sets, winnowed
+# fingerprints, chunk lists — this engine's bread and butter) that
+# re-evaluates the whole array pipeline per row, interpreted (HOFs never
+# codegen inside a Predicate), and filter pushdown then drags it below
+# any repartition — so the most expensive expression in the query runs
+# a second time, single-task, in the scan stage. Measured on
+# x_winnow_candidates at 2x sf0.1: 199 s with the rule, 3.7 s without,
+# identical results (round-9 variantcheck find; PLANS.md "Round-9
+# inferred-filter audit"). The rule's upside (pruning empty arrays
+# before the Generate) is nil here: size()/isnotnull() never reach
+# parquet pushdown, and Generate itself drops empty arrays. Excluding
+# an optimizer rule never changes query semantics, only plans.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def get_spark(
     app_name: str = "music-database-spark",
@@ -33,6 +51,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -49,6 +68,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
     ]:
         try:
             spark.conf.set(k, v)

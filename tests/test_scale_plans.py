@@ -483,3 +483,35 @@ def test_window_lint_parses_all_three_argument_shapes():
     broken = plan("NotArguments: []")
     finds = unpartitioned_window_findings(broken)
     assert len(finds) == 1 and "parse failure" in finds[0]
+
+
+def test_generate_inferred_filter_never_reinlines_computed_arrays(spark):
+    """Round-9 variantcheck find: InferFiltersFromGenerate clones a
+    generate's computed-array input into an inferred `size(e) > 0 AND
+    isnotnull(e)` predicate, which runs interpreted (HOFs never codegen
+    inside a Predicate) and which filter pushdown then drags below the
+    scan's repartition — x_winnow_candidates measured 199 s vs 3.7 s at
+    2x sf0.1 because the whole md5 winnow pipeline re-ran per row on one
+    task. Two independent guards ship: the rule is excluded session-wide
+    (session.EXCLUDED_OPTIMIZER_RULES, both get_spark and
+    tune_for_session) and winnow_candidate_pairs persists the doc-level
+    array frame as a cache barrier for sessions we don't configure.
+    This pins the outcome: no Filter in the optimized plan may contain
+    the winnow expression."""
+    from music_database_spark.registry import load_all
+    from music_database_spark.session import EXCLUDED_OPTIMIZER_RULES, tune_for_session
+
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", ""
+    )
+    # tune_for_session must apply the same exclusion to a foreign session
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    tune_for_session(spark)
+    assert spark.conf.get("spark.sql.optimizer.excludedRules") == EXCLUDED_OPTIMIZER_RULES
+
+    df = load_all()["x_winnow_candidates"].build(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    offending = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "md5(" in ln
+    ]
+    assert not offending, offending
