@@ -42,15 +42,25 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def time_query(build, spark, sf_dir: str) -> float:
+def time_query(build, spark, sf_dir: str) -> tuple[float, float]:
+    """(warm median, cold first run). The warm-up run IS the cold number:
+    with the cache cleared before each query, run 0 pays plan compile +
+    every persist materialization — the cost a fresh cluster session
+    (the only kind a real job gets) pays once per job. Recording it
+    closed a real blind spot: x_winnow_candidates benched 1.09 s warm
+    while its cold first build was 93 s (the round-9 inferred-filter
+    bug, PLANS.md) — a class per-session medians can never show."""
     times = []
+    cold = 0.0
     for i in range(RUNS + 1):
         t0 = time.time()
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
-        if i > 0:  # first run is warm-up
+        if i == 0:
+            cold = dt
+        else:
             times.append(dt)
-    return statistics.median(times)
+    return statistics.median(times), cold
 
 
 def main() -> int:
@@ -61,9 +71,12 @@ def main() -> int:
     }
     spark = get_spark("bench")
     results: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name, spec in sorted(todo.items()):
         try:
-            results[name] = round(time_query(spec.build, spark, SF_DIR), 3)
+            med, cold = time_query(spec.build, spark, SF_DIR)
+            results[name] = round(med, 3)
+            colds[name] = round(cold, 3)
         except Exception as e:  # a broken query must not kill the whole bench
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
@@ -75,6 +88,16 @@ def main() -> int:
         # query still share the persist inside time_query).
         spark.catalog.clearCache()
         print(f"# {name}: {results[name]}s", file=sys.stderr)
+    # Flag pathological cold/warm ratios loudly: a first build >=10x its
+    # warm median on a non-trivial query is the inferred-filter bug class
+    # (plan-level double compute that the logical-plan cache then hides).
+    for n in sorted(colds, key=lambda n: -(colds[n] / max(results.get(n, 0), 1e-9))):
+        if results.get(n, 0) > 0.2 and colds[n] / results[n] >= 10:
+            print(
+                f"# COLD OUTLIER {n}: first build {colds[n]}s = "
+                f"{colds[n] / results[n]:.0f}x its warm median",
+                file=sys.stderr,
+            )
     total = round(sum(v for v in results.values() if v >= 0), 3)
     sf = sf_from_dir(SF_DIR)
     errors = sorted(n for n, v in results.items() if v < 0)
@@ -90,6 +113,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "cold_queries": colds,
                 "sf": sf,
                 "n_queries": len(results),
                 "errors": errors,

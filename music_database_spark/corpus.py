@@ -299,8 +299,14 @@ class CorpusPipeline:
         # future change to _toks (e.g. lowercasing) then applies to both
         # sides of the score by construction (x_ngram_lm_score's 'ts'
         # pattern).
-        train_ts = train.withColumn("__ts", self._toks())
-        eval_ts = evaldf.withColumn("__ts", self._toks())
+        # __has2 precomputes the ">= 2 tokens" guard as a cheap regex on
+        # the raw text so the bigram branches never filter on
+        # size(__ts) — which would inline the token HOF into an
+        # interpreted Predicate (round-9 HOF-in-Filter lint class,
+        # tools/planaudit.py lint (c)).
+        has2 = F.col(self.text_col).rlike("[^ ] +[^ ]").alias("__has2")
+        train_ts = train.withColumn("__ts", self._toks()).withColumn("__has2", has2)
+        eval_ts = evaldf.withColumn("__ts", self._toks()).withColumn("__has2", has2)
         bigrams = F.expr(
             "transform(sequence(1, size(__ts) - 1),"
             " i -> struct(element_at(__ts, i) AS w1,"
@@ -313,14 +319,14 @@ class CorpusPipeline:
         )
         vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
         big = (
-            train_ts.filter(F.size("__ts") >= 2)
+            train_ts.filter("__has2")
             .select(F.explode(bigrams).alias("b"))
             .select("b.w1", "b.w2")
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
         )
         scored = (
-            eval_ts.filter(F.size("__ts") >= 2)
+            eval_ts.filter("__has2")
             .select(F.col(self.id_col).alias("id"), F.explode(bigrams).alias("b"))
             .select("id", "b.w1", "b.w2")
             .join(big, ["w1", "w2"], "left")

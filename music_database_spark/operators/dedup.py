@@ -93,10 +93,20 @@ def shingles(text_col, n: int = SHINGLE_LEN):
 
 
 def shingle_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sh: array<string>) — each doc's distinct shingle set."""
-    return df.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    """(id, sh: array<string>) — each doc's distinct shingle set.
+
+    The short-doc guard filters on TOKEN COUNT, not on `size(sh) > 0`:
+    the two are equivalent (`shingles` yields empty exactly when the doc
+    has < SHINGLE_LEN tokens — a nonempty sequence() always leaves >= 1
+    distinct gram), but a filter on the computed array would inline the
+    whole shingle pipeline into an interpreted Predicate via
+    CollapseProject — the round-9 HOF-in-Filter lint class
+    (tools/planaudit.py lint (c)) — evaluating tokenize+md5+distinct
+    twice per row wherever pushdown lands it. The token-count form is a
+    cheap codegen-able split that pushdown may place anywhere."""
+    return df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= SHINGLE_LEN
+    ).select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
 
 
 def freq_capped(

@@ -259,6 +259,10 @@ def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.10 X4 mandate).
     """
     docs = _t(spark, sf_dir, "documents")
+    # has2 = ">= 2 nonempty tokens" precomputed as a raw-text regex so
+    # the bigram branches never filter on size(ts) — which would inline
+    # the token HOF into an interpreted Predicate (round-9 HOF-in-Filter
+    # lint class, tools/planaudit.py lint (c)).
     toks = docs.select(
         "doc_id",
         (
@@ -267,6 +271,7 @@ def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 100
         ).alias("bucket"),
         F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"),
+        F.col("text").rlike("[^ ] +[^ ]").alias("has2"),
     )
     train = toks.filter(F.col("bucket") < LM_TRAIN_BUCKET)
     uni = (
@@ -280,14 +285,14 @@ def x_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
     )
     big = (
-        train.filter(F.size("ts") >= 2)
+        train.filter("has2")
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
     eval_big = (
-        toks.filter((F.col("bucket") >= LM_TRAIN_BUCKET) & (F.size("ts") >= 2))
+        toks.filter((F.col("bucket") >= LM_TRAIN_BUCKET) & F.col("has2"))
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )

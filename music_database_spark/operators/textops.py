@@ -813,7 +813,10 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             " element_at(filter(split(seg, ' '), t -> t != ''), i + 1) AS b))"
         )
         pc = (
-            seg.filter(F.size(toks) >= 2)
+            # ">= 2 nonempty tokens" as a regex on the cached seg string:
+            # a size(toks) filter would inline the token HOF into an
+            # interpreted Predicate (round-9 HOF-in-Filter lint class).
+            seg.filter(F.col("seg").rlike("[^ ] +[^ ]"))
             .select("w", F.explode(pair_arr).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("w").cast("bigint").alias("cnt"))
@@ -1107,7 +1110,15 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties under the rounded PMI break on the unique (w1, w2) key, so
     the LIMIT boundary is deterministic."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"))
+    # has2 is the bigram-branch guard precomputed as a cheap regex on the
+    # raw text ("two non-space runs separated by spaces" ⟺ >= 2 nonempty
+    # tokens under single-space split): filtering on size(ts) would
+    # inline the token HOF into an interpreted Predicate (the round-9
+    # HOF-in-Filter lint class, tools/planaudit.py lint (c)).
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("ts"),
+        F.col("text").rlike("[^ ] +[^ ]").alias("has2"),
+    )
     uni = (
         toks.select(F.explode("ts").alias("w"))
         .groupBy("w")
@@ -1120,7 +1131,7 @@ def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
     )
     all_big = (
-        toks.filter(F.size("ts") >= 2)
+        toks.filter("has2")
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
     )

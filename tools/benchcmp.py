@@ -49,6 +49,18 @@ def main() -> int:
     print("biggest improvements:")
     for q, r in sorted(ratios.items(), key=lambda kv: kv[1])[:5]:
         print(f"  {r:5.2f}x  {q:32s} {base[q]:6.2f} -> {bench[q]:6.2f}s")
+    # Cold first-build vs warm median (recorded since round 9): a big
+    # ratio on a non-trivial query is the inferred-filter bug class —
+    # plan-level double compute hidden by the logical-plan cache.
+    colds = json.load(open(path)).get("cold_queries", {})
+    cr = {
+        q: colds[q] / bench[q]
+        for q in colds
+        if bench.get(q, 0) > 0.2 and colds[q] / bench[q] >= 3
+    }
+    print(f"cold first-build >=3x warm median ({len(cr)}):")
+    for q, r in sorted(cr.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {r:5.1f}x  {q:32s} cold {colds[q]:6.2f}s vs warm {bench[q]:6.2f}s")
     return 0
 
 

@@ -12,6 +12,9 @@ HARD flags (exit 1):
   - Spark-vs-oracle OUTPUT type divergence (Spark decimal column the
     oracle types differently, int-vs-float splits, …) — the
     x_embed_coherence decimal-scale bug class, now machine-checked
+  - Filter whose Condition contains a lambdafunction( — a higher-order
+    expression evaluated interpreted inside a predicate, the round-9
+    x_winnow_candidates re-evaluation bug class
   (unless the query is whitelisted below with a documented reason)
 
 WARN flags (reported, exit 0):
@@ -330,6 +333,34 @@ def type_parity_findings(schema, duck_cols: list[tuple[str, str]]) -> list[str]:
     return findings
 
 
+# --- Lint (c): higher-order expressions inside Filter predicates -------
+
+# Filters evaluating a HOF (lambdafunction in the Condition) run
+# INTERPRETED — Predicates never whole-stage-codegen HOFs — and, when the
+# array is computed rather than scanned, re-evaluate the whole array
+# pipeline per row. That is the round-9 x_winnow_candidates bug class
+# (199 s -> 3.7 s; PLANS.md "inferred-filter re-evaluation trap"): the
+# generating rule is excluded session-wide, so any recurrence here means
+# a NEW inference path or a hand-written expensive filter — both worth a
+# hard stop. Reviewed legitimate sites go here with their reason.
+_HOF_FILTER_REVIEWED: dict[str, str] = {}
+
+
+def hof_filter_findings(text: str) -> list[str]:
+    """['Filter(id): <condition head>'] for every Filter detail block
+    whose Condition contains a lambdafunction( — a higher-order
+    expression evaluated interpreted inside a predicate."""
+    findings = []
+    for nid, header, block in _detail_blocks(text.splitlines()):
+        if not re.match(r"^\(\d+\) Filter", header):
+            continue
+        body = " ".join(ln.strip() for ln in block)
+        if "lambdafunction(" in body:
+            cond = body.split("Condition :", 1)[-1].strip()
+            findings.append(f"Filter({nid}): HOF in predicate: {cond[:140]}")
+    return findings
+
+
 def main() -> int:
     names = sys.argv[1:]
     registry = load_all()
@@ -360,6 +391,9 @@ def main() -> int:
             continue
         if name not in WINDOW_WHITELIST:
             for w in unpartitioned_window_findings(text):
+                hard_fail.append((name, w))
+        if name not in _HOF_FILTER_REVIEWED:
+            for w in hof_filter_findings(text):
                 hard_fail.append((name, w))
         if spec.oracle:
             try:
@@ -426,7 +460,7 @@ def main() -> int:
         "Python, every BroadcastNestedLoopJoin reviewed as a tiny-side",
         "broadcast).",
         "",
-        f"- hard flags (CartesianProduct / BatchEvalPython): **{len(hard_fail)}**",
+        f"- hard flags (CartesianProduct / BatchEvalPython / HOF-in-Filter): **{len(hard_fail)}**",
         f"- BroadcastNestedLoopJoin occurrences (reviewed tiny-side "
         f"crossJoins): **{len(bnlj_rows)}**",
         f"- Arrow-batched Python stages (the sanctioned Python path): "
