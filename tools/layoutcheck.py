@@ -50,6 +50,17 @@ EXEMPT: dict[str, str] = {
     "x_sorted_layout": "output counts which physical files a filter "
     "touches; the scattered-layout file spread is exactly the input "
     "layout being varied",
+    "x_rolling_distinct_hll": "daily_users_est uses DataSketches HLL's "
+    "HIP estimator, which accumulates per-INSERTION increments and is "
+    "stream-order-dependent by design (the merged users_7d_est column "
+    "goes through hll_union_agg -> composite estimator and IS "
+    "layout-invariant — verified identical in the sf0.1 sweep); "
+    "declared rows-only, estimate-vs-exact tolerance pinned in tests",
+    "x_approx_percentiles": "approx_median merges Greenwald-Khanna "
+    "partial summaries whose compression depends on insertion/merge "
+    "order; estimates move within the accuracy bound while the "
+    "exact_median twin column stays bit-identical (verified in the "
+    "sf0.1 sweep); declared rows-only",
 }
 
 
