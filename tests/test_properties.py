@@ -786,3 +786,43 @@ def test_skyline_per_date_champion_pruning_is_lossless(rows):
         if d not in champs or (p, -k) > (champs[d][1], -champs[d][0]):
             champs[d] = (k, p, d)
     assert frontier(champs.values()) == full
+
+
+# --- Round-9 guard-equivalence properties (HOF-in-Filter lint fixes) ---
+# The lint fixes replaced computed-array guards with cheap input-side
+# predicates; these properties pin the claimed equivalences over
+# arbitrary space-structured strings, not just the synthetic corpus.
+
+guard_texts = st.text(alphabet=" abz\t", min_size=0, max_size=40)
+
+
+@settings(max_examples=300, deadline=None)
+@given(guard_texts)
+@example("")
+@example("a")
+@example("a b")
+@example("a  b")
+@example(" a ")
+@example("a\tb")
+@example("\t \t")
+def test_has2_regex_equals_nonempty_token_count(s):
+    """`[^ ] +[^ ]` matches exactly when single-space split yields >= 2
+    nonempty tokens — the x_collocations / x_ngram_lm_score /
+    x_bpe_train / CorpusPipeline guard rewrite."""
+    import re
+
+    by_split = len([t for t in s.split(" ") if t]) >= 2
+    by_regex = re.search("[^ ] +[^ ]", s) is not None
+    assert by_regex == by_split
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(words, min_size=0, max_size=12).map(" ".join))
+def test_shingle_guard_token_count_equals_nonempty_shingles(s):
+    """size(split(text)) >= SHINGLE_LEN iff the shingle set is nonempty
+    — the shingle_frame guard rewrite. Uses the reference shingler so
+    the property is independent of the Spark expression."""
+    from music_database_spark.operators.dedup import SHINGLE_LEN
+
+    toks = s.split(" ")
+    assert (len(toks) >= SHINGLE_LEN) == bool(_ref_shingles(s, SHINGLE_LEN))
