@@ -71,69 +71,69 @@ def register(
 # (round 7 drains it), subsequent windows rotate the OLDEST-verified
 # names first — freshness debt, oldest round wins; new additions take
 # window slots ahead of re-verifications, capped at the window size.
-WINDOW_DESIGNED_AFTER_ROUND = 8
+WINDOW_DESIGNED_AFTER_ROUND = 9
 
-# Round-9 window — second rotation under the re-verification policy.
+# Round-10 window — third rotation under the re-verification policy.
 # Emitted verbatim by `python tools/verified_rounds.py --propose-window`
-# against the r02–r08 ledger: no never-verified names remain (the r08
-# window closed the union — all 286 registered queries have a driver
-# anchor), so the whole window is freshness debt: the 50 stalest
-# last-verified names, all anchored in round 3 — the round-3 oracle
-# upgrades (x_udaf_norm, x_grouped_map), the round-3 dedup/ANN/streaming
-# additions (x_dedup_minhash_md5, x_knn_pq, x_stream_* family), and the
-# music q6–q9 block. After round 9, no query's newest driver anchor
-# predates round 3's remainder (next rotation drains the rest of r03).
+# against the r02-r09 ledger: no never-verified names remain, so the
+# whole window is freshness debt — the 50 stalest last-verified names.
+# The first 37 are the remainder of the round-4 cohort (CSV/layout
+# sources, the dedup-cluster/recall family, the IVF/PQ kNN variants,
+# sampling and drift, the x_stream_* v1 stateful block, winnowing); the
+# last 13 drain the oldest round-5 names (x_abtest_lift ...
+# x_event_transitions). After round 10, no query's newest driver anchor
+# predates round 5.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q6_active_users",
-    "q7_users_with_counts",
-    "q8_avg_rating",
-    "q9_distinct_counts",
-    "x_asof_join",
-    "x_bm25_search",
-    "x_corpus_prep_e2e",
-    "x_dedup_exact",
-    "x_dedup_minhash_md5",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_det",
-    "x_doc_join",
-    "x_dynamic_partition_pruning",
-    "x_except",
-    "x_format_roundtrip",
-    "x_grouped_map",
-    "x_grouping_sets",
-    "x_knn",
-    "x_knn_pq",
-    "x_multimodal_features",
-    "x_null_partition",
-    "x_pagerank",
-    "x_pandas_udf",
-    "x_runtime_bloom_filter",
-    "x_sliding",
-    "x_sql_frontdoor",
-    "x_stream_dedup",
-    "x_stream_session",
-    "x_stream_stream_join",
-    "x_string_funcs",
-    "x_tfidf",
-    "x_tumbling",
-    "x_udaf_norm",
-    "x_union_releases",
-    "x_variant_json",
-    "x_vec_norm",
-    "x_window_family",
-    "x_ann_index_ingest",
-    "x_ann_index_persist",
-    "x_anomaly_mad",
-    "x_anomaly_zscore",
-    "x_approx_top_k",
-    "x_aqe_skew_join",
-    "x_bloom_decontaminate",
-    "x_bpe_train",
-    "x_cdc_apply",
-    "x_cluster_kmeans",
-    "x_clustering_coef",
-    "x_collocations",
-    "x_corr_matrix",
+    "x_csv_malformed",
+    "x_dataset_shard",
+    "x_dedup_clusters",
+    "x_dedup_clusters_star",
+    "x_dedup_containment",
+    "x_dedup_corpus",
+    "x_dedup_recall",
+    "x_distinct_kmv",
+    "x_embedding_drift",
+    "x_hash_split",
+    "x_incremental_agg",
+    "x_ivf_recall",
+    "x_knn_ivf",
+    "x_knn_ivf_trained",
+    "x_knn_ivfpq",
+    "x_ks_drift",
+    "x_lang_id",
+    "x_media_phash_dedup",
+    "x_nested_schema_pruning",
+    "x_null_safe_join",
+    "x_partitioned_scan",
+    "x_pca_gram",
+    "x_pq_recall",
+    "x_quality_score",
+    "x_quantile_sample",
+    "x_salted_join",
+    "x_snapshot_diff",
+    "x_sql_variables",
+    "x_stratified_sample",
+    "x_stream_kmv",
+    "x_stream_sliding",
+    "x_stream_stateful",
+    "x_stream_static_join",
+    "x_stream_tumbling",
+    "x_weighted_sample",
+    "x_winnow_candidates",
+    "x_winnow_fingerprint",
+    "x_abtest_lift",
+    "x_arg_extremes",
+    "x_array_agg_ordered",
+    "x_asof_nearest",
+    "x_bucketed_join",
+    "x_chunking",
+    "x_cogroup_conversions",
+    "x_cube",
+    "x_decontaminate",
+    "x_dedup_lines",
+    "x_domain_cap",
+    "x_editdist_join",
+    "x_event_transitions",
 )
 
 
