@@ -838,26 +838,16 @@ def x_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB each probe batch reads TRAINED_PROBE_CELLS/K_CLUSTERS of the
     index files and none of the rest, the IVF promise made physical in
     the file layout rather than in a shuffle."""
-    from ..sources.formats import _tmp_dir
-
     cents, assign = _kmeans_fit(spark, sf_dir)
-    from ..sources.loader import source_mtime_tag
+    from ..sources.loader import derived_cache_path, source_content_tag
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    # mtime in the key: a regenerated drop at the same path must not be
-    # served from the previous corpus's persisted index.
-    path = os.path.join(
-        _tmp_dir("ann_index"), f"ivf_{sf_tag}_{source_mtime_tag(sf_dir, 'embeddings')}"
+    # Content tag in the key: a regenerated drop at the same path must
+    # not be served from the previous corpus's persisted index; the
+    # shared helper also sweeps superseded same-prefix generations.
+    path = derived_cache_path(
+        "ann_index", f"ivf_{sf_tag}", source_content_tag(sf_dir, ["embeddings"])
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # A regenerated drop gets a fresh mtime-keyed dir; sweep the
-        # superseded siblings so caches don't accumulate across rounds.
-        import shutil
-
-        base_dir = os.path.dirname(path)
-        for d in os.listdir(base_dir) if os.path.isdir(base_dir) else []:
-            if d.startswith(f"ivf_{sf_tag}_") and os.path.join(base_dir, d) != path:
-                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         assign.select("vec_id", "emb", "cluster_id").write.mode("overwrite").partitionBy(
             "cluster_id"

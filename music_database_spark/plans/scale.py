@@ -62,13 +62,17 @@ def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     later calls (guarded by Spark's _SUCCESS marker) — which is the whole
     economics of bucketing at 100 TB: pay the partitioned write once,
     then every subsequent join on the bucket key skips its shuffle."""
-    # Path is keyed by (sf, bucket count): a cached layout written with a
-    # different N_BUCKETS must never be re-registered under the new count.
-    wh = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp",
+    # Path is keyed by (sf, bucket count, source content tag): a cached
+    # layout written with a different N_BUCKETS must never be
+    # re-registered under the new count, and a REGENERATED source at the
+    # same path (the variantcheck re-materialization case, round-9
+    # advisor finding) must never serve the previous data's buckets.
+    from ..sources.loader import derived_cache_path, source_content_tag
+
+    wh = derived_cache_path(
         "bucketed",
         f"{os.path.basename(os.path.normpath(sf_dir))}_b{N_BUCKETS}",
+        source_content_tag(sf_dir, ["lineitem", "orders"]),
     )
     os.makedirs(wh, exist_ok=True)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

@@ -28,9 +28,19 @@ from pyspark.sql import SparkSession
 # before the Generate) is nil here: size()/isnotnull() never reach
 # parquet pushdown, and Generate itself drops empty arrays. Excluding
 # an optimizer rule never changes query semantics, only plans.
-EXCLUDED_OPTIMIZER_RULES = (
-    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+EXCLUDED_OPTIMIZER_RULES: tuple[str, ...] = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 )
+
+
+def _excluded_rules_conf(existing: str | None = None) -> str:
+    """The comma-joined value for spark.sql.optimizer.excludedRules,
+    merged with any exclusions already configured on the session so
+    applying our conventions never silently drops a caller's own rule
+    exclusions (order-preserving union; the conf is a comma list)."""
+    merged = [r for r in (existing or "").split(",") if r.strip()]
+    merged += [r for r in EXCLUDED_OPTIMIZER_RULES if r not in merged]
+    return ",".join(merged)
 
 
 def get_spark(
@@ -51,7 +61,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+        .config("spark.sql.optimizer.excludedRules", _excluded_rules_conf())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -63,12 +73,16 @@ def get_spark(
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conventions to an externally-created session
     (the driver hands us its own SparkSession in __spark_entry__.entry)."""
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    except Exception:
+        existing = None
     for k, v in [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES),
+        ("spark.sql.optimizer.excludedRules", _excluded_rules_conf(existing)),
     ]:
         try:
             spark.conf.set(k, v)

@@ -210,11 +210,17 @@ def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and scanning the joined slice; static pruning
     (x_partitioned_scan) can't do it because the day set isn't a literal."""
     ev = load_table(spark, sf_dir, "events")
-    # Cache key includes the sf tag: a layout written for one scale must
-    # never serve a differently-scaled run (the driver checks sf0.01
-    # right after benching sf0.1).
-    base = _tmp_dir("dpp")
-    path = os.path.join(base, f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}")
+    # Cache key includes the sf tag (a layout written for one scale must
+    # never serve a differently-scaled run — the driver checks sf0.01
+    # right after benching sf0.1) AND the source content tag (a
+    # regenerated drop at the same path must re-derive the layout).
+    from .loader import derived_cache_path, source_content_tag
+
+    path = derived_cache_path(
+        "dpp",
+        f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_content_tag(sf_dir, ["events"]),
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev.withColumn("day", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd")).write.mode(
             "overwrite"
@@ -254,9 +260,12 @@ def x_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows struct<lang,n_chars>, no text). The result is checked against
     the flat source of truth, proving the nested round-trip is lossless."""
     docs = load_table(spark, sf_dir, "documents")
-    base = _tmp_dir("nested")
-    path = os.path.join(
-        base, f"documents_nested_{os.path.basename(os.path.normpath(sf_dir))}"
+    from .loader import derived_cache_path, source_content_tag
+
+    path = derived_cache_path(
+        "nested",
+        f"documents_nested_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_content_tag(sf_dir, ["documents"]),
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.select(
@@ -399,16 +408,16 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected per-class counts straight from the documents table and the
     check pins Spark's PERMISSIVE partial-parse semantics exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    from .loader import source_mtime_tag
+    from .loader import derived_cache_path, source_content_tag
 
-    base = _tmp_dir("malformed")
-    # mtime in the key: the fixture derives from documents, so a
+    # Content tag in the key: the fixture derives from documents, so a
     # regenerated drop must re-synthesize instead of reusing the old one
-    # (the oracle computes expected counts from the NEW table).
-    path = os.path.join(
-        base,
-        f"docs_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{source_mtime_tag(sf_dir, 'documents')}_csv",
+    # (the oracle computes expected counts from the NEW table); the
+    # shared helper sweeps superseded same-prefix generations.
+    path = derived_cache_path(
+        "malformed",
+        f"docs_{os.path.basename(os.path.normpath(sf_dir))}",
+        source_content_tag(sf_dir, ["documents"]) + "_csv",
     )
     # The corrupted fixture is synthesized IN Spark (no driver-side
     # collect — at 100 TB that's an OOM) and written distributed as raw
@@ -417,14 +426,6 @@ def x_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is deterministic per sf_dir, so an existing complete write (the
     # _SUCCESS marker) is reused instead of re-synthesized every run.
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # Sweep superseded mtime-keyed fixture dirs (same rationale as
-        # the ANN index cache: fresh drop -> fresh dir, drop the stale).
-        import shutil
-
-        sf_base = os.path.basename(os.path.normpath(sf_dir))
-        for d in os.listdir(base):
-            if d.startswith(f"docs_{sf_base}_") and os.path.join(base, d) != path:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         mod = F.col("doc_id") % 97
         line = (
             F.when(mod == 3, F.concat_ws(",", "doc_id", "lang"))  # wrong arity

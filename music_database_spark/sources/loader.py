@@ -210,16 +210,55 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
 
 
-def source_mtime_tag(sf_dir: str, table: str) -> str:
-    """Integer-mtime tag of a source parquet, for keying DERIVED on-disk
-    caches (persisted ANN index, synthesized CSV fixture) the same way
-    the in-process probe caches are keyed: a regenerated testdata drop
-    at the same path gets a fresh cache directory instead of serving
-    artifacts derived from the old data (code-review finding, round 4)."""
-    try:
-        return str(int(os.path.getmtime(f"{sf_dir}/{table}.parquet")))
-    except OSError:
-        return "0"
+def source_content_tag(sf_dir: str, tables: list[str] | None = None) -> str:
+    """12-hex content-identity tag of source parquet tables, THE keying
+    convention for every DERIVED on-disk cache under .tmp (persisted ANN
+    index, synthesized CSV fixture, bucketed warehouse, scalecheck heavy
+    replicas, variantcheck datasets). Fingerprints each table's file
+    stats — relative name, size, mtime_ns, file- or directory-shaped —
+    so a regenerated drop at the same path, or a DIFFERENT dataset at a
+    same-named path, always produces a fresh cache key instead of
+    serving artifacts derived from the old data (round-4 finding for the
+    mtime version; round-10 unification after the round-9 advisor showed
+    two tools still keyed caches by path/basename alone). A stat
+    fingerprint, not a byte hash: at 100 TB the source is immutable-once-
+    written parquet, so (name, size, mtime_ns) IS its content identity,
+    the same contract a git index or rsync quick-check relies on."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for t in sorted(tables or DRIVER_TABLES):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        stats: list[tuple[str, int, int]] = []
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for n in sorted(names):
+                    fp = os.path.join(root, n)
+                    st = os.stat(fp)
+                    stats.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            stats.append((t, st.st_size, st.st_mtime_ns))
+        h.update(repr((t, sorted(stats))).encode())
+    return h.hexdigest()[:12]
+
+
+def derived_cache_path(kind: str, prefix: str, tag: str) -> str:
+    """.tmp/<kind>/<prefix>_<tag> with the superseded-sibling sweep every
+    cache site used to hand-roll: any existing <prefix>_* entry carrying
+    a DIFFERENT tag describes data that no longer exists and is removed,
+    so .tmp never accumulates stale generations across rounds. The
+    caller still owns the _SUCCESS-marker check and the write."""
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.join(repo_root, ".tmp", kind)
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"{prefix}_{tag}")
+    for d in os.listdir(base):
+        if d.startswith(f"{prefix}_") and os.path.join(base, d) != path:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return path
 
 
 def wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -373,6 +373,15 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
     os.makedirs(tmp_root, exist_ok=True)
+    # Sweep earlier runs' result/checkpoint dirs (only this query writes
+    # the fb_/ckpt_fb_ prefixes, and each run reads only its own target),
+    # so repeated bench/diffcheck rounds don't accumulate dirs unboundedly.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(tmp_root, "fb_*")) + _glob.glob(
+        os.path.join(tmp_root, "ckpt_fb_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_fb_", dir=tmp_root)
     target = os.path.join(tempfile.mkdtemp(prefix="fb_", dir=tmp_root), "counts")
 

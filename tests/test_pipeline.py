@@ -153,12 +153,12 @@ def test_csv_malformed_mode_contract(spark, reg):
     assert sum(r["n_rows"] for r in out.values()) == n_total
     assert sum(r["n_quarantined"] for r in out.values()) == seeded_bad
 
-    from music_database_spark.sources.loader import source_mtime_tag
+    from music_database_spark.sources.loader import source_content_tag
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".tmp", "malformed",
-        f"docs_{os.path.basename(SF_SMOKE)}_{source_mtime_tag(SF_SMOKE, 'documents')}_csv",
+        f"docs_{os.path.basename(SF_SMOKE)}_{source_content_tag(SF_SMOKE, ['documents'])}_csv",
     )
     dropped = (
         spark.read.option("header", "false")
@@ -798,7 +798,7 @@ def test_kanonymity_generalization_strictly_reduces_risk(spark, reg):
 def test_span_mask_merges_overlaps_on_constructed_corpus(spark):
     # Doc 4 contains two overlapping copies of doc-1 fragments plus one
     # disjoint one: raw spans must merge to the known interval union.
-    from music_database_spark.operators.spans import substring_span_runs, x_span_mask  # noqa: F401
+    from music_database_spark.operators.spans import substring_span_runs
     from pyspark.sql import functions as F
 
     base = [f"w{i}" for i in range(80)]

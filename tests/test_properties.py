@@ -816,12 +816,19 @@ def test_has2_regex_equals_nonempty_token_count(s):
     assert by_regex == by_split
 
 
-@settings(max_examples=100, deadline=None)
-@given(st.lists(words, min_size=0, max_size=12).map(" ".join))
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" ab", max_size=40))
+@example("")
+@example("    ")
+@example("a  b c d")
+@example(" a b c d ")
 def test_shingle_guard_token_count_equals_nonempty_shingles(s):
     """size(split(text)) >= SHINGLE_LEN iff the shingle set is nonempty
     — the shingle_frame guard rewrite. Uses the reference shingler so
-    the property is independent of the Spark expression."""
+    the property is independent of the Spark expression. The strategy
+    is raw ' ab' text (not joined nonempty words) so split-on-space
+    EMPTY tokens, leading/trailing spaces, and multi-space runs — the
+    cases where split() keeps empties on both sides — are exercised."""
     from music_database_spark.operators.dedup import SHINGLE_LEN
 
     toks = s.split(" ")

@@ -507,7 +507,24 @@ def test_generate_inferred_filter_never_reinlines_computed_arrays(spark):
     # tune_for_session must apply the same exclusion to a foreign session
     spark.conf.unset("spark.sql.optimizer.excludedRules")
     tune_for_session(spark)
-    assert spark.conf.get("spark.sql.optimizer.excludedRules") == EXCLUDED_OPTIMIZER_RULES
+    assert spark.conf.get("spark.sql.optimizer.excludedRules") == ",".join(
+        EXCLUDED_OPTIMIZER_RULES
+    )
+    # ... and MERGE with, not overwrite, exclusions the caller configured
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.CollapseRepartition",
+    )
+    tune_for_session(spark)
+    merged = spark.conf.get("spark.sql.optimizer.excludedRules").split(",")
+    assert "org.apache.spark.sql.catalyst.optimizer.CollapseRepartition" in merged
+    assert all(r in merged for r in EXCLUDED_OPTIMIZER_RULES)
+    assert len(merged) == len(set(merged))
+    # tune_for_session is idempotent: re-applying adds no duplicates
+    tune_for_session(spark)
+    assert spark.conf.get("spark.sql.optimizer.excludedRules").split(",") == merged
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    tune_for_session(spark)
 
     df = load_all()["x_winnow_candidates"].build(spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()

@@ -1,0 +1,142 @@
+"""Gates and keying conventions in the tools layer (round 10).
+
+Two permanent lessons pinned here:
+* the cold-build benchcmp gate — the round-9 inferred-filter find proved
+  a plan can be 90x slower on its FIRST build than its warm median, so
+  the cold/warm check must fail the run, not just print;
+* the content-tag derived-cache convention — round-8/9 advisor findings
+  showed .tmp caches keyed by path/basename serve stale artifacts after
+  the source regenerates; every derived cache now keys on
+  loader.source_content_tag.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+# --- cold-build gate ------------------------------------------------------
+
+
+def test_cold_gate_flags_pathological_first_build():
+    from benchcmp import COLD_GATE_RATIO, cold_gate_violations
+
+    bench = {"x_winnow_candidates": 1.09}
+    colds = {"x_winnow_candidates": 93.0}  # the round-9 pathology, verbatim
+    out = cold_gate_violations(bench, colds)
+    assert [q for q, _ in out] == ["x_winnow_candidates"]
+    assert out[0][1] >= COLD_GATE_RATIO
+
+
+def test_cold_gate_noise_guards_and_exemptions():
+    from benchcmp import COLD_GATE_EXEMPT, cold_gate_violations
+
+    # sub-threshold warm median: 0.05 s warm, 1 s cold is 20x but noise
+    assert cold_gate_violations({"tiny": 0.05}, {"tiny": 1.0}) == []
+    # cheap cold build: 12x ratio but under the absolute-seconds floor
+    assert cold_gate_violations({"cheap": 0.21}, {"cheap": 2.5}) == []
+    # a documented exemption never fails the gate
+    (exempt,) = [q for q in COLD_GATE_EXEMPT if q == "ddl_roundtrip"]
+    assert cold_gate_violations({exempt: 0.5}, {exempt: 50.0}) == []
+    # same shape without the exemption DOES fail
+    assert cold_gate_violations({"other": 0.5}, {"other": 50.0}) == [("other", 100.0)]
+
+
+def test_cold_gate_passes_current_bench_record():
+    """The shipped BENCH_FULL.json must satisfy the gate — if this fails,
+    a cold pathology landed in the benched tree and needs a root cause,
+    not a threshold bump."""
+    import json
+
+    from benchcmp import cold_gate_violations
+
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_FULL.json in this checkout")
+    data = json.load(open(path))
+    assert cold_gate_violations(data["queries"], data.get("cold_queries", {})) == []
+
+
+# --- content-tag derived-cache convention ---------------------------------
+
+
+def test_source_content_tag_changes_when_data_changes(tmp_path):
+    from music_database_spark.sources.loader import source_content_tag
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"generation-one")
+    t1 = source_content_tag(str(sf), ["documents"])
+    assert len(t1) == 12
+    # same stats -> same tag (stable across calls)
+    assert source_content_tag(str(sf), ["documents"]) == t1
+    # regenerated drop at the SAME path -> different tag
+    (sf / "documents.parquet").write_bytes(b"generation-two!")
+    t2 = source_content_tag(str(sf), ["documents"])
+    assert t2 != t1
+    # directory-shaped parquet is fingerprinted file-by-file
+    (sf / "events.parquet").mkdir()
+    (sf / "events.parquet" / "part-0.parquet").write_bytes(b"aa")
+    t3 = source_content_tag(str(sf), ["events"])
+    (sf / "events.parquet" / "part-1.parquet").write_bytes(b"bb")
+    assert source_content_tag(str(sf), ["events"]) != t3
+
+
+def test_derived_cache_path_sweeps_superseded_generations(tmp_path, monkeypatch):
+    import music_database_spark.sources.loader as loader
+
+    # point the repo-root resolution at a sandbox .tmp
+    real = loader.derived_cache_path
+
+    def sandboxed(kind, prefix, tag):
+        path = real(kind, prefix, tag)
+        return path
+
+    monkeypatch.setattr(
+        loader.os.path, "abspath", lambda p: str(tmp_path / "pkg" / "sources" / "loader.py")
+    )
+    old = sandboxed("k", "docs_sfX", "aaaa")
+    os.makedirs(old, exist_ok=True)
+    assert os.path.isdir(old)
+    new = sandboxed("k", "docs_sfX", "bbbb")
+    # the stale generation is gone, the new path is returned (not created)
+    assert not os.path.exists(old)
+    assert new.endswith("docs_sfX_bbbb")
+    # a DIFFERENT prefix in the same kind is untouched
+    other = sandboxed("k", "docs_sfY", "cccc")
+    os.makedirs(other, exist_ok=True)
+    sandboxed("k", "docs_sfX", "dddd")
+    assert os.path.isdir(other)
+
+
+def test_derived_caches_key_by_content_not_path():
+    """Every _SUCCESS-guarded .tmp cache site must key through
+    source_content_tag — grep-level pin so a new cache site can't
+    regress to basename-only keying without tripping this."""
+    sites = {
+        "music_database_spark/plans/scale.py": "bucketed",
+        "music_database_spark/operators/knn.py": "ann_index",
+        "music_database_spark/sources/formats.py": "dpp",
+    }
+    for rel, kind in sites.items():
+        src = open(os.path.join(REPO, rel)).read()
+        assert "source_content_tag" in src, f"{rel} ({kind}) lost content keying"
+        assert "source_mtime_tag" not in src, f"{rel} still uses the mtime tag"
+
+
+def test_scalecheck_requires_two_distinct_ks():
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scalecheck.py"), "--heavy", "4"],
+        capture_output=True,
+        text=True,
+    )
+    assert p.returncode != 0
+    assert "two distinct K" in (p.stderr + p.stdout)

@@ -6,6 +6,14 @@ Prints geomean ratio, the worst/best movers, and queries missing a
 baseline entry (new this round — add them to BASELINE.md §3 from a
 quiet-machine run). The per-query self-ratchet is the operative bar
 (BASELINE.md §2): each query within 2x of its first recorded number.
+
+Cold-build gate (round 10, hard): a query whose cold first build is
+>= COLD_GATE_RATIO x its warm median AND whose cold time exceeds
+COLD_GATE_MIN_SEC fails the run (exit 1). This is the promoted form of
+the round-9 stderr alert: the inferred-filter bug class (x_winnow_
+candidates, 93 s cold / 1.09 s warm) is plan-level double compute that
+only the first build pays, so warm medians structurally hide it.
+Thresholds and exemptions are recorded in BASELINE.md §3.
 """
 
 from __future__ import annotations
@@ -17,6 +25,24 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Hard cold-build gate (BASELINE.md §3 "Cold-build gate"). A violation
+# means the first build of the plan does work the warm path never
+# repeats — the inferred-filter class — and must be root-caused, not
+# shipped. Tiny queries are noise-guarded two ways: the warm median
+# must be non-trivial (>= COLD_GATE_MIN_WARM_SEC) and the cold build
+# itself must be expensive in absolute terms (>= COLD_GATE_MIN_SEC).
+COLD_GATE_RATIO = 10.0
+COLD_GATE_MIN_SEC = 3.0
+COLD_GATE_MIN_WARM_SEC = 0.2
+# Registration exemptions: queries whose cold build legitimately does
+# one-time work a warm re-run never repeats. Each entry documents why.
+COLD_GATE_EXEMPT: dict[str, str] = {
+    # Catalog DDL round-trip: the cold run creates the spark-warehouse
+    # directory tree and Derby metastore; r09 measured 10.7 s cold vs
+    # 3.1 s warm — catalog-op noise, not a data-plan pathology.
+    "ddl_roundtrip": "catalog/metastore first-touch, not a data plan",
+}
 
 
 def load_baseline() -> dict[str, float]:
@@ -33,9 +59,25 @@ def load_baseline() -> dict[str, float]:
     return base
 
 
+def cold_gate_violations(
+    bench: dict[str, float], colds: dict[str, float]
+) -> list[tuple[str, float]]:
+    """(name, cold/warm ratio) rows that fail the hard cold-build gate."""
+    out = []
+    for q, cold in colds.items():
+        warm = bench.get(q, 0.0)
+        if q in COLD_GATE_EXEMPT or warm < COLD_GATE_MIN_WARM_SEC:
+            continue
+        if cold >= COLD_GATE_MIN_SEC and cold / warm >= COLD_GATE_RATIO:
+            out.append((q, cold / warm))
+    return sorted(out, key=lambda kv: -kv[1])
+
+
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
-    bench = json.load(open(path))["queries"]
+    data = json.load(open(path))
+    bench: dict[str, float] = data["queries"]
+    colds: dict[str, float] = data.get("cold_queries", {})
     base = load_baseline()
     ratios = {q: t / base[q] for q, t in bench.items() if base.get(q, 0) > 0 and t >= 0}
     new = sorted(q for q in bench if q not in base)
@@ -52,15 +94,26 @@ def main() -> int:
     # Cold first-build vs warm median (recorded since round 9): a big
     # ratio on a non-trivial query is the inferred-filter bug class —
     # plan-level double compute hidden by the logical-plan cache.
-    colds = json.load(open(path)).get("cold_queries", {})
-    cr = {
+    cold_ratios = {
         q: colds[q] / bench[q]
         for q in colds
-        if bench.get(q, 0) > 0.2 and colds[q] / bench[q] >= 3
+        if bench.get(q, 0) > COLD_GATE_MIN_WARM_SEC
     }
-    print(f"cold first-build >=3x warm median ({len(cr)}):")
-    for q, r in sorted(cr.items(), key=lambda kv: -kv[1])[:10]:
+    notable = {q: r for q, r in cold_ratios.items() if r >= 3}
+    print(f"cold first-build >=3x warm median ({len(notable)}):")
+    for q, r in sorted(notable.items(), key=lambda kv: -kv[1])[:10]:
         print(f"  {r:5.1f}x  {q:32s} cold {colds[q]:6.2f}s vs warm {bench[q]:6.2f}s")
+    violations = cold_gate_violations(bench, colds)
+    if violations:
+        for q, r in violations:
+            print(
+                f"COLD GATE FAIL {q}: cold {colds[q]:.2f}s = {r:.0f}x warm "
+                f"{bench[q]:.2f}s (bar: >={COLD_GATE_RATIO:.0f}x and "
+                f">={COLD_GATE_MIN_SEC}s; exempt list in benchcmp.py)",
+                file=sys.stderr,
+            )
+        return 1
+    print("cold-build gate: pass")
     return 0
 
 

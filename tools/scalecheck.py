@@ -139,18 +139,19 @@ def heavy_growth(ks: list[int]) -> None:
     for _, tabs in heavy:
         for t in tabs:
             needed[t] = None
-    # Replica dirs are keyed by the base data's identity (sf basename +
-    # max source mtime over the tables we replicate): a regenerated
+    # Replica dirs are keyed by the base data's CONTENT identity (sf
+    # basename + the shared source_content_tag over the tables we
+    # replicate — the repo-wide derived-cache convention): a regenerated
     # testdata drop, or pointing SPARK_GRAFT_SF_DIR elsewhere, gets fresh
     # replicas instead of silently measuring stale ones (advisor finding,
-    # round 8). Superseded siblings are swept. --force rebuilds anyway
+    # rounds 8/9). Superseded siblings are swept. --force rebuilds anyway
     # (for when the replication logic itself changes).
-    from music_database_spark.sources.loader import source_mtime_tag
+    from music_database_spark.sources.loader import source_content_tag
 
     base_tag = (
         os.path.basename(os.path.normpath(SF_DIR))
         + "_"
-        + str(max(int(source_mtime_tag(SF_DIR, t)) for t in needed))
+        + source_content_tag(SF_DIR, list(needed))
     )
     force = "--force" in sys.argv[1:]
     for k in ks:

@@ -33,13 +33,28 @@ sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_VARIANT_BASE", "/root/testdata/sf0.01")
 K = int(os.environ.get("SPARK_GRAFT_VARIANT_K", "2"))
-# One OUT path per (base, K): several registered queries cache physical
-# layouts under .tmp keyed by basename(sf_dir), so two different variant
-# datasets sharing one directory name would serve each other stale
-# layouts (exactly the cross-scale gotcha the sf-keying exists to stop).
-OUT = os.path.join(
-    REPO, ".tmp", f"variant_{os.path.basename(os.path.normpath(BASE))}_k{K}"
-)
+
+
+def _out_dir() -> str:
+    """One OUT path per (base CONTENT, K) under the repo-wide derived-
+    cache convention (loader.source_content_tag): registered queries key
+    their physical-layout caches by basename(sf_dir)+content tag, so a
+    REGENERATED base at the same path gets a fresh variant directory
+    name and can never be served another generation's derived layouts
+    (round-9 advisor finding; before this the name carried only
+    basename+K). Superseded same-(basename,K) variant dirs are swept at
+    materialize time."""
+    from music_database_spark.sources.loader import source_content_tag
+
+    return os.path.join(
+        REPO,
+        ".tmp",
+        f"variant_{os.path.basename(os.path.normpath(BASE))}"
+        f"_{source_content_tag(BASE)}_k{K}",
+    )
+
+
+OUT = _out_dir()
 
 SHIFT: dict[str, tuple[str, ...]] = {
     "region": (),
@@ -61,6 +76,14 @@ def materialize() -> None:
     from music_database_spark.sources.loader import DRIVER_TABLES, load_table
 
     spark = get_spark("variantcheck")
+    # Sweep superseded variant generations for this (basename, K): their
+    # base content tag differs, so they describe data that no longer
+    # exists (and their own derived layout caches were content-keyed).
+    stem = f"variant_{os.path.basename(os.path.normpath(BASE))}_"
+    for d in glob.glob(os.path.join(REPO, ".tmp", f"{stem}*_k{K}")):
+        if d != OUT:
+            shutil.rmtree(d, ignore_errors=True)
+            print(f"# swept superseded variant dir {d}", file=sys.stderr)
     os.makedirs(OUT, exist_ok=True)
     for t in DRIVER_TABLES:
         df = load_table(spark, BASE, t)
