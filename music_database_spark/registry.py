@@ -40,6 +40,15 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     doc: str = ""
     bench: bool = True
+    # Non-None declares the query's OUTPUT legitimately depends on the
+    # physical layout of its input (a layout probe, or an order-sensitive
+    # sketch estimator) — the string is the documented WHY. Consumed by
+    # tools/layoutcheck.py: exempt queries must still run on the
+    # scrambled copy but are not compared across layouts. Declared here,
+    # on the registration, so a new order-sensitive query cannot be
+    # exempted by editing tool code or prose (round-9 verdict ask #7);
+    # tests pin the exempt set.
+    layout_exempt: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -50,12 +59,19 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = True,
+    layout_exempt: str | None = None,
 ) -> Callable[[BuildFn], BuildFn]:
     def deco(fn: BuildFn) -> BuildFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, build=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "", bench=bench
+            name=name,
+            build=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=fn.__doc__ or "",
+            bench=bench,
+            layout_exempt=layout_exempt,
         )
         return fn
 

@@ -109,7 +109,14 @@ def x_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_compaction", tags=("EXT", "S6", "S5"), oracle=None)
+@register(
+    "x_compaction",
+    tags=("EXT", "S6", "S5"),
+    oracle=None,
+    layout_exempt="output = file counts of its own rewrite; the "
+    "fragmented byte size (hence ceil(bytes/target)) legitimately moves "
+    "with input row order via parquet encoding efficiency",
+)
 def x_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the table-maintenance pass every long-lived
     100 TB dataset needs: a fragmented layout (64 tiny part files, the
@@ -149,7 +156,14 @@ def x_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "phase string, n_files int, n_rows bigint")
 
 
-@register("x_sorted_layout", tags=("EXT", "S5", "P5", "O1"), oracle=None)
+@register(
+    "x_sorted_layout",
+    tags=("EXT", "S5", "P5", "O1"),
+    oracle=None,
+    layout_exempt="output counts which physical files a filter touches; "
+    "the scattered-layout file spread is exactly the input layout being "
+    "varied",
+)
 def x_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered data layout (the z-order-lite every large fact table
     needs): the same events written (a) round-robin scattered and (b)

@@ -140,3 +140,33 @@ def test_scalecheck_requires_two_distinct_ks():
     )
     assert p.returncode != 0
     assert "two distinct K" in (p.stderr + p.stdout)
+
+
+# --- registry-declared layout exemptions -----------------------------------
+
+
+def test_layout_exemptions_live_on_the_registry():
+    """The layout-invariance exemption is a QuerySpec declaration, and
+    its membership is pinned: adding a new order-sensitive query to the
+    exempt set requires changing BOTH the registration and this test —
+    it cannot be done by editing tool code or prose."""
+    import layoutcheck
+    from music_database_spark.registry import load_all
+
+    declared = {
+        n: s.layout_exempt for n, s in load_all().items() if s.layout_exempt
+    }
+    assert sorted(declared) == [
+        "x_approx_percentiles",
+        "x_compaction",
+        "x_rolling_distinct_hll",
+        "x_sorted_layout",
+    ]
+    # each carries a documented why, and names its invariant twin or probe
+    assert all(len(why) > 40 for why in declared.values())
+    # the tool consumes exactly the registry's declarations
+    assert layoutcheck.exempt_queries() == declared
+    # every exemption is a rows-only query: an oracle-checked query can
+    # never be layout-exempt (its hash check would be flaky by admission)
+    reg = load_all()
+    assert all(reg[n].oracle is None for n in declared)

@@ -36,32 +36,44 @@ sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_LAYOUT_BASE", "/root/testdata/sf0.01")
 SPLITS = int(os.environ.get("SPARK_GRAFT_LAYOUT_SPLITS", "7"))
-OUT = os.path.join(
-    REPO, ".tmp", f"layout_{os.path.basename(os.path.normpath(BASE))}_s{SPLITS}"
-)
 
-# Queries whose OUTPUT is a measurement of the physical layout: comparing
-# them across layouts would assert that a layout probe cannot see the
-# layout. They still must run without error on the scrambled copy.
-EXEMPT: dict[str, str] = {
-    "x_compaction": "output = file counts of its own rewrite; the "
-    "fragmented byte size (hence ceil(bytes/target)) legitimately moves "
-    "with input row order via parquet encoding efficiency",
-    "x_sorted_layout": "output counts which physical files a filter "
-    "touches; the scattered-layout file spread is exactly the input "
-    "layout being varied",
-    "x_rolling_distinct_hll": "daily_users_est uses DataSketches HLL's "
-    "HIP estimator, which accumulates per-INSERTION increments and is "
-    "stream-order-dependent by design (the merged users_7d_est column "
-    "goes through hll_union_agg -> composite estimator and IS "
-    "layout-invariant — verified identical in the sf0.1 sweep); "
-    "declared rows-only, estimate-vs-exact tolerance pinned in tests",
-    "x_approx_percentiles": "approx_median merges Greenwald-Khanna "
-    "partial summaries whose compression depends on insertion/merge "
-    "order; estimates move within the accuracy bound while the "
-    "exact_median twin column stays bit-identical (verified in the "
-    "sf0.1 sweep); declared rows-only",
-}
+
+def _out_dir() -> str:
+    """One OUT path per (base CONTENT, splits) — the same derived-cache
+    keying convention as variantcheck (loader.source_content_tag), so a
+    regenerated base at the same path can never serve another
+    generation's derived layout caches."""
+    from music_database_spark.sources.loader import source_content_tag
+
+    return os.path.join(
+        REPO,
+        ".tmp",
+        f"layout_{os.path.basename(os.path.normpath(BASE))}"
+        f"_{source_content_tag(BASE)}_s{SPLITS}",
+    )
+
+
+OUT = _out_dir()
+
+# Queries whose OUTPUT is a measurement of the physical layout are
+# declared AT REGISTRATION (QuerySpec.layout_exempt carries the
+# documented why — currently x_compaction, x_sorted_layout,
+# x_rolling_distinct_hll, x_approx_percentiles): comparing them across
+# layouts would assert that a layout probe cannot see the layout. They
+# still must run without error on the scrambled copy. Declaring the
+# exemption on the registration, not here, means a new order-sensitive
+# query cannot be exempted by editing tool code (round-9 verdict ask
+# #7); tests pin the exempt set's exact membership.
+
+
+def exempt_queries() -> dict[str, str]:
+    from music_database_spark.registry import load_all
+
+    return {
+        n: spec.layout_exempt
+        for n, spec in load_all().items()
+        if spec.layout_exempt is not None
+    }
 
 
 def materialize() -> None:
@@ -71,6 +83,12 @@ def materialize() -> None:
     from music_database_spark.sources.loader import DRIVER_TABLES, load_table
 
     spark = get_spark("layoutcheck")
+    # Sweep superseded layout generations for this (basename, splits)
+    stem = f"layout_{os.path.basename(os.path.normpath(BASE))}_"
+    for d in glob.glob(os.path.join(REPO, ".tmp", f"{stem}*_s{SPLITS}")):
+        if d != OUT:
+            shutil.rmtree(d, ignore_errors=True)
+            print(f"# swept superseded layout dir {d}", file=sys.stderr)
     os.makedirs(OUT, exist_ok=True)
     for t in DRIVER_TABLES:
         df = load_table(spark, BASE, t)
@@ -106,6 +124,7 @@ def sweep(names: list[str]) -> int:
     spark = get_spark("layoutcheck")
     registry = load_all()
     todo = {n: registry[n] for n in (names or sorted(registry))}
+    exempt = exempt_queries()
     failures = []
     for name, spec in todo.items():
         t0 = time.time()
@@ -116,7 +135,7 @@ def sweep(names: list[str]) -> int:
             failures.append(name)
             print(f"FAIL  {name}: error: {type(e).__name__}: {str(e)[:300]}")
             continue
-        if name in EXEMPT:
+        if name in exempt:
             print(
                 f"ok*   {name}: layout-measuring, ran on both "
                 f"({len(a)}/{len(b)} rows, {time.time()-t0:.1f}s)"
