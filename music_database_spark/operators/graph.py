@@ -1068,7 +1068,15 @@ def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = ps.groupBy("p").agg(F.count(F.lit(1)).alias("f")).filter(
         F.col("f") <= LP_MAX_PART_FREQ
     ).select("p")
-    cps = ps.join(keep, "p").localCheckpoint()
+    # persist, not localCheckpoint: the capped frame feeds three
+    # consumers (deg, both self-join sides) and Catalyst does NOT reuse
+    # the exchange across the forked branches (A/B-measured at sf0.1,
+    # same session: plain lineage 4.8-5.3 s, localCheckpoint 2.8-3.8 s,
+    # persist 2.6-2.8 s; fresh-session medians 3.3 vs 3.4 s). persist
+    # is also the repo-wide barrier convention and stays lazy — the
+    # eager localCheckpoint materialized an RDD row copy at build time.
+    # Round-10 drift audit in BASELINE.md §3.
+    cps = ps.join(keep, "p").persist()
     deg = cps.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = cps.select(F.col("p").alias("pa"), F.col("s").alias("s1"))
     b = cps.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
