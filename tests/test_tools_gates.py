@@ -170,3 +170,31 @@ def test_layout_exemptions_live_on_the_registry():
     # never be layout-exempt (its hash check would be flaky by admission)
     reg = load_all()
     assert all(reg[n].oracle is None for n in declared)
+
+
+def test_fresh_jvm_coldsweep_record_is_clean():
+    """The shipped COLDSWEEP.json (fresh-JVM-per-family first builds)
+    must stay under the same pathology bar the in-session gate uses —
+    if this fails, a fresh-session cold pathology landed and needs a
+    root cause in BASELINE.md §3."""
+    import json
+
+    import coldsweep
+
+    path = os.path.join(REPO, "COLDSWEEP.json")
+    if not os.path.exists(path):
+        pytest.skip("no COLDSWEEP.json in this checkout")
+    cold = json.load(open(path))["queries"]
+    warm = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))["queries"]
+    assert not [q for q, v in cold.items() if v < 0], "coldsweep recorded errors"
+    flagged = [
+        q
+        for q, v in cold.items()
+        if warm.get(q, 0) > coldsweep.ALERT_MIN_WARM
+        and v >= coldsweep.ALERT_MIN_SEC
+        and v / warm[q] >= coldsweep.ALERT_RATIO
+        and q not in coldsweep.ALERT_EXEMPT
+    ]
+    assert flagged == []
+    # every exemption carries a documented why
+    assert all(len(why) > 20 for why in coldsweep.ALERT_EXEMPT.values())

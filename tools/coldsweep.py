@@ -35,6 +35,18 @@ OUT = os.path.join(REPO, "COLDSWEEP.json")
 ALERT_RATIO = 10.0
 ALERT_MIN_SEC = 3.0
 ALERT_MIN_WARM = 0.2
+# Fresh-session one-time costs with documented causes (the registration
+# class, BASELINE.md §3): real first-build work a warm re-run never
+# repeats and that no plan fix can remove. Everything else must stay
+# under ALERT_RATIO x warm.
+ALERT_EXEMPT: dict[str, str] = {
+    # ~7 s fresh-JVM: one-time Python DataSource registration + the
+    # worker-side package-zip ship (PythonStreamingSourceRunner forks
+    # its own interpreter); warm re-runs reuse the registered source.
+    "x_python_datasource": "one-time Python datasource registration",
+    # catalog/metastore first-touch — same exemption as benchcmp's gate
+    "ddl_roundtrip": "catalog/metastore first-touch, not a data plan",
+}
 
 
 def family_names() -> dict[str, list[str]]:
@@ -128,7 +140,7 @@ def report() -> int:
     flagged = [
         (q, r)
         for r, q in rows
-        if r >= ALERT_RATIO and cold[q] >= ALERT_MIN_SEC
+        if r >= ALERT_RATIO and cold[q] >= ALERT_MIN_SEC and q not in ALERT_EXEMPT
     ]
     print(f"\nerrors ({len(errors)}): {', '.join(errors) or '-'}")
     print(
