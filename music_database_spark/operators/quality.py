@@ -1820,7 +1820,14 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the price range, not the table) — then a cumulative sum
     over that collapsed frame gives each value's exact rank span
     [cum+1, cum+c], which is intersected with the pure-integer bucket
-    rank ranges ((b-1)·n div B, b·n div B]. Same-value rows are
+    rank ranges ((b-1)·n div B, b·n div B]. The cumulative sum itself
+    uses the two-level range-bucket pattern (x_theilsen_slope /
+    x_lorenz_curve's rank-selection escape): a monotone integer bucket
+    of cents, a cum-sum over the ≤1024-row per-bucket totals into
+    offsets, and a PARTITIONED within-bucket cum-sum — so no stage
+    windows the full value domain in one task (a ~10^8-distinct-cents
+    domain at 100 TB would otherwise single-task; round-10 change,
+    integer-exact, bit-identical output). Same-value rows are
     interchangeable under the (cents, orderkey) tie-break, so the
     result is bit-identical to the raw ranking the oracle runs. The
     statistics object itself is {EQD_BINS} rows.
@@ -1832,11 +1839,47 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
     )
     vc = v.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n_tot = vc.agg(F.sum("c").cast("bigint").alias("n"))
-    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    nb = 1024
+    stats = vc.agg(
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    # Monotone integer bucket: equal cents share a bucket, cents order
+    # implies bucket order, so ordering by (bkt, cents) == by cents and
+    # the two-level cum-sum is exactly the global one.
+    bucketed = vc.crossJoin(F.broadcast(stats)).select(
+        "cents",
+        "c",
+        "n",
+        F.expr(f"least({nb - 1}, ((cents - cmin) * {nb}) div (cmax - cmin + 1))")
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("c").cast("bigint").alias("bn"))
+        .select(
+            F.col("bkt").alias("__bkt"),
+            F.coalesce(
+                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("off"),
+        )
+    )
+    wcum = W.partitionBy("bkt").orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
     spans = (
-        vc.withColumn("cum", F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("bigint"))
-        .crossJoin(F.broadcast(n_tot))
+        bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt"))
+        .select(
+            "cents",
+            "c",
+            "n",
+            (F.col("off") + F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+            .cast("bigint")
+            .alias("cum"),
+        )
         .select(
             "cents",
             "c",
