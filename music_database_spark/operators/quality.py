@@ -1543,11 +1543,15 @@ def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     values); shares are single divisions of exact integers.
 
     100 TB design: the fact table partial-aggregates to one row per
-    customer first. The exact global rank is the scale-bound stage (a
-    total sort); past ~10^9 entities swap in range-partitioned ranking
-    (sort + per-partition offsets) or the x_histogram equi-width
-    pre-binning — the decile cut formula is unchanged. The curve
-    itself is {LORENZ_BINS} rows.
+    customer first, and the exact global rank over that frame is
+    two-level range-partitioned ranking (the x_theilsen_slope pattern,
+    round-10: a monotone integer bucket of cents, the ≤1024-row
+    per-bucket counts cum-summed into offsets, then row_number only
+    WITHIN buckets under the same (cents, custkey) order) — no stage
+    sorts the per-customer frame in one task, so the rank survives
+    ~10^9 entities. Integer-exact: bucketing is monotone in cents, so
+    offset + within-bucket row_number IS the global row_number under
+    (cents, custkey). The curve itself is {LORENZ_BINS} rows.
 
     Reference parity: 'top rated / most active' leaderboards
     (Queries:28-44) generalized to a whole-population concentration
@@ -1558,10 +1562,42 @@ def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked = rev.select(
+    nb = 1024
+    stats = rev.agg(
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    bucketed = rev.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
         "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+        "n",
+        F.expr(f"least({nb - 1}, ((cents - cmin) * {nb}) div (cmax - cmin + 1))")
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+        .select(
+            F.col("bkt").alias("__bkt"),
+            F.coalesce(
+                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("off"),
+        )
+    )
+    ranked = bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt")).select(
+        "cents",
+        (
+            F.col("off")
+            + F.row_number().over(W.partitionBy("bkt").orderBy("cents", "o_custkey"))
+        )
+        .cast("bigint")
+        .alias("rn"),
+        "n",
     )
     bins = (
         ranked.select(
