@@ -38,7 +38,7 @@ def _excluded_rules_conf(existing: str | None = None) -> str:
     merged with any exclusions already configured on the session so
     applying our conventions never silently drops a caller's own rule
     exclusions (order-preserving union; the conf is a comma list)."""
-    merged = [r for r in (existing or "").split(",") if r.strip()]
+    merged = [r.strip() for r in (existing or "").split(",") if r.strip()]
     merged += [r for r in EXCLUDED_OPTIMIZER_RULES if r not in merged]
     return ",".join(merged)
 

@@ -248,16 +248,25 @@ def derived_cache_path(kind: str, prefix: str, tag: str) -> str:
     cache site used to hand-roll: any existing <prefix>_* entry carrying
     a DIFFERENT tag describes data that no longer exists and is removed,
     so .tmp never accumulates stale generations across rounds. The
-    caller still owns the _SUCCESS-marker check and the write."""
+    sweep only fires when THIS generation is not yet built (no _SUCCESS
+    marker): once the current cache is valid, returning its path must be
+    side-effect-free, so a concurrent consumer of a sibling generation
+    (or an alternating run against two same-prefix datasets) never has a
+    just-validated cache rmtree'd out from under it by a pure lookup
+    (round-10 advisor). The caller still owns the _SUCCESS-marker check
+    and the write."""
     import shutil
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = os.path.join(repo_root, ".tmp", kind)
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, f"{prefix}_{tag}")
-    for d in os.listdir(base):
-        if d.startswith(f"{prefix}_") and os.path.join(base, d) != path:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        for d in os.listdir(base):
+            # `d == prefix` is the pre-round-10 UNTAGGED legacy name —
+            # never read post-refactor, reclaimed here (round-10 advisor).
+            if (d.startswith(f"{prefix}_") or d == prefix) and os.path.join(base, d) != path:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return path
 
 

@@ -373,15 +373,6 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp_root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
     os.makedirs(tmp_root, exist_ok=True)
-    # Sweep earlier runs' result/checkpoint dirs (only this query writes
-    # the fb_/ckpt_fb_ prefixes, and each run reads only its own target),
-    # so repeated bench/diffcheck rounds don't accumulate dirs unboundedly.
-    import glob as _glob
-
-    for stale in _glob.glob(os.path.join(tmp_root, "fb_*")) + _glob.glob(
-        os.path.join(tmp_root, "ckpt_fb_*")
-    ):
-        shutil.rmtree(stale, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_fb_", dir=tmp_root)
     target = os.path.join(tempfile.mkdtemp(prefix="fb_", dir=tmp_root), "counts")
 
@@ -411,8 +402,23 @@ def x_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(target).orderBy("event_type")
+    # Materialize the upserted table into a local DataFrame BEFORE the
+    # disk sweep, so the returned frame has no dependence on the fb_
+    # files — a second build can then safely reclaim every earlier
+    # run's result/checkpoint dirs (only this query writes the
+    # fb_/ckpt_fb_ prefixes) without invalidating a lazy frame a caller
+    # is still holding (round-10 advisor). The table is one row per
+    # event_type, so the localization is a few dozen rows.
+    result_df = spark.read.parquet(target).orderBy("event_type")
+    rows = result_df.collect()
+    out = spark.createDataFrame(rows, result_df.schema).orderBy("event_type")
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(tmp_root, "fb_*")) + _glob.glob(
+        os.path.join(tmp_root, "ckpt_fb_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
+    return out
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

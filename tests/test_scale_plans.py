@@ -523,6 +523,19 @@ def test_generate_inferred_filter_never_reinlines_computed_arrays(spark):
     # tune_for_session is idempotent: re-applying adds no duplicates
     tune_for_session(spark)
     assert spark.conf.get("spark.sql.optimizer.excludedRules").split(",") == merged
+    # ... including when the caller's value has whitespace after commas
+    # ('ruleA, ruleB' — Spark trims, the membership check must too;
+    # round-10 advisor): stripped output, still no duplicates.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        " org.apache.spark.sql.catalyst.optimizer.CollapseRepartition , "
+        + ", ".join(EXCLUDED_OPTIMIZER_RULES),
+    )
+    tune_for_session(spark)
+    spaced = spark.conf.get("spark.sql.optimizer.excludedRules").split(",")
+    assert spaced == [r.strip() for r in spaced]
+    assert len(spaced) == len(set(spaced))
+    assert all(r in spaced for r in EXCLUDED_OPTIMIZER_RULES)
     spark.conf.unset("spark.sql.optimizer.excludedRules")
     tune_for_session(spark)
 

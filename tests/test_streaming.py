@@ -125,6 +125,21 @@ def test_foreach_batch_totals_equal_batch_counts(spark):
     assert streamed == batch
 
 
+def test_foreach_batch_result_survives_a_second_build(spark):
+    """The returned frame must be materialized, not a lazy read over the
+    fb_ target: a second build sweeps every earlier run's result dirs,
+    which previously deleted the first result's backing files before the
+    caller collected it (round-10 advisor, latent)."""
+    from music_database_spark.registry import load_all
+
+    spec = load_all()["x_stream_foreach_batch"]
+    first = spec.build(spark, SF)
+    second = spec.build(spark, SF)  # sweeps fb_* from the first run
+    rows1 = {(r["event_type"], r["n"]) for r in first.collect()}
+    rows2 = {(r["event_type"], r["n"]) for r in second.collect()}
+    assert rows1 == rows2 and rows1
+
+
 def test_stream_sliding_equals_batch(spark):
     from music_database_spark.registry import load_all
     from music_database_spark.streaming.batch_windows import stream_sliding_counts

@@ -48,6 +48,24 @@ def test_cold_gate_noise_guards_and_exemptions():
     assert cold_gate_violations({"other": 0.5}, {"other": 50.0}) == [("other", 100.0)]
 
 
+def test_cold_gate_flags_cold_only_names():
+    """A cold-benched query MISSING from the warm record is a gate
+    failure (ratio inf), not noise — folding it into the tiny-warm guard
+    would let a query dropped from the warm bench escape the gate
+    silently (round-10 advisor)."""
+    import math
+
+    from benchcmp import cold_gate_violations
+
+    out = cold_gate_violations({}, {"dropped_from_warm": 4.0})
+    assert out == [("dropped_from_warm", math.inf)]
+    # an exempt query stays exempt even when cold-only
+    from benchcmp import COLD_GATE_EXEMPT
+
+    (exempt,) = [q for q in COLD_GATE_EXEMPT if q == "ddl_roundtrip"]
+    assert cold_gate_violations({}, {exempt: 4.0}) == []
+
+
 def test_cold_gate_passes_current_bench_record():
     """The shipped BENCH_FULL.json must satisfy the gate — if this fails,
     a cold pathology landed in the benched tree and needs a root cause,
@@ -113,6 +131,41 @@ def test_derived_cache_path_sweeps_superseded_generations(tmp_path, monkeypatch)
     os.makedirs(other, exist_ok=True)
     sandboxed("k", "docs_sfX", "dddd")
     assert os.path.isdir(other)
+    # the pre-tag LEGACY name (bare prefix, no _tag) is also reclaimed
+    legacy = os.path.join(os.path.dirname(other), "docs_sfZ")
+    os.makedirs(legacy, exist_ok=True)
+    sandboxed("k", "docs_sfZ", "eeee")
+    assert not os.path.exists(legacy)
+
+
+def test_derived_cache_path_lookup_is_side_effect_free_once_built(tmp_path, monkeypatch):
+    """Once the current generation carries _SUCCESS, derived_cache_path
+    is a pure lookup: it must NOT rmtree sibling generations, so a
+    concurrent consumer of another tag (or an alternating run against
+    two same-prefix datasets) never loses a just-validated cache to
+    someone else's lookup (round-10 advisor)."""
+    import music_database_spark.sources.loader as loader
+
+    monkeypatch.setattr(
+        loader.os.path, "abspath", lambda p: str(tmp_path / "pkg" / "sources" / "loader.py")
+    )
+    a = loader.derived_cache_path("k", "docs_sfA", "aaaa")
+    os.makedirs(a, exist_ok=True)
+    open(os.path.join(a, "_SUCCESS"), "w").close()
+    b = loader.derived_cache_path("k", "docs_sfA", "bbbb")
+    os.makedirs(b, exist_ok=True)
+    open(os.path.join(b, "_SUCCESS"), "w").close()
+    # b's build swept a (it lacked nothing — b had no _SUCCESS yet)...
+    assert not os.path.exists(a)
+    # ...but now that b is _SUCCESS-validated, re-looking up EITHER tag
+    # leaves b alone: a's lookup (no _SUCCESS at a's path) may sweep
+    # only when a is being (re)built — which it is here — so rebuild a,
+    # validate it, and assert pure lookups stop sweeping both ways.
+    a2 = loader.derived_cache_path("k", "docs_sfA", "aaaa")
+    os.makedirs(a2, exist_ok=True)
+    open(os.path.join(a2, "_SUCCESS"), "w").close()
+    assert loader.derived_cache_path("k", "docs_sfA", "aaaa") == a2
+    assert os.path.isdir(a2), "validated cache swept by its own lookup"
 
 
 def test_derived_caches_key_by_content_not_path():

@@ -62,11 +62,21 @@ def load_baseline() -> dict[str, float]:
 def cold_gate_violations(
     bench: dict[str, float], colds: dict[str, float]
 ) -> list[tuple[str, float]]:
-    """(name, cold/warm ratio) rows that fail the hard cold-build gate."""
+    """(name, cold/warm ratio) rows that fail the hard cold-build gate.
+
+    A cold-benched query with NO warm record at all is itself a gate
+    failure (ratio inf): folding it into the tiny-warm noise guard would
+    let a query silently dropped from the warm bench escape the gate
+    entirely (round-10 advisor)."""
     out = []
     for q, cold in colds.items():
-        warm = bench.get(q, 0.0)
-        if q in COLD_GATE_EXEMPT or warm < COLD_GATE_MIN_WARM_SEC:
+        if q in COLD_GATE_EXEMPT:
+            continue
+        if q not in bench:
+            out.append((q, math.inf))
+            continue
+        warm = bench[q]
+        if warm < COLD_GATE_MIN_WARM_SEC:
             continue
         if cold >= COLD_GATE_MIN_SEC and cold / warm >= COLD_GATE_RATIO:
             out.append((q, cold / warm))

@@ -89,6 +89,14 @@ def materialize() -> None:
         if d != OUT:
             shutil.rmtree(d, ignore_errors=True)
             print(f"# swept superseded layout dir {d}", file=sys.stderr)
+    # One-time hygiene: the pre-round-10 UNTAGGED name (layout_<base>_s<N>,
+    # no content tag) matches neither OUT nor the tagged glob above, so a
+    # checkout upgraded across the tag refactor would keep the stale dir
+    # forever (round-10 advisor). Never read, purely disk reclamation.
+    legacy = os.path.join(REPO, ".tmp", f"{stem}s{SPLITS}")
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
+        print(f"# swept legacy untagged layout dir {legacy}", file=sys.stderr)
     os.makedirs(OUT, exist_ok=True)
     for t in DRIVER_TABLES:
         df = load_table(spark, BASE, t)
