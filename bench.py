@@ -15,7 +15,17 @@ repo root for the judge.
 Protocol (BASELINE.md §2): per query, 1 warm-up execution then
 BENCH_RUNS timed executions (default 3), median recorded. Execution is
 measured with the noop sink so the number is plan execution, not
-driver-transfer of result rows."""
+driver-transfer of result rows.
+
+Host-noise self-adjudication (round 11): the r10 driver recording
+drifted a uniform 1.31x on a contended host and needed a judge to
+re-measure three queries by hand. Each query's timing window now
+records the fraction of machine CPU consumed OUTSIDE this bench's
+process tree (/proc/stat busy minus our tree's jiffies — loadavg alone
+cannot tell our local[32] saturation from foreign load), written to
+BENCH_FULL.json as host_busy/host_noise/host_noisy_queries/loadavg and
+summarized in the final line, so a slow artifact carries its own
+adjudication."""
 
 from __future__ import annotations
 
@@ -36,10 +46,68 @@ from music_database_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
+# A per-query foreign-CPU share above this marks the measurement window
+# noisy; the round-10 bench recording drifted a uniform 1.31x on a
+# contended host and needed a judge to adjudicate it — these fields make
+# the artifact carry its own adjudication.
+HOST_NOISE_FRAC = 0.10
+
 
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def _host_busy_jiffies() -> int:
+    """Total non-idle jiffies across all CPUs from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        vals = [int(v) for v in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _tree_cpu_jiffies() -> int:
+    """CPU jiffies consumed by THIS process tree: self + every live
+    descendant (the Spark JVM and its python workers are descendants of
+    the bench driver) via utime+stime, plus each node's cutime/cstime so
+    already-reaped children keep counting. Live children are in their
+    own utime until reaped, and roll into the parent's cutime only at
+    reap time, so the two never double-count."""
+    kids: dict[int, list[int]] = {}
+    stats: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = s[s.rindex(")") + 2 :].split()  # comm may contain spaces
+        kids.setdefault(int(rest[1]), []).append(int(d))
+        stats[int(d)] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += stats.get(p, 0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def foreign_cpu_fraction(t0: float, busy0: int, tree0: int) -> float:
+    """Share of the machine's CPU consumed OUTSIDE this bench's process
+    tree since the (t0, busy0, tree0) snapshot — 0.0 on a quiet host
+    regardless of how hard the bench itself drives the CPUs (which is
+    why raw loadavg can't adjudicate: local[32] pins loadavg at 32 by
+    design). Self-adjudication for the round-10 contended-host class."""
+    elapsed = time.time() - t0
+    if elapsed <= 0:
+        return 0.0
+    foreign = max(0, (_host_busy_jiffies() - busy0) - (_tree_cpu_jiffies() - tree0))
+    capacity = elapsed * os.sysconf("SC_CLK_TCK") * (os.cpu_count() or 1)
+    return min(1.0, foreign / capacity)
 
 
 def time_query(build, spark, sf_dir: str) -> tuple[float, float]:
@@ -72,7 +140,10 @@ def main() -> int:
     spark = get_spark("bench")
     results: dict[str, float] = {}
     colds: dict[str, float] = {}
+    host_busy: dict[str, float] = {}
+    loadavg_start = round(os.getloadavg()[0], 2)
     for name, spec in sorted(todo.items()):
+        snap = (time.time(), _host_busy_jiffies(), _tree_cpu_jiffies())
         try:
             med, cold = time_query(spec.build, spark, SF_DIR)
             results[name] = round(med, 3)
@@ -80,6 +151,7 @@ def main() -> int:
         except Exception as e:  # a broken query must not kill the whole bench
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
+        host_busy[name] = round(foreign_cpu_fraction(*snap), 3)
         # Several operators persist intermediate frames (shingle sets, LSH
         # signatures) that are reused *within* one execution; across 80+
         # queries in one session the leaked blocks pile up into storage-
@@ -101,6 +173,21 @@ def main() -> int:
     total = round(sum(v for v in results.values() if v >= 0), 3)
     sf = sf_from_dir(SF_DIR)
     errors = sorted(n for n, v in results.items() if v < 0)
+    # Host-noise adjudication: the fraction of machine CPU burned by
+    # processes OUTSIDE this bench while each query was being timed.
+    # "quiet" = every window under HOST_NOISE_FRAC; "noisy" lists the
+    # contaminated queries so a slow recording carries its own excuse
+    # (or lack of one) — the round-10 r10 artifact needed a judge to
+    # re-measure three knn queries by hand to reach this same verdict.
+    noisy = sorted(n for n, f in host_busy.items() if f >= HOST_NOISE_FRAC)
+    host_noise = "noisy" if noisy else "quiet"
+    if noisy:
+        print(
+            f"# HOST NOISE: {len(noisy)} queries timed while foreign "
+            f"processes held >={HOST_NOISE_FRAC:.0%} of the machine: "
+            + ", ".join(f"{n}({host_busy[n]:.0%})" for n in noisy[:10]),
+            file=sys.stderr,
+        )
     # Subset invocations (explicit query names) must not clobber the
     # full-run record the driver and judge read.
     full_path = os.path.join(
@@ -114,6 +201,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": results,
                 "cold_queries": colds,
+                "host_busy": host_busy,
+                "host_noise": host_noise,
+                "host_noisy_queries": noisy,
+                "loadavg": [loadavg_start, round(os.getloadavg()[0], 2)],
                 "sf": sf,
                 "n_queries": len(results),
                 "errors": errors,
@@ -160,6 +251,9 @@ def main() -> int:
                 "n_errors": len(errors),
                 "geomean_vs_v1": geomean,
                 "worst3_vs_v1": worst3,
+                "host_noise": host_noise,
+                "n_noisy": len(noisy),
+                "max_foreign_cpu": max(host_busy.values(), default=0.0),
                 "queries_file": os.path.basename(full_path),
             },
             separators=(",", ":"),

@@ -66,6 +66,49 @@ def test_cold_gate_flags_cold_only_names():
     assert cold_gate_violations({}, {exempt: 4.0}) == []
 
 
+def test_foreign_cpu_fraction_separates_own_load_from_foreign():
+    """bench.py's host-noise adjudicator must attribute THIS tree's CPU
+    burn to the bench (foreign ~ 0) and an out-of-tree spinner to the
+    host (foreign >> 0) — loadavg can't make that distinction, which is
+    why the round-10 recording needed a judge to re-measure by hand."""
+    import time
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    # our own spin must NOT read as foreign noise
+    snap = (time.time(), bench._host_busy_jiffies(), bench._tree_cpu_jiffies())
+    end = time.time() + 0.4
+    while time.time() < end:
+        pass
+    own = bench.foreign_cpu_fraction(*snap)
+    assert own < 0.08, f"own busy-loop misattributed as foreign ({own:.2%})"
+
+    # an out-of-tree spinner (double-fork reparents it to init) MUST
+    spin = (
+        "import os,time\n"
+        "pids=[os.fork() for _ in range(8)]\n"
+        "if 0 in pids:\n"
+        "    e=time.time()+0.6\n"
+        "    while time.time()<e: pass\n"
+        "    os._exit(0)\n"
+        "for p in pids: os.waitpid(p,0)\n"
+    )
+    pid = os.fork()
+    if pid == 0:  # intermediate child: exec the spinner's parent, orphaned
+        os.setsid()
+        if os.fork() == 0:
+            os.execv(sys.executable, [sys.executable, "-c", spin])
+        os._exit(0)
+    os.waitpid(pid, 0)
+    snap = (time.time(), bench._host_busy_jiffies(), bench._tree_cpu_jiffies())
+    time.sleep(0.8)
+    foreign = bench.foreign_cpu_fraction(*snap)
+    # 8 foreign cores for 0.6 s inside an 0.8 s window on a 32-cpu box
+    # is ~19% of capacity; demand at least a quarter of that.
+    assert foreign > 0.05, f"foreign spinners invisible to adjudicator ({foreign:.2%})"
+
+
 def test_cold_gate_passes_current_bench_record():
     """The shipped BENCH_FULL.json must satisfy the gate — if this fails,
     a cold pathology landed in the benched tree and needs a root cause,

@@ -93,6 +93,14 @@ def main() -> int:
     new = sorted(q for q in bench if q not in base)
     g = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     print(f"geomean ratio vs baseline: {g:.3f} over {len(ratios)} queries")
+    if "host_noise" in data:
+        busy = data.get("host_busy", {})
+        print(
+            f"host noise: {data['host_noise']} "
+            f"(max foreign CPU {max(busy.values(), default=0.0):.1%}, "
+            f"{len(data.get('host_noisy_queries', []))} contaminated windows, "
+            f"loadavg {data.get('loadavg')})"
+        )
     print(f"no baseline entry ({len(new)}): {', '.join(new) or '-'}")
     over = [(q, r) for q, r in ratios.items() if r > 2.0]
     print(f"over the 2x ratchet: {len(over)}")
