@@ -87,69 +87,69 @@ def register(
 # (round 7 drains it), subsequent windows rotate the OLDEST-verified
 # names first — freshness debt, oldest round wins; new additions take
 # window slots ahead of re-verifications, capped at the window size.
-WINDOW_DESIGNED_AFTER_ROUND = 9
+WINDOW_DESIGNED_AFTER_ROUND = 10
 
-# Round-10 window — third rotation under the re-verification policy.
+# Round-11 window — fourth rotation under the re-verification policy.
 # Emitted verbatim by `python tools/verified_rounds.py --propose-window`
-# against the r02-r09 ledger: no never-verified names remain, so the
+# against the r02-r10 ledger: no never-verified names remain, so the
 # whole window is freshness debt — the 50 stalest last-verified names.
-# The first 37 are the remainder of the round-4 cohort (CSV/layout
-# sources, the dedup-cluster/recall family, the IVF/PQ kNN variants,
-# sampling and drift, the x_stream_* v1 stateful block, winnowing); the
-# last 13 drain the oldest round-5 names (x_abtest_lift ...
-# x_event_transitions). After round 10, no query's newest driver anchor
-# predates round 5.
+# The first 36 drain the rest of the round-5 cohort (the window/rank
+# family, pivot/rollup, the SQL-UDF surface, the python datasource and
+# UDTF registrations, text/corpus stats, layout probes); the last 14
+# start on the round-6 names (pk_uniqueness, the recall harnesses, the
+# stats battery from x_acf to x_dedup_embedding_det). After round 11,
+# no query's newest driver anchor predates round 6.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "x_csv_malformed",
-    "x_dataset_shard",
-    "x_dedup_clusters",
-    "x_dedup_clusters_star",
-    "x_dedup_containment",
-    "x_dedup_corpus",
-    "x_dedup_recall",
-    "x_distinct_kmv",
-    "x_embedding_drift",
-    "x_hash_split",
-    "x_incremental_agg",
-    "x_ivf_recall",
-    "x_knn_ivf",
-    "x_knn_ivf_trained",
-    "x_knn_ivfpq",
-    "x_ks_drift",
-    "x_lang_id",
-    "x_media_phash_dedup",
-    "x_nested_schema_pruning",
-    "x_null_safe_join",
-    "x_partitioned_scan",
-    "x_pca_gram",
-    "x_pq_recall",
-    "x_quality_score",
-    "x_quantile_sample",
-    "x_salted_join",
-    "x_snapshot_diff",
-    "x_sql_variables",
-    "x_stratified_sample",
-    "x_stream_kmv",
-    "x_stream_sliding",
-    "x_stream_stateful",
-    "x_stream_static_join",
-    "x_stream_tumbling",
-    "x_weighted_sample",
-    "x_winnow_candidates",
-    "x_winnow_fingerprint",
-    "x_abtest_lift",
-    "x_arg_extremes",
-    "x_array_agg_ordered",
-    "x_asof_nearest",
-    "x_bucketed_join",
-    "x_chunking",
-    "x_cogroup_conversions",
-    "x_cube",
-    "x_decontaminate",
-    "x_dedup_lines",
-    "x_domain_cap",
-    "x_editdist_join",
-    "x_event_transitions",
+    "x_gini_concentration",
+    "x_interpolate",
+    "x_interval_overlap",
+    "x_lateral_topk",
+    "x_map_funcs",
+    "x_mixture_sample",
+    "x_multimodal_transform",
+    "x_ngram_lm_score",
+    "x_outliers",
+    "x_partition_overwrite",
+    "x_pipe_syntax",
+    "x_pivot",
+    "x_posexplode",
+    "x_profile",
+    "x_python_datasource",
+    "x_python_udtf",
+    "x_rank_per_group",
+    "x_redact",
+    "x_repetition_filter",
+    "x_resample_ohlc",
+    "x_rollup",
+    "x_running_sum",
+    "x_scd2_history",
+    "x_schema_evolution",
+    "x_session",
+    "x_skyline",
+    "x_sql_table_udf",
+    "x_sql_udf",
+    "x_stream_python_source",
+    "x_text_stats",
+    "x_token_entropy",
+    "x_triangle_count",
+    "x_unpivot",
+    "x_vocab_coverage",
+    "x_window_ignore_nulls",
+    "x_zorder_layout",
+    "pk_uniqueness",
+    "x_acf",
+    "x_ann_recall",
+    "x_assoc_rules",
+    "x_auc_roc",
+    "x_benford",
+    "x_bfs",
+    "x_calibration",
+    "x_chi2_independence",
+    "x_cms_heavy_hitters",
+    "x_conversion_time",
+    "x_cusum_changepoint",
+    "x_dataset_card",
+    "x_dedup_embedding_det",
 )
 
 
