@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..plans.relational import _t
 from ..registry import register
 from ..sources.loader import scan_wide
+from .ranking import two_level_rank
 
 # (column, kind) pairs profiled over orders; kind picks the min/max
 # string rendering that is bit-identical across Spark and DuckDB.
@@ -1543,15 +1544,15 @@ def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     values); shares are single divisions of exact integers.
 
     100 TB design: the fact table partial-aggregates to one row per
-    customer first, and the exact global rank over that frame is
-    two-level range-partitioned ranking (the x_theilsen_slope pattern,
-    round-10: a monotone integer bucket of cents, the ≤1024-row
-    per-bucket counts cum-summed into offsets, then row_number only
-    WITHIN buckets under the same (cents, custkey) order) — no stage
-    sorts the per-customer frame in one task, so the rank survives
-    ~10^9 entities. Integer-exact: bucketing is monotone in cents, so
-    offset + within-bucket row_number IS the global row_number under
-    (cents, custkey). The curve itself is {LORENZ_BINS} rows.
+    customer first, and the exact global rank over that frame is the
+    shared two-level ranking (operators/ranking.py two_level_rank:
+    range-bucket on the full (cents, custkey) key, cum-sum the tiny
+    per-bucket counts into offsets, row_number only WITHIN buckets) —
+    no stage sorts the per-customer frame in one task, so the rank
+    survives ~10^9 entities, and because the bucket key includes the
+    custkey tie-break, a 99%-one-value revenue distribution still
+    spreads across buckets (round-11 skew hardening). The curve itself
+    is {LORENZ_BINS} rows.
 
     Reference parity: 'top rated / most active' leaderboards
     (Queries:28-44) generalized to a whole-population concentration
@@ -1562,42 +1563,8 @@ def x_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    nb = 1024
-    stats = rev.agg(
-        F.min("cents").alias("cmin"),
-        F.max("cents").alias("cmax"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
-    bucketed = rev.crossJoin(F.broadcast(stats)).select(
-        "o_custkey",
-        "cents",
-        "n",
-        F.expr(f"least({nb - 1}, ((cents - cmin) * {nb}) div (cmax - cmin + 1))")
-        .cast("bigint")
-        .alias("bkt"),
-    )
-    offs = (
-        bucketed.groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
-        .select(
-            F.col("bkt").alias("__bkt"),
-            F.coalesce(
-                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("off"),
-        )
-    )
-    ranked = bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt")).select(
-        "cents",
-        (
-            F.col("off")
-            + F.row_number().over(W.partitionBy("bkt").orderBy("cents", "o_custkey"))
-        )
-        .cast("bigint")
-        .alias("rn"),
-        "n",
+    ranked = two_level_rank(rev, ["cents", "o_custkey"], total_col="n").select(
+        "cents", "rn", "n"
     )
     bins = (
         ranked.select(
@@ -1856,17 +1823,16 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the price range, not the table) — then a cumulative sum
     over that collapsed frame gives each value's exact rank span
     [cum+1, cum+c], which is intersected with the pure-integer bucket
-    rank ranges ((b-1)·n div B, b·n div B]. The cumulative sum itself
-    uses the two-level range-bucket pattern (x_theilsen_slope /
-    x_lorenz_curve's rank-selection escape): a monotone integer bucket
-    of cents, a cum-sum over the ≤1024-row per-bucket totals into
-    offsets, and a PARTITIONED within-bucket cum-sum — so no stage
-    windows the full value domain in one task (a ~10^8-distinct-cents
-    domain at 100 TB would otherwise single-task; round-10 change,
-    integer-exact, bit-identical output). Same-value rows are
-    interchangeable under the (cents, orderkey) tie-break, so the
-    result is bit-identical to the raw ranking the oracle runs. The
-    statistics object itself is {EQD_BINS} rows.
+    rank ranges ((b-1)·n div B, b·n div B]. The cumulative sum itself is
+    the shared two-level ranking in weighted mode (operators/ranking.py
+    two_level_rank(weight="c"): range-bucket the value domain, cum-sum
+    the tiny per-bucket weight totals into offsets, PARTITIONED
+    within-bucket cum-sum) — so no stage windows the full value domain
+    in one task (a ~10^8-distinct-cents domain at 100 TB would otherwise
+    single-task; round-10 change, integer-exact, bit-identical output).
+    Same-value rows are interchangeable under the (cents, orderkey)
+    tie-break, so the result is bit-identical to the raw ranking the
+    oracle runs. The statistics object itself is {EQD_BINS} rows.
 
     Reference parity: no statistics surface in the reference;
     SURVEY.md §2 EXT sketches/stats family."""
@@ -1875,47 +1841,8 @@ def x_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
     )
     vc = v.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    nb = 1024
-    stats = vc.agg(
-        F.min("cents").alias("cmin"),
-        F.max("cents").alias("cmax"),
-        F.sum("c").cast("bigint").alias("n"),
-    )
-    # Monotone integer bucket: equal cents share a bucket, cents order
-    # implies bucket order, so ordering by (bkt, cents) == by cents and
-    # the two-level cum-sum is exactly the global one.
-    bucketed = vc.crossJoin(F.broadcast(stats)).select(
-        "cents",
-        "c",
-        "n",
-        F.expr(f"least({nb - 1}, ((cents - cmin) * {nb}) div (cmax - cmin + 1))")
-        .cast("bigint")
-        .alias("bkt"),
-    )
-    offs = (
-        bucketed.groupBy("bkt")
-        .agg(F.sum("c").cast("bigint").alias("bn"))
-        .select(
-            F.col("bkt").alias("__bkt"),
-            F.coalesce(
-                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("off"),
-        )
-    )
-    wcum = W.partitionBy("bkt").orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
     spans = (
-        bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt"))
-        .select(
-            "cents",
-            "c",
-            "n",
-            (F.col("off") + F.coalesce(F.sum("c").over(wcum), F.lit(0)))
-            .cast("bigint")
-            .alias("cum"),
-        )
+        two_level_rank(vc, ["cents"], weight="c", total_col="n")
         .select(
             "cents",
             "c",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..operators.ranking import two_level_rank
 from .relational import _t, dsum
 from ..sources.loader import scan_wide
 
@@ -1318,11 +1319,11 @@ def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the O(W^2) pair join, so the quadratic is bounded by the
     trend window ({TS_WINDOW_DAYS} days -> 66k slope pairs, constant in
     row count; the self-join broadcasts the daily frame). The quantile
-    picks use exact two-level rank selection — monotone range-bucket,
-    cum-sum the tiny per-bucket counts into offsets, rank only WITHIN
-    buckets — so no stage ever globally sorts the pair frame in one
-    partition (the same range-partitioned-ranking escape x_lorenz_curve
-    documents). Per-entity Theil-Sen adds PARTITION BY with the same
+    picks use exact two-level rank selection (operators/ranking.py
+    two_level_rank: range-bucket on the full unique key, cum-sum the
+    tiny per-bucket counts into offsets, rank only WITHIN buckets) — so
+    no stage ever globally sorts the pair frame in one partition.
+    Per-entity Theil-Sen adds PARTITION BY with the same
     per-entity bound; unwindowed series past ~100k points switch to the
     Siegel repeated-median or sampled-pairs variant, same plan shape.
 
@@ -1356,57 +1357,14 @@ def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
         )
     )
-    # Exact rank-selection WITHOUT a global single-partition sort:
-    # monotone range-bucket the slopes, cum-sum the (tiny) per-bucket
-    # counts into offsets, then rank only WITHIN each bucket — global
-    # rank = bucket offset + within-bucket row_number. Order by the
-    # unique (s, i, j) key is preserved because bucketing is monotone
-    # in s (equal s always share a bucket).
-    nb = 1024
-    stats = slopes.agg(
-        F.min("s").alias("smin"),
-        F.max("s").alias("smax"),
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-    )
-    width = (F.col("smax") - F.col("smin")) / nb
-    bucketed = (
-        slopes.crossJoin(F.broadcast(stats))
-        .select(
-            "s",
-            "i",
-            "j",
-            "cnt",
-            F.when(F.col("smax") == F.col("smin"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(nb - 1),
-                    F.floor((F.col("s") - F.col("smin")) / width).cast("int"),
-                )
-            )
-            .alias("bkt"),
-        )
-        .localCheckpoint()
-    )
-    offs = (
-        bucketed.groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
-        .select(
-            F.col("bkt").alias("__bkt"),
-            (
-                F.sum("bn").over(W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1))
-            ).alias("off"),
-        )
-        .fillna({"off": 0})
-    )
-    ranked = bucketed.join(F.broadcast(offs), F.col("bkt") == F.col("__bkt")).select(
-        "s",
-        "cnt",
-        (
-            F.col("off")
-            + F.row_number().over(W.partitionBy("bkt").orderBy("s", "i", "j"))
-        )
-        .cast("bigint")
-        .alias("rn"),
+    # Exact rank-selection WITHOUT a global single-partition sort: the
+    # shared two-level ranking (operators/ranking.py two_level_rank —
+    # range-bucket on the full unique (s, i, j) key, cum-sum the tiny
+    # per-bucket counts into offsets, rank only WITHIN buckets); the
+    # composite key keeps a heavily tied slope distribution spread
+    # across buckets (round-11 skew hardening).
+    ranked = two_level_rank(slopes, ["s", "i", "j"], total_col="cnt").select(
+        "s", "cnt", "rn"
     )
     ndays = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     pick = lambda q: F.max(  # noqa: E731
