@@ -25,11 +25,16 @@ stage stays partition-parallel:
 3. **Rank within buckets**: a PARTITIONED window per bucket, offset by
    step 2.
 
-The bucketed frame is localCheckpoint'ed (the repo's fork-barrier idiom,
-see x_theilsen_slope) so the range sampler runs once and both consumers
-(offsets, final rank) read the same materialized bucket assignment —
-`spark_partition_id` is nondeterministic to Catalyst and must not be
-recomputed per consumer.
+The bucketed frame is persist()ed as the fork barrier so the range
+sampler runs once and both consumers (offsets, final rank) read the
+same materialized bucket assignment — `spark_partition_id` is
+nondeterministic to Catalyst and must not be recomputed from scratch
+per consumer. persist over localCheckpoint per the x_link_prediction
+A/B (BASELINE.md round-10: lazy, no eager RDD copy at build time;
+measured here too — equidepth 2.1 → 1.7 s, lorenz 1.7 → 1.0 s). Safe
+under cache eviction: RangePartitioner bounds are fixed at planning
+time, so a recomputed partition gets the same rows and the same
+partition id.
 
 Call sites: x_theilsen_slope (`plans/windows.py` — quantile rank picks
 over O(W^2) slope pairs), x_lorenz_curve (`operators/quality.py` —
@@ -94,7 +99,7 @@ def two_level_rank(
     bucketed = (
         df.repartitionByRange(nb, *[F.col(c) for c in order_cols])
         .withColumn("__bkt", F.spark_partition_id())
-        .localCheckpoint()
+        .persist()
     )
     per_bucket: Column = (
         F.count(F.lit(1)) if weight is None else F.sum(weight)
