@@ -78,6 +78,25 @@ def run_family(module: str) -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.createDataFrame([(1,)], "x int").toPandas()
+    # ... plus ONE representative scan->expression->hash-agg->noop job
+    # over a tiny table: the first such query in a fresh JVM pays ~2.5 s
+    # of Janino/whole-stage-codegen bring-up shared by every query shape
+    # (round-11: the window rotation reordered the registry and moved
+    # that shared cost onto x_mixture_sample, tripping the 10x gate on a
+    # 0.35 s-warm query; measured 3.65 s -> 1.78 s with this job first —
+    # the residual is the query's own first page-reads, which is what
+    # the sweep should attribute).
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+        .select(F.md5(F.col("n_name")).alias("h"), "n_regionkey")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     out: dict[str, float] = {}
     for n in names:
         t0 = time.time()
