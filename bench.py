@@ -59,10 +59,22 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def _host_busy_jiffies() -> int:
-    """Total non-idle jiffies across all CPUs from /proc/stat line 1."""
+    """Total non-idle jiffies across all CPUs from /proc/stat line 1.
+    INCLUDES steal (field 8): on a VM, hypervisor steal starves the
+    bench exactly like a foreign process, so it must contaminate the
+    window; _host_steal_jiffies reports it separately so the record
+    can say WHICH kind of noise it was."""
     with open("/proc/stat") as f:
         vals = [int(v) for v in f.readline().split()[1:]]
     return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _host_steal_jiffies() -> int:
+    """Steal jiffies (vCPU time withheld by the hypervisor) — noise
+    from OUTSIDE the guest entirely, no process in this VM causes it."""
+    with open("/proc/stat") as f:
+        vals = [int(v) for v in f.readline().split()[1:]]
+    return vals[7] if len(vals) > 7 else 0
 
 
 def _tree_cpu_jiffies() -> int:
@@ -96,18 +108,25 @@ def _tree_cpu_jiffies() -> int:
     return total
 
 
-def foreign_cpu_fraction(t0: float, busy0: int, tree0: int) -> float:
-    """Share of the machine's CPU consumed OUTSIDE this bench's process
-    tree since the (t0, busy0, tree0) snapshot — 0.0 on a quiet host
-    regardless of how hard the bench itself drives the CPUs (which is
-    why raw loadavg can't adjudicate: local[32] pins loadavg at 32 by
-    design). Self-adjudication for the round-10 contended-host class."""
+def foreign_cpu_fraction(
+    t0: float, busy0: int, steal0: int, tree0: int
+) -> tuple[float, float]:
+    """(foreign, steal) shares of the machine's CPU since the snapshot:
+    foreign = everything consumed OUTSIDE this bench's process tree
+    (including steal), steal = the hypervisor-withheld share alone.
+    Both ~0.0 on a quiet host regardless of how hard the bench itself
+    drives the CPUs (which is why raw loadavg can't adjudicate:
+    local[32] pins loadavg at 32 by design). Self-adjudication for the
+    round-10 contended-host class; the steal split tells the reader
+    whether the noise was guest processes (fixable here) or host-tenant
+    contention (not)."""
     elapsed = time.time() - t0
     if elapsed <= 0:
-        return 0.0
+        return 0.0, 0.0
     foreign = max(0, (_host_busy_jiffies() - busy0) - (_tree_cpu_jiffies() - tree0))
+    steal = max(0, _host_steal_jiffies() - steal0)
     capacity = elapsed * os.sysconf("SC_CLK_TCK") * (os.cpu_count() or 1)
-    return min(1.0, foreign / capacity)
+    return min(1.0, foreign / capacity), min(1.0, steal / capacity)
 
 
 def time_query(build, spark, sf_dir: str) -> tuple[float, float]:
@@ -141,9 +160,10 @@ def main() -> int:
     results: dict[str, float] = {}
     colds: dict[str, float] = {}
     host_busy: dict[str, float] = {}
+    host_steal: dict[str, float] = {}
     loadavg_start = round(os.getloadavg()[0], 2)
     for name, spec in sorted(todo.items()):
-        snap = (time.time(), _host_busy_jiffies(), _tree_cpu_jiffies())
+        snap = (time.time(), _host_busy_jiffies(), _host_steal_jiffies(), _tree_cpu_jiffies())
         try:
             med, cold = time_query(spec.build, spark, SF_DIR)
             results[name] = round(med, 3)
@@ -151,7 +171,9 @@ def main() -> int:
         except Exception as e:  # a broken query must not kill the whole bench
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             results[name] = -1.0
-        host_busy[name] = round(foreign_cpu_fraction(*snap), 3)
+        host_busy[name], host_steal[name] = (
+            round(v, 3) for v in foreign_cpu_fraction(*snap)
+        )
         # Several operators persist intermediate frames (shingle sets, LSH
         # signatures) that are reused *within* one execution; across 80+
         # queries in one session the leaked blocks pile up into storage-
@@ -184,8 +206,12 @@ def main() -> int:
     if noisy:
         print(
             f"# HOST NOISE: {len(noisy)} queries timed while foreign "
-            f"processes held >={HOST_NOISE_FRAC:.0%} of the machine: "
-            + ", ".join(f"{n}({host_busy[n]:.0%})" for n in noisy[:10]),
+            f"load held >={HOST_NOISE_FRAC:.0%} of the machine "
+            f"(foreign%, steal% — steal is hypervisor contention, not "
+            f"guest processes): "
+            + ", ".join(
+                f"{n}({host_busy[n]:.0%},{host_steal.get(n, 0):.0%})" for n in noisy[:10]
+            ),
             file=sys.stderr,
         )
     # Subset invocations (explicit query names) must not clobber the
@@ -202,6 +228,7 @@ def main() -> int:
                 "queries": results,
                 "cold_queries": colds,
                 "host_busy": host_busy,
+                "host_steal": host_steal,
                 "host_noise": host_noise,
                 "host_noisy_queries": noisy,
                 "loadavg": [loadavg_start, round(os.getloadavg()[0], 2)],

@@ -77,11 +77,16 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
     import bench
 
     # our own spin must NOT read as foreign noise
-    snap = (time.time(), bench._host_busy_jiffies(), bench._tree_cpu_jiffies())
+    snap = (
+        time.time(),
+        bench._host_busy_jiffies(),
+        bench._host_steal_jiffies(),
+        bench._tree_cpu_jiffies(),
+    )
     end = time.time() + 0.4
     while time.time() < end:
         pass
-    own = bench.foreign_cpu_fraction(*snap)
+    own, _steal = bench.foreign_cpu_fraction(*snap)
     assert own < 0.08, f"own busy-loop misattributed as foreign ({own:.2%})"
 
     # an out-of-tree spinner (double-fork reparents it to init) MUST
@@ -101,9 +106,14 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
             os.execv(sys.executable, [sys.executable, "-c", spin])
         os._exit(0)
     os.waitpid(pid, 0)
-    snap = (time.time(), bench._host_busy_jiffies(), bench._tree_cpu_jiffies())
+    snap = (
+        time.time(),
+        bench._host_busy_jiffies(),
+        bench._host_steal_jiffies(),
+        bench._tree_cpu_jiffies(),
+    )
     time.sleep(0.8)
-    foreign = bench.foreign_cpu_fraction(*snap)
+    foreign, _steal = bench.foreign_cpu_fraction(*snap)
     # 8 foreign cores for 0.6 s inside an 0.8 s window on a 32-cpu box
     # is ~19% of capacity; demand at least a quarter of that.
     assert foreign > 0.05, f"foreign spinners invisible to adjudicator ({foreign:.2%})"

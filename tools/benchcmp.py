@@ -95,9 +95,11 @@ def main() -> int:
     print(f"geomean ratio vs baseline: {g:.3f} over {len(ratios)} queries")
     if "host_noise" in data:
         busy = data.get("host_busy", {})
+        steal = data.get("host_steal", {})
         print(
             f"host noise: {data['host_noise']} "
             f"(max foreign CPU {max(busy.values(), default=0.0):.1%}, "
+            f"max hypervisor steal {max(steal.values(), default=0.0):.1%}, "
             f"{len(data.get('host_noisy_queries', []))} contaminated windows, "
             f"loadavg {data.get('loadavg')})"
         )
