@@ -77,13 +77,21 @@ def _host_steal_jiffies() -> int:
     return vals[7] if len(vals) > 7 else 0
 
 
-def _tree_cpu_jiffies() -> int:
-    """CPU jiffies consumed by THIS process tree: self + every live
+def _tree_cpu_snapshot() -> dict[int, int]:
+    """Per-pid CPU jiffies for THIS process tree: self + every live
     descendant (the Spark JVM and its python workers are descendants of
     the bench driver) via utime+stime, plus each node's cutime/cstime so
     already-reaped children keep counting. Live children are in their
     own utime until reaped, and roll into the parent's cutime only at
-    reap time, so the two never double-count."""
+    reap time, so the two never double-count.
+
+    PER-PID, not a single sum: diffing two aggregate sums subtracts a
+    vanished pid's ENTIRE history (a worker-pool recycle, or one raced
+    /proc read of the JVM) from the delta, driving it negative and
+    inflating the foreign share to a phantom 100% — observed twice on
+    sub-second queries in the first instrumented runs. The caller diffs
+    pid-by-pid instead, so a vanished pid contributes its (unknowable)
+    post-snapshot burn as 0 rather than minus-its-lifetime."""
     kids: dict[int, list[int]] = {}
     stats: dict[int, int] = {}
     for d in os.listdir("/proc"):
@@ -97,19 +105,28 @@ def _tree_cpu_jiffies() -> int:
         rest = s[s.rindex(")") + 2 :].split()  # comm may contain spaces
         kids.setdefault(int(rest[1]), []).append(int(d))
         stats[int(d)] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-    total, stack, seen = 0, [os.getpid()], set()
+    out: dict[int, int] = {}
+    stack, seen = [os.getpid()], set()
     while stack:
         p = stack.pop()
         if p in seen:
             continue
         seen.add(p)
-        total += stats.get(p, 0)
+        if p in stats:
+            out[p] = stats[p]
         stack.extend(kids.get(p, []))
-    return total
+    return out
+
+
+def _tree_cpu_delta(tree0: dict[int, int], tree1: dict[int, int]) -> int:
+    """Jiffies the tree burned between two snapshots: per-pid increments
+    for surviving pids, full value for pids born in between, zero (the
+    only safe floor) for pids that vanished."""
+    return sum(max(0, j1 - tree0.get(p, 0)) for p, j1 in tree1.items())
 
 
 def foreign_cpu_fraction(
-    t0: float, busy0: int, steal0: int, tree0: int
+    t0: float, busy0: int, steal0: int, tree0: dict[int, int]
 ) -> tuple[float, float]:
     """(foreign, steal) shares of the machine's CPU since the snapshot:
     foreign = everything consumed OUTSIDE this bench's process tree
@@ -123,7 +140,9 @@ def foreign_cpu_fraction(
     elapsed = time.time() - t0
     if elapsed <= 0:
         return 0.0, 0.0
-    foreign = max(0, (_host_busy_jiffies() - busy0) - (_tree_cpu_jiffies() - tree0))
+    foreign = max(
+        0, (_host_busy_jiffies() - busy0) - _tree_cpu_delta(tree0, _tree_cpu_snapshot())
+    )
     steal = max(0, _host_steal_jiffies() - steal0)
     capacity = elapsed * os.sysconf("SC_CLK_TCK") * (os.cpu_count() or 1)
     return min(1.0, foreign / capacity), min(1.0, steal / capacity)
@@ -163,7 +182,7 @@ def main() -> int:
     host_steal: dict[str, float] = {}
     loadavg_start = round(os.getloadavg()[0], 2)
     for name, spec in sorted(todo.items()):
-        snap = (time.time(), _host_busy_jiffies(), _host_steal_jiffies(), _tree_cpu_jiffies())
+        snap = (time.time(), _host_busy_jiffies(), _host_steal_jiffies(), _tree_cpu_snapshot())
         try:
             med, cold = time_query(spec.build, spark, SF_DIR)
             results[name] = round(med, 3)

@@ -81,7 +81,7 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
         time.time(),
         bench._host_busy_jiffies(),
         bench._host_steal_jiffies(),
-        bench._tree_cpu_jiffies(),
+        bench._tree_cpu_snapshot(),
     )
     end = time.time() + 0.4
     while time.time() < end:
@@ -110,7 +110,7 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
         time.time(),
         bench._host_busy_jiffies(),
         bench._host_steal_jiffies(),
-        bench._tree_cpu_jiffies(),
+        bench._tree_cpu_snapshot(),
     )
     time.sleep(0.8)
     foreign, _steal = bench.foreign_cpu_fraction(*snap)
