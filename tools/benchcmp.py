@@ -106,8 +106,16 @@ def main() -> int:
     print(f"no baseline entry ({len(new)}): {', '.join(new) or '-'}")
     over = [(q, r) for q, r in ratios.items() if r > 2.0]
     print(f"over the 2x ratchet: {len(over)}")
+
+    def noise_tag(q: str) -> str:
+        """Annotate a slow reading with its own window's measured noise
+        so an over-ratchet line carries its excuse (or lack of one)."""
+        b = data.get("host_busy", {}).get(q, 0.0)
+        s = data.get("host_steal", {}).get(q, 0.0)
+        return f"  [window: foreign {b:.0%}, steal {s:.0%}]" if max(b, s) >= 0.05 else ""
+
     for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:10]:
-        print(f"  {r:5.2f}x  {q:32s} {base[q]:6.2f} -> {bench[q]:6.2f}s")
+        print(f"  {r:5.2f}x  {q:32s} {base[q]:6.2f} -> {bench[q]:6.2f}s{noise_tag(q)}")
     print("biggest improvements:")
     for q, r in sorted(ratios.items(), key=lambda kv: kv[1])[:5]:
         print(f"  {r:5.2f}x  {q:32s} {base[q]:6.2f} -> {bench[q]:6.2f}s")
