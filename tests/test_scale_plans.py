@@ -600,6 +600,44 @@ def test_two_level_rank_is_exact_and_balanced_under_95pct_ties(spark):
     )
 
 
+def test_two_level_rank_degenerate_shapes(spark):
+    """Edge shapes the sweeps never construct: empty input, one row,
+    every row tied on the value (ranks resolved purely by the tie
+    column), and a weighted frame containing zero weights."""
+    from pyspark.sql import functions as F
+
+    from music_database_spark.operators.ranking import two_level_rank
+
+    empty = spark.range(0).select("id", F.lit(1).alias("v"))
+    assert two_level_rank(empty, ["v", "id"]).count() == 0
+
+    one = spark.range(1).select("id", F.lit(7).alias("v"))
+    row = two_level_rank(one, ["v", "id"], total_col="n").collect()[0]
+    assert (row["rn"], row["n"]) == (1, 1)
+
+    n = 5_000
+    all_tied = spark.range(1, n + 1).select("id", F.lit(42).alias("v"))
+    out = (
+        two_level_rank(all_tied, ["v", "id"])
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(out["rn"]) == list(range(1, n + 1))
+
+    weighted = spark.createDataFrame(
+        [(1, 3), (2, 0), (3, 5), (4, 0), (5, 2)], "v long, c long"
+    )
+    w = (
+        two_level_rank(weighted, ["v"], weight="c", total_col="n")
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert list(w["cum"]) == [0, 3, 3, 8, 8]
+    assert set(w["n"]) == {10}
+
+
 def test_rank_family_survives_extreme_value_concentration(spark, tmp_path):
     """End-to-end adversarial-skew sweep for the three two_level_rank
     call sites: an orders table where 95% of rows share one price (and
