@@ -586,12 +586,16 @@ def test_two_level_rank_is_exact_and_balanced_under_95pct_ties(spark):
     assert list(wout["cum"]) == list(wout["c"].cumsum().shift(fill_value=0))
     assert set(wout["n"]) == {n}
 
-    # occupancy bound: replicate the helper's bucketing stage and demand
-    # the hot value (95% of rows) spreads across buckets — the retired
-    # formula put all of it in one bucket (share ~0.95).
+    # occupancy bound: run the helper's OWN deterministic bucketing
+    # stage and demand the hot value (95% of rows) spreads across
+    # buckets — the retired value-range formula put all of it in one
+    # bucket (share ~0.95); the boundary sample picks on the composite
+    # (v, id) key, so the hot value splits by its tie column.
+    from music_database_spark.operators.ranking import _bucket_column
+
     occ = (
-        df.repartitionByRange(32, F.col("v"), F.col("id"))
-        .groupBy(F.spark_partition_id().alias("b"))
+        df.withColumn("b", _bucket_column(df, ["v", "id"], 32, n))
+        .groupBy("b")
         .count()
         .toPandas()
     )
