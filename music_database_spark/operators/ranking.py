@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 # release_rank_caches(). Correctness never depends on these surviving.
 _PERSISTED: list[DataFrame] = []
 
-_BOUNDARY_SEED = 9173  # fixed: boundaries are plan literals either way
+BOUNDARY_SEED = 9173  # fixed: boundaries are plan literals either way
 _BOUNDARY_OVERSAMPLE = 64  # sample keys per boundary — balance accuracy
 _MAX_BOUNDS = 255  # cap on compiled boundary literals (expr size bound)
 
@@ -78,6 +78,12 @@ def release_rank_caches() -> None:
     only — safe at any time)."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist(False)
+
+
+def effective_buckets(df: DataFrame) -> int:
+    """The bucket count two_level_rank will actually use for `df` —
+    exported so shared-sample call sites can precompute boundaries."""
+    return min(_n_buckets(df), _MAX_BOUNDS + 1)
 
 
 def _n_buckets(df: DataFrame) -> int:
@@ -103,25 +109,8 @@ def _lex_ge(order_cols: list[str], vals: tuple) -> Column:
     return (c0 > v0) | ((c0 == v0) & _lex_ge(order_cols[1:], vals[1:]))
 
 
-def _sample_boundaries(
-    src: DataFrame, order_cols: list[str], nb: int, n: int
-) -> list[tuple]:
-    """≤ nb-1 ascending composite-key boundaries from a seeded sample,
-    collected once and frozen into the plan as literals. Python tuple
-    sort agrees with Spark's ascending column order for every key type
-    the call sites use (ints, floats, decimals, dates, UTF-8 strings —
-    code-point order equals UTF-8 byte order)."""
-    if n <= 1 or nb <= 1:
-        return []
-    frac = min(1.0, (nb * _BOUNDARY_OVERSAMPLE) / n)
-    rows = (
-        src.select(*order_cols)
-        .sample(withReplacement=False, fraction=frac, seed=_BOUNDARY_SEED)
-        .collect()
-    )
-    if not rows:
-        return []
-    keys = sorted(tuple(r) for r in rows)
+def _pick_bounds(keys: list[tuple], nb: int) -> list[tuple]:
+    """≤ nb-1 evenly spaced ascending boundaries from a sorted sample."""
     m = len(keys)
     bounds: list[tuple] = []
     for i in range(1, nb):
@@ -131,17 +120,137 @@ def _sample_boundaries(
     return bounds
 
 
+def boundaries_from_rows(rows, order_cols: list[str], nb: int) -> list[tuple]:
+    """Per-dimension boundaries from one shared collected sample — call
+    sites ranking several orders over the SAME frame collect the sample
+    once (all key columns) and slice it per dimension, saving a driver
+    job per extra rank (x_rfm_segmentation). Python tuple sort agrees
+    with Spark's ascending column order for every key type the call
+    sites use (ints, floats, decimals, dates, UTF-8 strings —
+    code-point order equals UTF-8 byte order)."""
+    if not rows:
+        return []
+    keys = sorted(tuple(r[c] for c in order_cols) for r in rows)  # not getattr:
+    # Row.__getattr__ rejects dunder-prefixed helper columns like __negr
+    return _pick_bounds(keys, nb)
+
+
+def sample_fraction(n: int, nb: int) -> float:
+    """Seeded-sample fraction targeting _BOUNDARY_OVERSAMPLE keys per
+    boundary."""
+    return min(1.0, (nb * _BOUNDARY_OVERSAMPLE) / max(n, 1))
+
+
+def _sample_boundaries(
+    src: DataFrame, order_cols: list[str], nb: int, n: int
+) -> list[tuple]:
+    """≤ nb-1 ascending composite-key boundaries from a seeded sample,
+    collected once and frozen into the plan as literals."""
+    if n <= 1 or nb <= 1:
+        return []
+    rows = (
+        src.select(*order_cols)
+        .sample(
+            withReplacement=False,
+            fraction=sample_fraction(n, nb),
+            seed=BOUNDARY_SEED,
+        )
+        .collect()
+    )
+    return boundaries_from_rows(rows, order_cols, nb)
+
+
+def _sql_lit(v) -> str:
+    """Render a collected boundary value as an exact Spark SQL literal.
+    Covers every key type the call sites rank on; anything else falls
+    back to the Column-API path in _bucket_from_bounds."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}L"  # BIGINT literal; comparisons coerce narrower cols
+    if isinstance(v, float):
+        # repr() is the shortest round-trip form; string→double cast
+        # parses it back to the identical bits
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    raise TypeError(f"no SQL literal rendering for {type(v).__name__}")
+
+
+def _bucket_from_bounds(order_cols: list[str], bounds: list[tuple]) -> Column:
+    """Deterministic bucket id: Σ_i [key >= boundary_i] over the
+    collected boundary literals — monotone in the composite key, stable
+    across recomputation by construction.
+
+    Compiled as ONE F.expr string when the boundary values render as
+    SQL literals: a Column-API chain of ~nb nested when/otherwise
+    comparisons costs hundreds of Py4J round trips PER RANK (~2 s of
+    driver time in x_rfm_segmentation's three ranks); a single parsed
+    expression costs one."""
+    if not bounds:
+        return F.lit(0).cast("int")
+    try:
+        cols = [f"`{c}`" for c in order_cols]
+
+        def ge(vals: tuple, i: int = 0) -> str:
+            lit = _sql_lit(vals[i])
+            if i == len(vals) - 1:
+                return f"{cols[i]} >= {lit}"
+            return (
+                f"({cols[i]} > {lit} OR ({cols[i]} = {lit} AND {ge(vals, i + 1)}))"
+            )
+
+        terms = " + ".join(
+            f"(CASE WHEN {ge(b)} THEN 1 ELSE 0 END)" for b in bounds
+        )
+        return F.expr(f"CAST({terms} AS INT)")
+    except TypeError:
+        bkt: Column = F.lit(0)
+        for b in bounds:
+            bkt = bkt + F.when(_lex_ge(order_cols, b), 1).otherwise(0)
+        return bkt.cast("int")
+
+
 def _bucket_column(
     src: DataFrame, order_cols: list[str], nb: int, n: int
 ) -> Column:
-    """Deterministic bucket id: Σ_i [key >= boundary_i] over the
-    collected boundary literals — monotone in the composite key, stable
-    across recomputation by construction."""
-    bounds = _sample_boundaries(src, order_cols, nb, n)
-    bkt: Column = F.lit(0)
-    for b in bounds:
-        bkt = bkt + F.when(_lex_ge(order_cols, b), 1).otherwise(0)
-    return bkt.cast("int")
+    return _bucket_from_bounds(order_cols, _sample_boundaries(src, order_cols, nb, n))
+
+
+def sql_ntile(rn_col: str, n_col: str, k: int) -> Column:
+    """Exact SQL-standard NTILE(k) reconstructed from a precomputed
+    1-based global rank column and the frame's row count: with
+    q = n div k and r = n mod k, the first r tiles hold q+1 rows and
+    the rest hold q (identical in Spark and DuckDB), so
+    tile = ceil(rn/(q+1)) while rn <= r*(q+1), else
+    r + ceil((rn - r*(q+1))/q), with integer ceil(a/b) = (a-1) div b + 1.
+    Lets ntile ride two_level_rank instead of an unpartitioned window;
+    all-integer arithmetic, exact at any frame size. The q = 0 (n < k)
+    edge stays in the first branch: r = n, so rn <= r*(q+1) always and
+    the div-by-q arm never evaluates."""
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    return F.expr(
+        f"CASE WHEN {rn_col} <= {r} * ({q} + 1) "
+        f"THEN (({rn_col} - 1) div ({q} + 1)) + 1 "
+        f"ELSE {r} + (({rn_col} - 1 - {r} * ({q} + 1)) div {q}) + 1 END"
+    ).cast("int")
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """persist() a caller-managed frame and register it with
+    release_rank_caches() — for call sites that rank several slim
+    projections of one shared frame (x_rfm_segmentation)."""
+    src = df.persist()
+    _PERSISTED.append(src)
+    return src
 
 
 def two_level_rank(
@@ -152,6 +261,9 @@ def two_level_rank(
     out_col: str | None = None,
     total_col: str | None = None,
     nb: int | None = None,
+    n: int | None = None,
+    persist: bool = True,
+    bounds: list[tuple] | None = None,
 ) -> DataFrame:
     """Append an exact global-order column to `df` without any stage
     sorting the full frame in one task.
@@ -170,15 +282,31 @@ def two_level_rank(
         totals costs one tiny agg over the persisted frame instead of
         a second pass over the source.
 
+    n / persist / bounds — driver-action economy for call sites ranking
+        several projections of one shared frame: pass the frame's known
+        row count to skip the count job, persist=False when the input
+        is (a projection of) an already-persisted frame (no
+        intermediate lineage re-materialized per rank), and precomputed
+        boundaries (boundaries_from_rows over ONE shared sample) to
+        skip the per-rank sample job (x_rfm_segmentation ranks three
+        2-column projections of one track_cache()d per-customer frame
+        with one count + one sample total).
+
     Returns df's columns plus the rank (and optional total) column; row
     order unspecified.
     """
     out = out_col or ("cum" if weight else "rn")
     nb = min(nb or _n_buckets(df), _MAX_BOUNDS + 1)
-    src = df.persist()
-    _PERSISTED.append(src)
-    n = src.count()  # materializes the cache; sizes the boundary sample
-    bucketed = src.withColumn("__bkt", _bucket_column(src, order_cols, nb, n))
+    if persist:
+        src = df.persist()
+        _PERSISTED.append(src)
+    else:
+        src = df
+    if n is None:
+        n = src.count()  # materializes the cache; sizes the boundary sample
+    if bounds is None:
+        bounds = _sample_boundaries(src, order_cols, nb, n)
+    bucketed = src.withColumn("__bkt", _bucket_from_bounds(order_cols, bounds))
     per_bucket: Column = (
         F.count(F.lit(1)) if weight is None else F.sum(weight)
     ).cast("bigint")

@@ -604,6 +604,25 @@ def test_two_level_rank_is_exact_and_balanced_under_95pct_ties(spark):
     )
 
 
+def test_sql_ntile_matches_window_ntile(spark):
+    """sql_ntile's tile-from-rank arithmetic must be bit-identical to
+    the engine's NTILE for every distribution shape: n divisible by k,
+    n % k != 0 (first r tiles take the extra row), and n < k (q = 0 —
+    the branch whose div-by-q arm must never evaluate)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from music_database_spark.operators.ranking import sql_ntile
+
+    for n, k in [(1, 5), (4, 5), (5, 5), (7, 3), (20, 6), (100, 7)]:
+        df = spark.range(1, n + 1).select("id")
+        ref = df.select("id", F.ntile(k).over(W.orderBy("id")).alias("t"))
+        got = df.select("id", sql_ntile("id", str(n), k).alias("t"))
+        assert sorted(map(tuple, ref.collect())) == sorted(
+            map(tuple, got.collect())
+        ), (n, k)
+
+
 def test_two_level_rank_degenerate_shapes(spark):
     """Edge shapes the sweeps never construct: empty input, one row,
     every row tied on the value (ranks resolved purely by the tie
