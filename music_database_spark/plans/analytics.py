@@ -1972,10 +1972,13 @@ def x_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: two partial-aggregable MIN groupBys on user_id (the
     causal join is user-keyed, arbitrarily distributable), collapsing
-    the stream to one row per CONVERTING user before any window; the
-    rank window then orders the collapsed converters frame — at
-    planetary user counts the x_theilsen_slope two-level bucket
-    selection drops in unchanged.
+    the stream to one row per CONVERTING user before any ranking —
+    but converters still grow linearly with the user base, so the rank
+    is a two_level_rank (boundary-literal buckets, partitioned
+    per-bucket row_number; round-12 conversion of the lint-sheltered
+    single-task sort), the row count rides its broadcast grand total,
+    and the exact gap sum is a 1-row aggregate broadcast (the
+    scalar-broadcast recipe) instead of an unpartitioned window sum.
 
     Reference parity: no funnel surface in the reference; SURVEY.md §2
     EXT analytics family beside x_funnel / x_retention_cohorts."""
@@ -1996,14 +1999,13 @@ def x_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("t1") - F.unix_micros("t0")).alias("gap_us"),
     )
-    ranked = gaps.select(
-        "gap_us",
-        F.row_number().over(W.orderBy("gap_us", "user_id")).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
-        F.sum(F.col("gap_us").cast("decimal(38,0)"))
-        .over(W.partitionBy())
-        .cast("decimal(38,0)")
-        .alias("s"),
+    sums = gaps.agg(
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s")
+    )
+    ranked = (
+        two_level_rank(gaps, ["gap_us", "user_id"], out_col="rn", total_col="n")
+        .crossJoin(F.broadcast(sums))
+        .select("gap_us", "rn", "n", "s")
     )
     pick = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("bigint"), F.col("gap_us"))
