@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..plans.relational import _t
+from .ranking import track_cache, two_level_rank
 from ..sources.loader import scan_wide, wide_docs
 
 
@@ -1256,11 +1257,13 @@ def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine and value-hash-checked.
 
     100 TB design: one partial-aggregable count per (value, split) —
-    the shuffle carries distinct values, not rows — then a single
-    ordered window over the distinct-value domain and a
-    TakeOrderedAndProject(1). For continuous doubles at scale the same
-    plan runs over quantile-bucketed values (x_quantile_sample's
-    sampled order statistics), trading exactness for a bounded domain.
+    the shuffle carries distinct values, not rows — then BOTH split
+    cumulatives ride one two_level_rank pass over the value grid
+    (boundary-literal buckets, partitioned per-bucket prefix sums —
+    the grid grows with distinct values, so it must not single-task
+    sort) and a TakeOrderedAndProject(1). For continuous doubles at
+    scale the same plan runs over quantile-bucketed values
+    (x_quantile_sample's sampled order statistics).
     """
     docs = _t(spark, sf_dir, "documents")
     bucket = (
@@ -1273,26 +1276,30 @@ def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 90)
         .select("v", F.when(F.col("bucket") < 80, 1).otherwise(0).alias("is_a"))
     )
-    tot = lab.agg(
-        F.sum("is_a").cast("bigint").alias("na"),
-        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
-    )
     per_v = lab.groupBy("v").agg(
         F.sum("is_a").cast("bigint").alias("ca"),
         F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_v.select(
+    # inclusive ECDF counts = two_level exclusive prefix + own weight:
+    # both split cumulatives ride ONE bucketed pass (round-12 retirement
+    # of the unpartitioned cumulative window over the value grid), and
+    # the grand totals ride the helper's bucket-totals frame
+    cum = two_level_rank(
+        per_v, ["v"], weight=["ca", "cb"], out_col=["exc_a", "exc_b"],
+        total_col=["na", "nb"],
+    ).select(
         "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+        (F.col("exc_a") + F.col("ca")).cast("bigint").alias("cum_a"),
+        (F.col("exc_b") + F.col("cb")).cast("bigint").alias("cum_b"),
+        "na",
+        "nb",
     )
     d = F.abs(
         F.col("cum_a").cast("double") / F.col("na")
         - F.col("cum_b").cast("double") / F.col("nb")
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .select("na", "nb", F.round(d, 6).alias("ks_stat"), F.col("v").cast("bigint").alias("ks_at"), d.alias("_d"))
         .orderBy(F.desc("_d"), F.asc("ks_at"))
         .limit(1)
@@ -1629,9 +1636,10 @@ def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed sqrt/division tree at the end.
 
     100 TB design: one partial-aggregable groupBy collapses the corpus
-    to |distinct values| rows; the cumulative window orders only that
-    collapsed frame; the statistic reduces to ONE row map-side. Same
-    shape as x_ks_drift, sharing its split convention.
+    to |distinct values| rows; the tie-group prefix is a two_level_rank
+    over that grid (it grows with distinct values — no single-task
+    sort); the statistic reduces to ONE row map-side. Same shape as
+    x_ks_drift, sharing its split convention.
 
     Reference parity: no statistics surface in the reference
     (music_db.sql:6-106); SURVEY.md §2 EXT pipeline-monitoring family."""
@@ -1651,12 +1659,11 @@ def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
         F.count(F.lit(1)).cast("bigint").alias("c"),
     )
-    wprev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    cum = per_v.select(
-        "ca",
-        "cb",
-        "c",
-        F.coalesce(F.sum("c").over(wprev), F.lit(0)).cast("bigint").alias("cumprev"),
+    # exclusive prefix of the tie-group sizes via two_level_rank — the
+    # round-12 retirement of the unpartitioned cumulative window over
+    # the distinct-value grid
+    cum = two_level_rank(per_v, ["v"], weight="c", out_col="cumprev").select(
+        "ca", "cb", "c", "cumprev"
     )
     s = cum.agg(
         F.sum("ca").cast("bigint").alias("na"),

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..plans.relational import _t
 from ..registry import register
 from ..sources.loader import scan_wide
-from .ranking import two_level_rank
+from .ranking import track_cache, two_level_rank
 
 # (column, kind) pairs profiled over orders; kind picks the min/max
 # string rendering that is bit-identical across Spark and DuckDB.
@@ -1727,9 +1727,10 @@ def x_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op. No per-row ranks ever materialize.
 
     100 TB design: one partial-aggregable groupBy collapses documents
-    to |distinct scores| rows; the cumulative window runs over that
-    collapsed frame (score cardinality, not corpus size) and the
-    statistic reduces map-side to ONE row.
+    to |distinct scores| rows; the tie-group prefix is a two_level_rank
+    over that collapsed frame (score cardinality still grows with the
+    data — no single-task sort) and the statistic reduces map-side to
+    ONE row.
 
     Reference parity: 'top rated' ordering quality (Queries:28-44)
     measured properly; SURVEY.md §2 EXT eval family."""
@@ -1749,12 +1750,11 @@ def x_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    cum = per_v.select(
-        "cp",
-        "cn",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("cumprev"),
+    # exclusive prefix of tie-group sizes via two_level_rank — the
+    # round-12 retirement of the unpartitioned cumulative window over
+    # the distinct-score grid
+    cum = two_level_rank(per_v, ["v"], weight="c", out_col="cumprev").select(
+        "cp", "cn", "c", "cumprev"
     )
     s = cum.agg(
         F.sum("cp").cast("bigint").alias("n1"),
@@ -2045,10 +2045,10 @@ def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: one join + one value-keyed partial agg compresses
     the stream to its distinct-value grid BEFORE the window; the
-    cumulative window then runs over |grid| rows, not |orders|. The
-    single-partition window over the collapsed grid is the documented
-    collapsed-grain pattern (PLANS.md); at 100 TB the grid is bounded
-    by the value domain (price cents), not row count."""
+    two_level_rank prefix pass then runs partition-parallel over
+    |grid| rows, not |orders| — at TPC-H price spreads the "grid" is
+    nearly one row per order, so it must never single-task sort
+    (round-12 retirement of the lint-sheltered cumulative window)."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     v = (
@@ -2061,23 +2061,28 @@ def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("is_a"),
         )
     )
-    steps = v.groupBy("cents").agg(
-        F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("a_here"),
-        F.sum((1 - F.col("is_a")).cast("bigint")).cast("bigint").alias("b_here"),
-    ).persist()
-    # totals derive from the collapsed grid, NOT a second scan of the
-    # fact join — the persisted |distinct cents| frame serves both the
-    # 1-row totals and the ECDF window (one pass over orders, period)
-    tot = steps.agg(
-        F.sum("a_here").cast("bigint").alias("n_a"),
-        F.sum("b_here").cast("bigint").alias("n_b"),
+    steps = track_cache(
+        v.groupBy("cents").agg(
+            F.sum(F.col("is_a").cast("bigint")).cast("bigint").alias("a_here"),
+            F.sum((1 - F.col("is_a")).cast("bigint")).cast("bigint").alias("b_here"),
+        )
     )
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = steps.select(
-        F.sum("a_here").over(w).cast("bigint").alias("cum_a"),
-        F.sum("b_here").over(w).cast("bigint").alias("cum_b"),
+    # inclusive ECDF counts = two_level exclusive prefix + own weight;
+    # both split cumulatives share one bucketed pass (round-12
+    # retirement of the unpartitioned cumulative window; at TPC-H
+    # price spreads the grid is nearly one row per order), and the
+    # grand totals ride the helper's <=nb-row bucket-totals frame
+    # instead of a second scan of the grid
+    ecdf = two_level_rank(
+        steps, ["cents"], weight=["a_here", "b_here"],
+        out_col=["exc_a", "exc_b"], total_col=["n_a", "n_b"], persist=False,
+    ).select(
+        (F.col("exc_a") + F.col("a_here")).cast("bigint").alias("cum_a"),
+        (F.col("exc_b") + F.col("b_here")).cast("bigint").alias("cum_b"),
+        "n_a",
+        "n_b",
     )
-    d = ecdf.crossJoin(F.broadcast(tot)).select(
+    d = ecdf.select(
         "n_a",
         "n_b",
         F.abs(

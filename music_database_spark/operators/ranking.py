@@ -257,9 +257,9 @@ def two_level_rank(
     df: DataFrame,
     order_cols: list[str],
     *,
-    weight: str | None = None,
-    out_col: str | None = None,
-    total_col: str | None = None,
+    weight: str | list[str] | None = None,
+    out_col: str | list[str] | None = None,
+    total_col: str | list[str] | None = None,
     nb: int | None = None,
     n: int | None = None,
     persist: bool = True,
@@ -276,6 +276,11 @@ def two_level_rank(
     weight="c"   — out_col (default "cum") = EXCLUSIVE global prefix-sum
         of the weight column under order_cols (rank span of a run-length
         encoded value: [cum+1, cum+weight]).
+    weight=["a","b"] — several exclusive prefix-sums over the SAME order
+        in one pass (shared buckets, one shuffle): out_col must be a
+        matching list of names, total_col optionally too (the ECDF
+        family: x_ks_test / x_ks_drift accumulate both split counts).
+        Inclusive cumulatives are out_col + the row's own weight.
     total_col — when set, also broadcast-attach the grand total (row
         count, or weight sum) under this name: every call site needs n
         for its rank→bin arithmetic, and deriving it from the bucket
@@ -295,7 +300,14 @@ def two_level_rank(
     Returns df's columns plus the rank (and optional total) column; row
     order unspecified.
     """
-    out = out_col or ("cum" if weight else "rn")
+    multi = isinstance(weight, (list, tuple))
+    weights: list[str] = list(weight) if multi else ([weight] if weight else [])
+    if multi:
+        outs = list(out_col)  # required, one name per weight
+        tcols = list(total_col) if total_col else [None] * len(weights)
+    else:
+        outs = [out_col or ("cum" if weight else "rn")]
+        tcols = [total_col]
     nb = min(nb or _n_buckets(df), _MAX_BOUNDS + 1)
     if persist:
         src = df.persist()
@@ -307,32 +319,46 @@ def two_level_rank(
     if bounds is None:
         bounds = _sample_boundaries(src, order_cols, nb, n)
     bucketed = src.withColumn("__bkt", _bucket_from_bounds(order_cols, bounds))
-    per_bucket: Column = (
-        F.count(F.lit(1)) if weight is None else F.sum(weight)
-    ).cast("bigint")
-    totals = bucketed.groupBy("__bkt").agg(per_bucket.alias("__bn"))
+    k = max(1, len(weights))
+    aggs = (
+        [F.count(F.lit(1)).cast("bigint").alias("__bn_0")]
+        if not weights
+        else [F.sum(w).cast("bigint").alias(f"__bn_{i}") for i, w in enumerate(weights)]
+    )
+    totals = bucketed.groupBy("__bkt").agg(*aggs)
+    woff = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
     offs = totals.select(
         F.col("__bkt").alias("__obkt"),
-        F.coalesce(
-            F.sum("__bn").over(W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__bn_{i}").over(woff), F.lit(0))
+            .cast("bigint")
+            .alias(f"__off_{i}")
+            for i in range(k)
+        ],
     )
     within = W.partitionBy("__bkt").orderBy(*order_cols)
-    if weight is None:
-        rank: Column = F.col("__off") + F.row_number().over(within)
-    else:
-        rank = F.col("__off") + F.coalesce(
-            F.sum(weight).over(within.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    result = bucketed.join(F.broadcast(offs), F.col("__bkt") == F.col("__obkt"))
+    if not weights:
+        result = result.withColumn(
+            outs[0], (F.col("__off_0") + F.row_number().over(within)).cast("bigint")
         )
-    result = (
-        bucketed.join(F.broadcast(offs), F.col("__bkt") == F.col("__obkt"))
-        .withColumn(out, rank.cast("bigint"))
-        .drop("__bkt", "__obkt", "__off")
-    )
-    if total_col:
-        grand = totals.agg(F.sum("__bn").cast("bigint").alias(total_col))
+    else:
+        for i, w in enumerate(weights):
+            result = result.withColumn(
+                outs[i],
+                (
+                    F.col(f"__off_{i}")
+                    + F.coalesce(
+                        F.sum(w).over(within.rowsBetween(W.unboundedPreceding, -1)),
+                        F.lit(0),
+                    )
+                ).cast("bigint"),
+            )
+    result = result.drop("__bkt", "__obkt", *[f"__off_{i}" for i in range(k)])
+    wanted = [(i, tc) for i, tc in enumerate(tcols) if tc]
+    if wanted:
+        grand = totals.agg(
+            *[F.sum(f"__bn_{i}").cast("bigint").alias(tc) for i, tc in wanted]
+        )
         result = result.crossJoin(F.broadcast(grand))
     return result

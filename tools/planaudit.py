@@ -79,7 +79,11 @@ _BNLJ_SCALAR_REVIEWED = frozenset(
     {
         "q17_idle_customers", "x_acf", "x_assoc_rules", "x_benford",
         "x_bm25_search", "x_bpe_train", "x_calibration", "x_cms_join_size",
-        "x_collocations", "x_cusum_changepoint", "x_dedup_recall",
+        "x_collocations",
+        # round-12: the 1-row exact-gap-sum broadcast plus
+        # two_level_rank's grand-total broadcast
+        "x_conversion_time",
+        "x_cusum_changepoint", "x_dedup_recall",
         "x_dsir_weights", "x_expectations", "x_histogram",
         # round-8 rewrite: vc.crossJoin(broadcast(n_tot)) where n_tot is
         # the 1-row global SUM(c) (operators/quality.py x_histogram_equidepth)
@@ -114,20 +118,80 @@ TREE_RE = re.compile(r"^(?P<prefix>[ :+\-|*]*)(?P<name>[A-Za-z][A-Za-z0-9_]*)")
 ID_RE = re.compile(r"\((\d+)\)")
 
 # Node names that prove the frame entering an unpartitioned Window is
-# grain-collapsed / bounded, when found anywhere in the Window's subtree.
-_COLLAPSERS = (
+# bounded regardless of the data size: an explicit row-count limit.
+_LIMIT_COLLAPSERS = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+# Aggregate node names. Round-12 tightening (round-11 verdict ask #3):
+# an upstream aggregate is NO LONGER boundedness proof by itself —
+# aggregation collapses grain, not cardinality (a per-customer or
+# per-document aggregate grows linearly with the data, and an
+# unpartitioned window over it is a single-task sort at 100x). An
+# aggregate counts as a collapser only when its GROUP KEYS come from a
+# bounded domain: no keys at all (global aggregate -> <=1 row), or
+# every key column named in _BOUNDED_KEY_NAMES. Everything else needs a
+# WINDOW_WHITELIST entry with a written reason.
+_AGG_NODES = (
     "HashAggregate", "SortAggregate", "ObjectHashAggregate",
-    "ArrowAggregatePython", "TakeOrderedAndProject", "GlobalLimit",
-    "CollectLimit",
+    "ArrowAggregatePython",
 )
+
+# Group-key column names whose value domain is bounded by construction,
+# independent of data volume. Each entry carries its boundedness
+# argument; tests/test_tools_gates.py pins the set.
+_BOUNDED_KEY_NAMES = {
+    # two_level_rank bucket id: 0..nb-1 with nb <= 256 (ranking.py
+    # _MAX_BOUNDS) — the offsets window this lint is DESIGNED to allow
+    "__bkt",
+}
+
 # Parquet tables small-by-construction (dimension carriers): a window
 # over ONLY these scans is bounded even without an aggregate.
 _BOUNDED_TABLES = ("nation.parquet", "region.parquet")
 
-# Queries allowed an unpartitioned Window over a non-collapsed frame,
-# each with the reviewed reason the frame is bounded in a way the node
-# inventory can't prove.
-WINDOW_WHITELIST: dict[str, str] = {}
+# Queries allowed an unpartitioned Window over a frame the node
+# inventory can't prove bounded, each with the reviewed reason it is.
+# Populated by the round-12 tightening sweep (every other query the old
+# any-aggregate leniency sheltered was CONVERTED: rfm/conversion_time/
+# ndcg/zipf per the verdict ask, plus the value-grid ECDF family
+# ks_test/ks_drift/mann_whitney/auc_roc). A test pins non-emptiness of
+# every reason.
+_CAL = (
+    "calendar-grain rollup: frame cardinality = the dataset's day/"
+    "month span (TPC-H dates span a fixed 7-year window, ~2.4k days), "
+    "which grows with time coverage, not data volume; per-entity "
+    "variants would PARTITION BY entity"
+)
+WINDOW_WHITELIST: dict[str, str] = {
+    "x_percent_change": _CAL + " (month grain)",
+    "x_cusum_changepoint": _CAL,
+    "x_segmented_regression": _CAL,
+    "x_ewma_smooth": _CAL,
+    "x_rolling_slope": _CAL,
+    "x_crosscorr": _CAL,
+    "x_forecast_snaive": _CAL,
+    "x_rolling_distinct_hll": _CAL + " (daily HLL sketch rollup)",
+    "x_skyline": (
+        "window runs over the per-date frontier-candidate champions — "
+        "date-domain grain (~2.4k rows at any SF, the fixed TPC-H "
+        "calendar), the classic local-prune/global-merge skyline split"
+    ),
+    "x_chi2_independence": (
+        "contingency cells of two bounded enums (c_mktsegment x "
+        "o_orderpriority, <= 25 rows at any scale)"
+    ),
+    "x_poisson_bootstrap": (
+        "rank window over the B bootstrap replicate means — "
+        "constant-cardinality frame (BOOT_B literal)"
+    ),
+    "x_temperature_sample": (
+        "per-language frame — lang is a bounded enum (ISO language "
+        "inventory, a few hundred values at planetary scale)"
+    ),
+    "x_token_budget": (
+        "per-source frame — source is a bounded enum of corpus "
+        "provenances (crawl/curated/... catalog, not data-sized)"
+    ),
+}
 
 
 def formatted_plan(df) -> str:
@@ -212,7 +276,28 @@ def unpartitioned_window_findings(text: str) -> list[str]:
     part_empty: dict[int, bool] = {}
     scan_loc: dict[int, str] = {}
     parquet_scan_ids: set[int] = set()
+    agg_bounded: dict[int, bool] = {}  # agg node id -> keys bounded-domain
     for nid, header, block in _detail_blocks(lines):
+        am = re.match(r"^\(\d+\) (\w+)", header)
+        if am and am.group(1) in _AGG_NODES:
+            # Keys line: 'Keys [2]: [a#5, b#8]' or 'Keys: []'. Unparseable
+            # keys fail closed (not a collapser).
+            bounded = False
+            for line in block[1:]:
+                ls = line.strip()
+                if ls.startswith("Keys"):
+                    groups = _split_top_brackets(ls[len("Keys"):])
+                    inner = groups[-1].strip() if groups else None
+                    if inner == "":
+                        bounded = True  # global aggregate -> <=1 row
+                    elif inner is not None:
+                        names = [
+                            k.strip().split("#")[0].strip("`")
+                            for k in inner.split(",")
+                        ]
+                        bounded = all(k in _BOUNDED_KEY_NAMES for k in names)
+                    break
+            agg_bounded[nid] = bounded
         if re.match(r"^\(\d+\) Window\b", header):
             spec_empty = None
             for line in block[1:]:
@@ -255,7 +340,11 @@ def unpartitioned_window_findings(text: str) -> list[str]:
             if d2 <= depth:
                 break
             subtree.append((n2, id2))
-        if any(n in _COLLAPSERS for n, _ in subtree):
+        if any(n in _LIMIT_COLLAPSERS for n, _ in subtree):
+            continue
+        if any(
+            n in _AGG_NODES and agg_bounded.get(id2, False) for n, id2 in subtree
+        ):
             continue
         scans = [id2 for n2, id2 in subtree if n2 == "Scan"]
         parquet_scans = [s for s in scans if s in parquet_scan_ids]
