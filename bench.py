@@ -63,10 +63,14 @@ def _host_busy_jiffies() -> int:
     INCLUDES steal (field 8): on a VM, hypervisor steal starves the
     bench exactly like a foreign process, so it must contaminate the
     window; _host_steal_jiffies reports it separately so the record
-    can say WHICH kind of noise it was."""
+    can say WHICH kind of noise it was. EXCLUDES guest/guest_nice
+    (fields 9-10): the kernel already folds vCPU-guest time into
+    user/nice, so summing them double-counts VM load and can
+    false-flag quiet windows (round-11 ADVICE)."""
     with open("/proc/stat") as f:
         vals = [int(v) for v in f.readline().split()[1:]]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    guest = sum(vals[8:10]) if len(vals) > 8 else 0
+    return sum(vals) - vals[3] - vals[4] - guest  # minus idle+iowait+guest
 
 
 def _host_steal_jiffies() -> int:
@@ -91,9 +95,16 @@ def _tree_cpu_snapshot() -> dict[int, int]:
     inflating the foreign share to a phantom 100% — observed twice on
     sub-second queries in the first instrumented runs. The caller diffs
     pid-by-pid instead, so a vanished pid contributes its (unknowable)
-    post-snapshot burn as 0 rather than minus-its-lifetime."""
+    post-snapshot burn as 0 rather than minus-its-lifetime.
+
+    own (utime+stime) and reaped-children (cutime+cstime) jiffies are
+    kept SEPARATE, with the parent pid: a child alive at snapshot time
+    but reaped before the window closes rolls its full lifetime into
+    the parent's cutime, and the delta must subtract the part that was
+    already visible at snapshot time (round-11 ADVICE — the opposite
+    bias to the vanished-pid floor)."""
     kids: dict[int, list[int]] = {}
-    stats: dict[int, int] = {}
+    stats: dict[int, tuple[int, int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -103,9 +114,14 @@ def _tree_cpu_snapshot() -> dict[int, int]:
         except OSError:
             continue  # raced a process exit
         rest = s[s.rindex(")") + 2 :].split()  # comm may contain spaces
-        kids.setdefault(int(rest[1]), []).append(int(d))
-        stats[int(d)] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-    out: dict[int, int] = {}
+        ppid = int(rest[1])
+        kids.setdefault(ppid, []).append(int(d))
+        stats[int(d)] = (
+            int(rest[11]) + int(rest[12]),  # own: utime+stime
+            int(rest[13]) + int(rest[14]),  # reaped children: cutime+cstime
+            ppid,
+        )
+    out: dict[int, tuple[int, int, int]] = {}
     stack, seen = [os.getpid()], set()
     while stack:
         p = stack.pop()
@@ -118,11 +134,27 @@ def _tree_cpu_snapshot() -> dict[int, int]:
     return out
 
 
-def _tree_cpu_delta(tree0: dict[int, int], tree1: dict[int, int]) -> int:
-    """Jiffies the tree burned between two snapshots: per-pid increments
-    for surviving pids, full value for pids born in between, zero (the
-    only safe floor) for pids that vanished."""
-    return sum(max(0, j1 - tree0.get(p, 0)) for p, j1 in tree1.items())
+def _tree_cpu_delta(
+    tree0: dict[int, tuple[int, int, int]], tree1: dict[int, tuple[int, int, int]]
+) -> int:
+    """Jiffies the tree burned between two snapshots: per-pid own+cutime
+    increments for surviving pids, full value for pids born in between,
+    zero (the only safe floor) for pids that vanished — MINUS, per
+    surviving parent, the snapshot-time burn of children it reaped
+    inside the window (their lifetime rolls into the parent's cutime at
+    reap; only the post-snapshot part is in-window burn). The
+    correction floors at the parent's cutime increment, so a child
+    orphaned OUT of the tree can never drive the delta negative."""
+    reaped_at_t0: dict[int, int] = {}
+    for p, (own0, cum0, pp0) in tree0.items():
+        if p not in tree1:
+            reaped_at_t0[pp0] = reaped_at_t0.get(pp0, 0) + own0 + cum0
+    total = 0
+    for p, (own1, cum1, _pp1) in tree1.items():
+        own0, cum0, _ = tree0.get(p, (0, 0, 0))
+        total += max(0, own1 - own0)
+        total += max(0, max(0, cum1 - cum0) - reaped_at_t0.get(p, 0))
+    return total
 
 
 def foreign_cpu_fraction(

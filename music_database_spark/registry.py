@@ -87,69 +87,68 @@ def register(
 # (round 7 drains it), subsequent windows rotate the OLDEST-verified
 # names first — freshness debt, oldest round wins; new additions take
 # window slots ahead of re-verifications, capped at the window size.
-WINDOW_DESIGNED_AFTER_ROUND = 10
+WINDOW_DESIGNED_AFTER_ROUND = 11
 
-# Round-11 window — fourth rotation under the re-verification policy.
+# Round-12 window — fifth rotation under the re-verification policy.
 # Emitted verbatim by `python tools/verified_rounds.py --propose-window`
-# against the r02-r10 ledger: no never-verified names remain, so the
-# whole window is freshness debt — the 50 stalest last-verified names.
-# The first 36 drain the rest of the round-5 cohort (the window/rank
-# family, pivot/rollup, the SQL-UDF surface, the python datasource and
-# UDTF registrations, text/corpus stats, layout probes); the last 14
-# start on the round-6 names (pk_uniqueness, the recall harnesses, the
-# stats battery from x_acf to x_dedup_embedding_det). After round 11,
-# no query's newest driver anchor predates round 6.
+# against the r01-r11 ledger: no never-verified names remain, so the
+# whole window is freshness debt — the 50 stalest last-verified names,
+# draining the round-6 cohort (35 names through x_twap) and starting on
+# round 7 (x_assortativity onward). The rotation naturally re-anchors
+# four of this round's plan rewrites (x_mann_whitney, x_ndcg,
+# x_rfm_segmentation, x_theilsen_slope — all r06-stale). After round
+# 12, no query's newest driver anchor predates round 7.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "x_gini_concentration",
-    "x_interpolate",
-    "x_interval_overlap",
-    "x_lateral_topk",
-    "x_map_funcs",
-    "x_mixture_sample",
-    "x_multimodal_transform",
-    "x_ngram_lm_score",
-    "x_outliers",
-    "x_partition_overwrite",
-    "x_pipe_syntax",
-    "x_pivot",
-    "x_posexplode",
-    "x_profile",
-    "x_python_datasource",
-    "x_python_udtf",
-    "x_rank_per_group",
-    "x_redact",
-    "x_repetition_filter",
-    "x_resample_ohlc",
-    "x_rollup",
-    "x_running_sum",
-    "x_scd2_history",
-    "x_schema_evolution",
-    "x_session",
-    "x_skyline",
-    "x_sql_table_udf",
-    "x_sql_udf",
-    "x_stream_python_source",
-    "x_text_stats",
-    "x_token_entropy",
-    "x_triangle_count",
-    "x_unpivot",
-    "x_vocab_coverage",
-    "x_window_ignore_nulls",
-    "x_zorder_layout",
-    "pk_uniqueness",
-    "x_acf",
-    "x_ann_recall",
-    "x_assoc_rules",
-    "x_auc_roc",
-    "x_benford",
-    "x_bfs",
-    "x_calibration",
-    "x_chi2_independence",
-    "x_cms_heavy_hitters",
-    "x_conversion_time",
-    "x_cusum_changepoint",
-    "x_dataset_card",
-    "x_dedup_embedding_det",
+    "x_dp_noisy_counts",
+    "x_expectations",
+    "x_forecast_snaive",
+    "x_group_sample",
+    "x_histogram_equidepth",
+    "x_ivf_probe_curve",
+    "x_kanonymity",
+    "x_kappa",
+    "x_kcore",
+    "x_kmv_setops",
+    "x_knn_lsh_det",
+    "x_l_diversity",
+    "x_link_prediction",
+    "x_lsh_curve_empirical",
+    "x_mann_whitney",
+    "x_media_frame_dedup",
+    "x_modularity",
+    "x_ndcg",
+    "x_normalize_dedup",
+    "x_path_mining",
+    "x_poisson_bootstrap",
+    "x_rfm_segmentation",
+    "x_segmented_regression",
+    "x_seq_packing",
+    "x_span_mask",
+    "x_spatial_join",
+    "x_sssp_weighted",
+    "x_stream_cms",
+    "x_stream_ewma",
+    "x_stream_group_sample",
+    "x_stream_recovery",
+    "x_substring_dedup",
+    "x_temperature_sample",
+    "x_theilsen_slope",
+    "x_token_budget",
+    "x_twap",
+    "x_assortativity",
+    "x_bpe_tokens",
+    "x_cms_join_size",
+    "x_compaction",
+    "x_contamination_overlap",
+    "x_crosscorr",
+    "x_dedup_embedding",
+    "x_dedup_hash_groups",
+    "x_dedup_incremental",
+    "x_dedup_incremental_band",
+    "x_dedup_minhash",
+    "x_dedup_simhash",
+    "x_drop_manifest",
+    "x_dsir_weights",
 )
 
 

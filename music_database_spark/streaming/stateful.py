@@ -13,8 +13,8 @@ broken (round 2: ImportError cannot import name 'descriptor'; re-probed
 2026-08-13 round 3: `import google.protobuf` now fails outright with
 ModuleNotFoundError: No module named 'google'; re-probed 2026-08-13
 round 4: still ModuleNotFoundError — no google namespace package on
-sys.path at all; re-probed 2026-08-15 round 8, 2026-08-16 rounds 9, 10
-and 11: unchanged, ModuleNotFoundError: No module
+sys.path at all; re-probed 2026-08-15 round 8, 2026-08-16 rounds 9, 10,
+11 and 12: unchanged, ModuleNotFoundError: No module
 named 'google'), and installs
 are off-limits. The v1 applyInPandasWithState operator below covers the
 custom-stateful surface; the TWS port is mechanical when the runtime

@@ -70,11 +70,21 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
     """bench.py's host-noise adjudicator must attribute THIS tree's CPU
     burn to the bench (foreign ~ 0) and an out-of-tree spinner to the
     host (foreign >> 0) — loadavg can't make that distinction, which is
-    why the round-10 recording needed a judge to re-measure by hand."""
+    why the round-10 recording needed a judge to re-measure by hand.
+
+    Round-12 de-flake (round-11 ADVICE): skip on small or already-busy
+    hosts (the capacity-share margins assume >=16 cpus and a mostly
+    quiet machine), widened margins, and the orphaned spinner process
+    group is killed in a finally block so a mid-test assertion can't
+    leak CPU burn into subsequent tests."""
+    import signal
     import time
 
     sys.path.insert(0, REPO)
     import bench
+
+    if (os.cpu_count() or 1) < 16:
+        pytest.skip("capacity-share margins sized for >=16 cpus")
 
     def window(work) -> float:
         snap = (
@@ -91,6 +101,8 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
     # asserted an absolute bound and flaked against a concurrent Spark
     # job — which the adjudicator CORRECTLY reported as foreign).
     baseline = window(lambda: time.sleep(0.4))
+    if baseline > 0.30:
+        pytest.skip(f"host already {baseline:.0%} foreign-busy — margins unreliable")
 
     def spin():
         end = time.time() + 0.4
@@ -98,12 +110,12 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
             pass
 
     own = window(spin)
-    assert own - baseline < 0.08, (
+    assert own - baseline < 0.12, (
         f"own busy-loop misattributed as foreign ({own:.2%} vs idle {baseline:.2%})"
     )
 
     # an out-of-tree spinner (double-fork reparents it to init) MUST
-    spin = (
+    spin_src = (
         "import os,time\n"
         "pids=[os.fork() for _ in range(8)]\n"
         "if 0 in pids:\n"
@@ -112,20 +124,32 @@ def test_foreign_cpu_fraction_separates_own_load_from_foreign():
         "    os._exit(0)\n"
         "for p in pids: os.waitpid(p,0)\n"
     )
-    pid = os.fork()
-    if pid == 0:  # intermediate child: exec the spinner's parent, orphaned
-        os.setsid()
-        if os.fork() == 0:
-            os.execv(sys.executable, [sys.executable, "-c", spin])
-        os._exit(0)
-    os.waitpid(pid, 0)
-    foreign = window(lambda: time.sleep(0.8))
-    # 8 foreign cores for 0.6 s inside an 0.8 s window on a 32-cpu box
-    # is ~19% of capacity; demand at least a quarter of that ABOVE the
-    # idle baseline.
-    assert foreign - baseline > 0.05, (
-        f"foreign spinners invisible to adjudicator ({foreign:.2%} vs idle {baseline:.2%})"
-    )
+    pgid = None
+    try:
+        pid = os.fork()
+        if pid == 0:  # intermediate child: exec the spinner's parent, orphaned
+            os.setsid()
+            if os.fork() == 0:
+                os.execv(sys.executable, [sys.executable, "-c", spin_src])
+            os._exit(0)
+        os.waitpid(pid, 0)
+        # setsid made the intermediate the session/pgroup leader; the
+        # orphaned spinner inherited that pgid
+        pgid = pid
+        foreign = window(lambda: time.sleep(0.8))
+        # 8 foreign cores for 0.6 s inside an 0.8 s window on a 32-cpu
+        # box is ~19% of capacity; demand at least ~a fifth of that
+        # ABOVE the idle baseline.
+        assert foreign - baseline > 0.04, (
+            f"foreign spinners invisible to adjudicator "
+            f"({foreign:.2%} vs idle {baseline:.2%})"
+        )
+    finally:
+        if pgid is not None:
+            try:
+                os.killpg(pgid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass  # spinners already exited on their own
 
 
 def test_cold_gate_passes_current_bench_record():
