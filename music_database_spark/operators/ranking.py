@@ -26,12 +26,20 @@ stage stays partition-parallel:
    within-bucket rank equals the global rank under any of them — so
    sampling noise only moves work between buckets, never the output
    (certified by the layout-invariance sweep).
-2. **Offsets**: aggregate each bucket's row count (or weight sum) and
-   cumulative-sum the ≤`nb`-row totals — the only unpartitioned window
-   left runs over the bucket-id domain (≤ nb rows, bounded by
-   construction; planaudit recognizes `__bkt` as a bounded key).
+2. **Offsets**: aggregate each bucket's row count (or weight sum) —
+   ≤ `nb` rows, bounded by construction — COLLECT them, and compile the
+   exclusive prefix sums into a literal `element_at(array, __bkt+1)`
+   lookup (round 13: the previous shape computed the prefix with a
+   single-partition window over the totals and broadcast-joined it back,
+   which cost a broadcast build job plus two extra exchanges per rank on
+   a path whose row count is capped at 256 by construction; offsets are
+   deterministic aggregates of the data under the frozen boundary
+   literals, so freezing them as literals is the same retry-stability
+   class as the boundaries themselves). The grand totals (`total_col`)
+   ride the same collected rows as literals, retiring the
+   crossJoin(broadcast(grand)) too.
 3. **Rank within buckets**: a PARTITIONED window per bucket, offset by
-   step 2.
+   step 2 — the main plan's ONLY exchange.
 
 The source frame is persist()ed for SPEED only (the count, the boundary
 sample, and the two bucket consumers would otherwise recompute an
@@ -325,40 +333,62 @@ def two_level_rank(
         if not weights
         else [F.sum(w).cast("bigint").alias(f"__bn_{i}") for i, w in enumerate(weights)]
     )
-    totals = bucketed.groupBy("__bkt").agg(*aggs)
-    woff = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
-    offs = totals.select(
-        F.col("__bkt").alias("__obkt"),
-        *[
-            F.coalesce(F.sum(f"__bn_{i}").over(woff), F.lit(0))
-            .cast("bigint")
-            .alias(f"__off_{i}")
-            for i in range(k)
-        ],
-    )
+    # Per-bucket totals are ≤ nb ≤ 256 rows BY CONSTRUCTION (the bucket
+    # id is Σ[key >= boundary_i] over ≤ _MAX_BOUNDS literals), so they
+    # are a bounded driver collect — the same size class as the boundary
+    # sample. Freezing the exclusive prefix sums (and grand totals) into
+    # plan literals removes the single-partition offsets window, its
+    # broadcast build job, the offsets join, and the grand-total
+    # crossJoin from every rank call: the main plan's only exchange is
+    # the partitioned within-bucket window. Determinism: under the
+    # frozen boundary literals the totals are plain deterministic
+    # aggregates of the frame, so the compiled offsets survive stage
+    # retries and cache eviction exactly like the boundaries (round-11
+    # class). A zero-weight/empty bucket simply contributes 0.
+    nbkts = len(bounds) + 1
+    tot_by_bkt = {
+        int(r["__bkt"]): [int(r[f"__bn_{i}"] or 0) for i in range(k)]
+        for r in bucketed.groupBy("__bkt").agg(*aggs).collect()
+    }
+    off_arrays: list[list[int]] = []
+    grands: list[int] = []
+    for i in range(k):
+        run = 0
+        offs: list[int] = []
+        for b in range(nbkts):
+            offs.append(run)
+            run += tot_by_bkt.get(b, [0] * k)[i]
+        off_arrays.append(offs)
+        grands.append(run)
+
+    def off_lit(i: int) -> Column:
+        if nbkts == 1:
+            return F.lit(0).cast("bigint")
+        return F.element_at(
+            F.array(*[F.lit(v).cast("bigint") for v in off_arrays[i]]),
+            F.col("__bkt") + 1,
+        )
+
     within = W.partitionBy("__bkt").orderBy(*order_cols)
-    result = bucketed.join(F.broadcast(offs), F.col("__bkt") == F.col("__obkt"))
+    result = bucketed
     if not weights:
         result = result.withColumn(
-            outs[0], (F.col("__off_0") + F.row_number().over(within)).cast("bigint")
+            outs[0], (off_lit(0) + F.row_number().over(within)).cast("bigint")
         )
     else:
         for i, w in enumerate(weights):
             result = result.withColumn(
                 outs[i],
                 (
-                    F.col(f"__off_{i}")
+                    off_lit(i)
                     + F.coalesce(
                         F.sum(w).over(within.rowsBetween(W.unboundedPreceding, -1)),
                         F.lit(0),
                     )
                 ).cast("bigint"),
             )
-    result = result.drop("__bkt", "__obkt", *[f"__off_{i}" for i in range(k)])
-    wanted = [(i, tc) for i, tc in enumerate(tcols) if tc]
-    if wanted:
-        grand = totals.agg(
-            *[F.sum(f"__bn_{i}").cast("bigint").alias(tc) for i, tc in wanted]
-        )
-        result = result.crossJoin(F.broadcast(grand))
+    result = result.drop("__bkt")
+    for i, tc in enumerate(tcols):
+        if tc:
+            result = result.withColumn(tc, F.lit(grands[i]).cast("bigint"))
     return result

@@ -868,6 +868,12 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "train",
     ).otherwise("heldout")
     arr = F.split("text", " ")
+    # persist(): the distinct trigram inventory feeds the sketch side
+    # (hs) AND the exact side — without it the pushed-down split filters
+    # specialize each consumer's aggregate subtree and the trigram
+    # explode re-runs per consumer (16 scan/Generate nodes, 62 Exchanges
+    # in the round-12 plan; round-13 plan audit). Persisting inside the
+    # query keeps every run computing from parquet.
     toks = (
         docs.filter(F.size(arr) >= 3)
         .select(
@@ -880,6 +886,7 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
+        .persist()
     )
     hs = toks.select(
         "split",
@@ -926,12 +933,19 @@ def x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") < F.col("th"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
-    ta = toks.filter(F.col("split") == "train").select("tok").distinct()
-    tb = toks.filter(F.col("split") == "heldout").select("tok").distinct()
-    exact = (
-        ta.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
-        .crossJoin(tb.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
-        .crossJoin(ta.join(tb, "tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter")))
+    # exact |A|, |B|, |A∩B| in ONE pass over the cached (split, tok)
+    # pairs: per-token split membership flags, then a map-side-combinable
+    # 1-row reduction — replaces two filtered distinct counts plus a
+    # tok-keyed join (three more full passes over the trigram stream)
+    # with identical values (toks is already distinct per split).
+    memb = toks.groupBy("tok").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("split") == "heldout", 1).otherwise(0)).alias("in_b"),
+    )
+    exact = memb.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_inter"),
     )
     return (
         exact.crossJoin(tmin)
