@@ -468,13 +468,19 @@ def label_propagation_components(pairs: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(nparts, "node")
-        .localCheckpoint()
+        # lazy: the prev_sum aggregate below is the first action and
+        # materializes the checkpoint blocks in the same job — the
+        # sssp_rounds one-job-per-round recipe (round 13; the eager
+        # variant paid a separate materialization job per round)
+        .localCheckpoint(eager=False)
     )
-    raw_edges.unpersist()
     # Convergence check: min-label propagation only ever decreases labels,
     # so the label sum is strictly decreasing until fixpoint — one cheap
-    # aggregate per round instead of a change-counting join.
+    # aggregate per round instead of a change-counting join. This first
+    # action materializes the lazy checkpoint above (and edges' persist),
+    # so raw_edges must stay cached until after it.
     prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    raw_edges.unpersist()
     # Loop to the fixpoint, not a fixed round cap: labels only ever
     # decrease and are bounded below by each component's min id, so the
     # strictly-decreasing label sum guarantees termination in O(max
@@ -498,7 +504,9 @@ def label_propagation_components(pairs: DataFrame) -> tuple[DataFrame, int]:
             contrib.unionByName(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            # lazy: the fixpoint-witness aggregate materializes the
+            # blocks — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels = new_labels
@@ -1500,7 +1508,9 @@ def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
         .repartition(nparts, "u")
-        .localCheckpoint()
+        # lazy: signature(edges) below materializes the blocks in the
+        # same job (round 13 — one job per round, not two)
+        .localCheckpoint(eager=False)
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -1538,7 +1548,8 @@ def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .unionByName(smins.select("u", F.col("m").alias("v")))
                 .distinct()
-                .localCheckpoint()
+                # lazy: signature(ss) is the materializing action
+                .localCheckpoint(eager=False)
             )
             sig = signature(ss)
             edges = ss
