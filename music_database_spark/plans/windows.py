@@ -1362,11 +1362,18 @@ def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-bucket on the full unique (s, i, j) key, cum-sum the tiny
     # per-bucket counts into offsets, rank only WITHIN buckets); the
     # composite key keeps a heavily tied slope distribution spread
-    # across buckets (round-11 skew hardening).
-    ranked = two_level_rank(slopes, ["s", "i", "j"], total_col="cnt").select(
-        "s", "cnt", "rn"
-    )
-    ndays = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # across buckets (round-11 skew hardening). The pair count is
+    # derivable: daily is already an eagerly-materialized checkpoint of
+    # <= TS_WINDOW_DAYS rows, so counting IT is a 1-task job and
+    # n_pairs = d*(d-1)/2 exactly — passing n= skips the helper's count
+    # job over the 66k-row pair frame (round 13, VERDICT r12 ask #6).
+    n_days_local = daily.count()
+    ranked = two_level_rank(
+        slopes,
+        ["s", "i", "j"],
+        total_col="cnt",
+        n=n_days_local * (n_days_local - 1) // 2,
+    ).select("s", "cnt", "rn")
     pick = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(F.col("cnt") * q).cast("bigint"), F.col("s"))
     )
@@ -1382,7 +1389,10 @@ def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pick(0.50) / 100.0, 6).alias("slope_median"),
             F.round(pick(0.75) / 100.0, 6).alias("slope_q75"),
         )
-        .crossJoin(F.broadcast(ndays))
+        # n_days as a plan literal: daily was counted above (driver-side,
+        # 1-task job over the eager checkpoint) — no broadcast-build job
+        # for a 1-row frame
+        .withColumn("n_days", F.lit(n_days_local).cast("bigint"))
         .select("n_days", "n_pairs", "slope_q25", "slope_median", "slope_q75")
     )
 
