@@ -272,6 +272,7 @@ def two_level_rank(
     n: int | None = None,
     persist: bool = True,
     bounds: list[tuple] | None = None,
+    bucket_totals: dict[int, int] | None = None,
 ) -> DataFrame:
     """Append an exact global-order column to `df` without any stage
     sorting the full frame in one task.
@@ -294,6 +295,14 @@ def two_level_rank(
         for its rank→bin arithmetic, and deriving it from the bucket
         totals costs one tiny agg over the persisted frame instead of
         a second pass over the source.
+
+    bucket_totals — single-weight-only: the per-bucket totals under
+        `bounds`, precomputed by the caller (bucket id -> row count or
+        weight sum). Call sites ranking several dimensions of one shared
+        frame batch all dimensions' totals into ONE dimension-tagged
+        aggregate job (x_rfm_segmentation) instead of one collect per
+        rank. Must be exactly the totals this function would compute —
+        they are frozen into the plan as offset literals.
 
     n / persist / bounds — driver-action economy for call sites ranking
         several projections of one shared frame: pass the frame's known
@@ -346,10 +355,15 @@ def two_level_rank(
     # retries and cache eviction exactly like the boundaries (round-11
     # class). A zero-weight/empty bucket simply contributes 0.
     nbkts = len(bounds) + 1
-    tot_by_bkt = {
-        int(r["__bkt"]): [int(r[f"__bn_{i}"] or 0) for i in range(k)]
-        for r in bucketed.groupBy("__bkt").agg(*aggs).collect()
-    }
+    if bucket_totals is not None:
+        if k != 1:
+            raise ValueError("bucket_totals only supports a single rank weight")
+        tot_by_bkt = {int(b): [int(v)] for b, v in bucket_totals.items()}
+    else:
+        tot_by_bkt = {
+            int(r["__bkt"]): [int(r[f"__bn_{i}"] or 0) for i in range(k)]
+            for r in bucketed.groupBy("__bkt").agg(*aggs).collect()
+        }
     off_arrays: list[list[int]] = []
     grands: list[int] = []
     for i in range(k):

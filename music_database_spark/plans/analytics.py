@@ -1765,6 +1765,39 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = rfm_c.count()
     nb = effective_buckets(rfm_c)
     sampled = rfm_c.sample(False, sample_fraction(n, nb), seed=BOUNDARY_SEED).collect()
+    dims = [
+        (["__negr", "custkey"], "__rn_r"),
+        (["frequency", "custkey"], "__rn_f"),
+        (["cents", "custkey"], "__rn_m"),
+    ]
+    dim_bounds = {out: boundaries_from_rows(sampled, cols, nb) for cols, out in dims}
+    # All three dimensions' per-bucket totals in ONE dimension-tagged
+    # aggregate over the cached frame (explode triples the rows, the
+    # partial agg collapses them to <= 3*nb groups map-side) — one
+    # driver job instead of one totals collect per rank (round 13).
+    from ..operators.ranking import _bucket_from_bounds
+
+    tot_rows = (
+        rfm_c.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("dim"),
+                            _bucket_from_bounds(cols, dim_bounds[out]).alias("b"),
+                        )
+                        for i, (cols, out) in enumerate(dims)
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy("x.dim", "x.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    dim_totals: list[dict[int, int]] = [{} for _ in dims]
+    for r in tot_rows:
+        dim_totals[r["dim"]][int(r["b"])] = int(r["c"])
 
     def rank_on(cols: list[str], out: str) -> DataFrame:
         slim = rfm_c.select("custkey", *[c for c in cols if c != "custkey"])
@@ -1775,7 +1808,8 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=n,
             nb=nb,
             persist=False,
-            bounds=boundaries_from_rows(sampled, cols, nb),
+            bounds=dim_bounds[out],
+            bucket_totals=dim_totals[[o for _, o in dims].index(out)],
         ).select("custkey", out)
 
     scored = (
