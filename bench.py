@@ -40,6 +40,7 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+from music_database_spark.operators.ranking import release_rank_caches  # noqa: E402
 from music_database_spark.registry import load_all  # noqa: E402
 from music_database_spark.session import get_spark  # noqa: E402
 
@@ -158,7 +159,7 @@ def _tree_cpu_delta(
 
 
 def foreign_cpu_fraction(
-    t0: float, busy0: int, steal0: int, tree0: dict[int, int]
+    t0: float, busy0: int, steal0: int, tree0: dict[int, tuple[int, int, int]]
 ) -> tuple[float, float]:
     """(foreign, steal) shares of the machine's CPU since the snapshot:
     foreign = everything consumed OUTSIDE this bench's process tree
@@ -232,6 +233,11 @@ def main() -> int:
         # queries keeps each number order-independent (runs of the SAME
         # query still share the persist inside time_query).
         spark.catalog.clearCache()
+        # Also drain the rank family's Python-side persist registry:
+        # clearCache unpersists the blocks but the DataFrame refs (and
+        # their plan objects) would otherwise accumulate on the driver
+        # across hundreds of queries (round-12 ADVICE).
+        release_rank_caches()
         print(f"# {name}: {results[name]}s", file=sys.stderr)
     # Flag pathological cold/warm ratios loudly: a first build >=10x its
     # warm median on a non-trivial query is the inferred-filter bug class

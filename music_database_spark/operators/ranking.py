@@ -165,6 +165,21 @@ def _sample_boundaries(
         )
         .collect()
     )
+    if not rows and n > nb:
+        # A zero-row seeded sample on a frame worth bucketing would
+        # silently collapse to ONE bucket — correct output but the exact
+        # single-task sort this helper exists to avoid (round-12
+        # ADVICE). Retry once at 4x the fraction, still seeded: output
+        # is invariant to WHICH monotone bucketing the sample picks.
+        rows = (
+            src.select(*order_cols)
+            .sample(
+                withReplacement=False,
+                fraction=min(1.0, 4 * sample_fraction(n, nb)),
+                seed=BOUNDARY_SEED + 1,
+            )
+            .collect()
+        )
     return boundaries_from_rows(rows, order_cols, nb)
 
 
@@ -177,6 +192,11 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
+        if not -(2**63) <= v < 2**63:
+            # beyond BIGINT: raise TypeError so the Column-API fallback
+            # path in _bucket_from_bounds engages instead of F.expr
+            # failing at parse time (round-12 ADVICE)
+            raise TypeError(f"int boundary {v} exceeds BIGINT literal range")
         return f"{v}L"  # BIGINT literal; comparisons coerce narrower cols
     if isinstance(v, float):
         # repr() is the shortest round-trip form; string→double cast
