@@ -46,6 +46,11 @@ from music_database_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+# Core count of this run, for the per-CPUs record filename and the
+# machine-readable lines: the driver benches at two core counts to
+# measure scaling, and both runs must stay distinguishable. get_spark
+# uses local[*] when the env var is unset, hence the cpu_count default.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 0))
 
 # A per-query foreign-CPU share above this marks the measurement window
 # noisy; the round-10 bench recording drifted a uniform 1.31x on a
@@ -276,27 +281,51 @@ def main() -> int:
     full_path = os.path.join(
         REPO_ROOT, "BENCH_FULL.json" if not names else "BENCH_SUBSET.json"
     )
+    record = {
+        "metric": "total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "cold_queries": colds,
+        "host_busy": host_busy,
+        "host_steal": host_steal,
+        "host_noise": host_noise,
+        "host_noisy_queries": noisy,
+        "loadavg": [loadavg_start, round(os.getloadavg()[0], 2)],
+        "sf": sf,
+        "cpus": CPUS,
+        "n_queries": len(results),
+        "errors": errors,
+    }
     with open(full_path, "w") as f:
-        json.dump(
+        json.dump(record, f, indent=1, sort_keys=True)
+    if not names:
+        # The driver benches the same tree at two core counts and both
+        # runs write BENCH_FULL.json, so the second overwrites the
+        # first's per-query map — PERF_r13's per_query and scaling
+        # tables came out empty (round-13 verdict ask #1). A per-CPUs
+        # copy keeps both runs' complete records on disk.
+        with open(
+            os.path.join(REPO_ROOT, f"BENCH_FULL_c{CPUS}.json"), "w"
+        ) as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    # Second machine-readable stdout line (round-13 verdict ask #1):
+    # the complete name->median map, so the driver's round-over-round
+    # and scaling comparators are self-contained even when BENCH_FULL
+    # is overwritten. Printed BEFORE the final line: a tail-truncated
+    # capture still ends with the intact compact summary line below.
+    print(
+        json.dumps(
             {
-                "metric": "total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "cold_queries": colds,
-                "host_busy": host_busy,
-                "host_steal": host_steal,
-                "host_noise": host_noise,
-                "host_noisy_queries": noisy,
-                "loadavg": [loadavg_start, round(os.getloadavg()[0], 2)],
+                "metric": "per_query_median_sec",
                 "sf": sf,
-                "n_queries": len(results),
-                "errors": errors,
+                "cpus": CPUS,
+                "queries": results,
             },
-            f,
-            indent=1,
+            separators=(",", ":"),
             sort_keys=True,
         )
+    )
     # Compact final line, guaranteed well under the driver's 2000-char
     # tail capture (round-2 parsed null, round-3 truncated): total,
     # counts, geomean vs the BASELINE.md §3 v1 ratchets, and only the
@@ -331,6 +360,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "cpus": CPUS,
                 "n_queries": len(results),
                 "n_errors": len(errors),
                 "geomean_vs_v1": geomean,

@@ -46,15 +46,15 @@ def run_counted(spark, build, sf_dir: str, group: str) -> tuple[int, int, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = SF_DIR
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-            args.remove(sf_dir) if sf_dir in args else None
-    if not args:
-        print(__doc__)
-        return 2
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Count Spark jobs/stages/tasks for registered queries"
+    )
+    ap.add_argument("queries", nargs="+", help="registered query names")
+    ap.add_argument("--sf", default=SF_DIR, help="scale-factor data dir")
+    ns = ap.parse_args()
+    args, sf_dir = ns.queries, ns.sf
     reg = load_all()
     spark = get_spark("jobcount")
     for name in args:
