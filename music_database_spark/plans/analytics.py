@@ -16,10 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.ranking import (
-    BOUNDARY_SEED,
     boundaries_from_rows,
+    boundary_sample,
+    bucket_from_bounds,
     effective_buckets,
-    sample_fraction,
     sql_ntile,
     track_cache,
     two_level_rank,
@@ -1762,9 +1762,13 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at scale these are co-partitioned custkey joins of (id, rank)
     # frames, never a wide intermediate per rank.
     rfm_c = track_cache(rfm)
-    n = rfm_c.count()
     nb = effective_buckets(rfm_c)
-    sampled = rfm_c.sample(False, sample_fraction(n, nb), seed=BOUNDARY_SEED).collect()
+    # ONE shared bounded sample (all three dimensions' key columns, no
+    # count job to size it — round 14, the rank family's self-bounding
+    # sampler) materializes the cache and is sliced per dimension.
+    sampled = boundary_sample(
+        rfm_c, ["custkey", "__negr", "frequency", "cents"], nb
+    )
     dims = [
         (["__negr", "custkey"], "__rn_r"),
         (["frequency", "custkey"], "__rn_f"),
@@ -1775,8 +1779,6 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate over the cached frame (explode triples the rows, the
     # partial agg collapses them to <= 3*nb groups map-side) — one
     # driver job instead of one totals collect per rank (round 13).
-    from ..operators.ranking import _bucket_from_bounds
-
     tot_rows = (
         rfm_c.select(
             F.explode(
@@ -1784,7 +1786,7 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(i).alias("dim"),
-                            _bucket_from_bounds(cols, dim_bounds[out]).alias("b"),
+                            bucket_from_bounds(cols, dim_bounds[out]).alias("b"),
                         )
                         for i, (cols, out) in enumerate(dims)
                     ]
@@ -1798,6 +1800,10 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_totals: list[dict[int, int]] = [{} for _ in dims]
     for r in tot_rows:
         dim_totals[r["dim"]][int(r["b"])] = int(r["c"])
+    # The frame's exact row count (sql_ntile's n) rides the totals
+    # rows of any one dimension — the former dedicated count job is gone
+    # (round 14).
+    n = sum(dim_totals[0].values())
 
     def rank_on(cols: list[str], out: str) -> DataFrame:
         slim = rfm_c.select("custkey", *[c for c in cols if c != "custkey"])
@@ -1805,7 +1811,6 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             slim,
             cols,
             out_col=out,
-            n=n,
             nb=nb,
             persist=False,
             bounds=dim_bounds[out],

@@ -1362,17 +1362,16 @@ def x_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-bucket on the full unique (s, i, j) key, cum-sum the tiny
     # per-bucket counts into offsets, rank only WITHIN buckets); the
     # composite key keeps a heavily tied slope distribution spread
-    # across buckets (round-11 skew hardening). The pair count is
-    # derivable: daily is already an eagerly-materialized checkpoint of
-    # <= TS_WINDOW_DAYS rows, so counting IT is a 1-task job and
-    # n_pairs = d*(d-1)/2 exactly — passing n= skips the helper's count
-    # job over the 66k-row pair frame (round 13, VERDICT r12 ask #6).
+    # across buckets (round-11 skew hardening). daily is an eagerly-
+    # materialized checkpoint of <= TS_WINDOW_DAYS rows, so counting IT
+    # is a 1-task job; since round 14 the helper has no count job at all
+    # (self-bounding boundary sample), so the count below only feeds the
+    # n_days output literal.
     n_days_local = daily.count()
     ranked = two_level_rank(
         slopes,
         ["s", "i", "j"],
         total_col="cnt",
-        n=n_days_local * (n_days_local - 1) // 2,
     ).select("s", "cnt", "rn")
     pick = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(F.col("cnt") * q).cast("bigint"), F.col("s"))
