@@ -1805,30 +1805,31 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round 14).
     n = sum(dim_totals[0].values())
 
-    def rank_on(cols: list[str], out: str) -> DataFrame:
-        slim = rfm_c.select("custkey", *[c for c in cols if c != "custkey"])
-        return two_level_rank(
-            slim,
+    # Chain the three ranks as successive bucketed windows over the SAME
+    # frame instead of ranking slim projections and equi-joining each
+    # rank column back on custkey (round 14): the three join-backs (and
+    # their build/probe exchanges) disappear, leaving one partitioned
+    # window exchange per dimension over a 4-column frame — strictly
+    # fewer exchanges at any scale, and the per-dimension shuffle width
+    # only grows by the already-computed rank columns riding along.
+    scored = rfm_c
+    for cols, out in dims:
+        scored = two_level_rank(
+            scored,
             cols,
             out_col=out,
             nb=nb,
             persist=False,
             bounds=dim_bounds[out],
             bucket_totals=dim_totals[[o for _, o in dims].index(out)],
-        ).select("custkey", out)
-
-    scored = (
-        rfm_c.join(rank_on(["__negr", "custkey"], "__rn_r"), "custkey")
-        .join(rank_on(["frequency", "custkey"], "__rn_f"), "custkey")
-        .join(rank_on(["cents", "custkey"], "__rn_m"), "custkey")
-        .select(
-            "custkey",
-            "frequency",
-            "cents",
-            sql_ntile("__rn_r", str(n), RFM_TILES).alias("r_score"),
-            sql_ntile("__rn_f", str(n), RFM_TILES).alias("f_score"),
-            sql_ntile("__rn_m", str(n), RFM_TILES).alias("m_score"),
         )
+    scored = scored.select(
+        "custkey",
+        "frequency",
+        "cents",
+        sql_ntile("__rn_r", str(n), RFM_TILES).alias("r_score"),
+        sql_ntile("__rn_f", str(n), RFM_TILES).alias("f_score"),
+        sql_ntile("__rn_m", str(n), RFM_TILES).alias("m_score"),
     )
     label = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
