@@ -66,6 +66,47 @@ def test_cold_gate_flags_cold_only_names():
     assert cold_gate_violations({}, {exempt: 4.0}) == []
 
 
+# --- ratchet-relaxation budget (round 14) ---------------------------------
+
+
+def test_ratchet_budget_math_and_one_way_meter():
+    """The budget charges log2(current/anchor) per RELAXED entry and
+    banks nothing for tightened ones — a mass tightening must not fund
+    a later mass relaxation (r12 ask #2 / r13 verdict ask #8)."""
+    from benchcmp import ratchet_budget_spent
+
+    anchor = {"a": 1.0, "b": 2.0, "c": 4.0, "gone": 1.0}
+    base = {"a": 2.0, "b": 1.0, "c": 4.0, "new_query": 9.9}
+    spent, rows = ratchet_budget_spent(base, anchor)
+    # only 'a' relaxed (1.0 -> 2.0 = exactly one doubling); 'b' tightened
+    # (no credit), 'c' unchanged, 'gone' missing from baseline (no charge),
+    # 'new_query' not anchored yet (no charge)
+    assert rows == [("a", 1.0)]
+    assert spent == pytest.approx(1.0)
+
+
+def test_ratchet_budget_of_shipped_tables_is_within_bounds():
+    """The shipped BASELINE.md §3 table vs the shipped anchor must stay
+    under RATCHET_BUDGET_DOUBLINGS — if this fails, cumulative
+    re-ratchets have eaten more than the allowed baseline mass and one
+    of them must be reverted (or the queries made faster)."""
+    from benchcmp import (
+        RATCHET_BUDGET_DOUBLINGS,
+        load_anchor,
+        load_baseline,
+        ratchet_budget_spent,
+    )
+
+    anchor = load_anchor()
+    if not anchor:
+        pytest.skip("no RATCHET_ANCHOR.json in this checkout")
+    spent, _rows = ratchet_budget_spent(load_baseline(), anchor)
+    assert spent <= RATCHET_BUDGET_DOUBLINGS
+    # anchor coverage must not silently shrink: every anchored query
+    # still in the baseline keeps its anchor protection
+    assert len(anchor) >= 250
+
+
 def test_foreign_cpu_fraction_separates_own_load_from_foreign():
     """bench.py's host-noise adjudicator must attribute THIS tree's CPU
     burn to the bench (foreign ~ 0) and an out-of-tree spinner to the
