@@ -136,6 +136,11 @@ def x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .filter(inter * 5 >= (F.size("sh_a") + F.size("sh_b") - inter) * 3)
         .select("id_a", "id_b")
+        # round 14: two consumers (n_truth and the hit join) — without
+        # the persist the array-intersect exact-verify arm runs twice
+        # (AQE reuses the identical upstream exchange, but the
+        # post-exchange verify work is per-consumer)
+        .persist()
     )
     bands = md5_band_frame(shset)
     cand = candidate_pairs(
